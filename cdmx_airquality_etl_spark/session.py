@@ -1,0 +1,60 @@
+"""SparkSession factory for the engine.
+
+Single place where execution-relevant config is set, so tests, bench and the
+driver all run with the same plan-shaping knobs:
+
+- AQE on (runtime coalescing, skew-join splitting, dynamic join selection).
+- Arrow on (every pandas UDF / mapInPandas crossing is Arrow-batched).
+- Session timezone pinned to UTC so timestamp part-extraction is deterministic
+  and matches the DuckDB oracle (which reads parquet timestamps as naive UTC).
+- ``spark.sql.shuffle.partitions`` sized from the env (``SPARK_GRAFT_CPUS``)
+  rather than the 200 default — at local scale 200 partitions of a 60k-row
+  shuffle is pure scheduling overhead; on a real cluster this is expected to
+  be overridden per-job (AQE coalescing makes the initial number forgiving).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "cdmx-airquality-etl-spark"
+
+
+def cpu_count() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(
+    app_name: str = DEFAULT_APP_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard config."""
+    cpus = cpu_count()
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 4)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # events.parquet stores TIMESTAMP(NANOS) which Spark's reader rejects;
+        # read as long nanos and convert in the loader (sources/parquet.py)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
