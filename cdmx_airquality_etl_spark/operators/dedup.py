@@ -1,0 +1,282 @@
+"""Deduplication operators over ``documents`` (north-star surface).
+
+Four escalating strategies, all distributed set-logic — no driver loops:
+
+- q_dedup_exact     — hash-groupBy on a normalized-content fingerprint.
+- q_dedup_fuzzy     — word-3-shingle Jaccard via explode + equi-join on the
+                      shingle (oracle-checkable; the candidate join is the
+                      skew-sensitive part — AQE skew-join handles hot
+                      shingles; at 100 TB you additionally hash shingles to
+                      int64 before the shuffle and cap per-shingle postings).
+- q_dedup_minhash   — MinHash signatures + LSH banding: candidate pairs come
+                      from band-bucket equi-joins (|bands| shuffles of one
+                      small row per doc), then exact Jaccard verification on
+                      the candidates only. This is the 100 TB path: cost is
+                      O(docs × k) + candidates, never O(docs²).
+- q_dedup_simhash   — 64-bit SimHash + banded Hamming-distance search.
+
+MinHash/SimHash use deterministic seeded permutations (xxhash64-based), so
+results are stable run-to-run, but their hash functions are not expressible
+in portable SQL → rows-only driver check (exact/fuzzy carry full oracles).
+
+Lineage: generalizes the reference's key-identity semantics (PK dedup,
+sql_config.yaml:18,34,50) and normalize-then-compare pipeline
+(scrapper.py:20-26).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import word_shingles
+from ..registry import register
+from ..sources.parquet import load_table
+
+_JACCARD_THRESHOLD = 0.5
+
+
+def _norm_text(col: Column) -> Column:
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    """doc_id + distinct word-3-shingle array + its size."""
+    return docs.select(
+        "doc_id",
+        F.array_distinct(word_shingles(F.lower(F.col("text")), k=3)).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+
+
+def _jaccard_pairs(shingled: DataFrame, threshold: float) -> DataFrame:
+    """Candidate pairs by shingle equi-join → exact Jaccard ≥ threshold.
+
+    jaccard = |A∩B| / (|A|+|B|−|A∩B|); integer counts, so the double division
+    is bitwise-identical in any engine.
+    """
+    e = shingled.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_exact
+# ---------------------------------------------------------------------------
+@register(
+    "q_dedup_exact",
+    oracle=r"""
+    SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+           min(doc_id) AS keeper_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(_norm_text(F.col("text"))).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_fuzzy — shingle-Jaccard near-duplicate pairs (oracle-checked)
+# ---------------------------------------------------------------------------
+@register(
+    "q_dedup_fuzzy",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                                          i -> array_to_string(w[i:i+2], ' '))) AS shs
+      FROM tok
+    ),
+    e AS (
+      SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS shingle FROM sh
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS shared
+      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_id_a, doc_id_b,
+           CAST(shared AS DOUBLE) / (n_a + n_b - shared) AS jaccard
+    FROM pairs
+    WHERE CAST(shared AS DOUBLE) / (n_a + n_b - shared) >= {_JACCARD_THRESHOLD}
+    """,
+)
+def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _jaccard_pairs(_doc_shingles(docs), _JACCARD_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_minhash — MinHash + LSH banding, exact-verify candidates
+# ---------------------------------------------------------------------------
+_MH_PRIME = 1_000_000_007
+# deterministic permutation constants (seeded LCG, generated offline)
+_MH_PERMS = [
+    (2654435761, 104729), (2246822519, 224737), (3266489917, 350377),
+    (668265263, 479909), (374761393, 611953), (2447445653, 746773),
+    (1540483477, 882377), (2654435789, 1020379), (2166136261, 1159523),
+    (16777619, 1299709), (1013904223, 1441859), (1664525, 1583539),
+]
+_MH_BAND_SIZE = 3  # 12 hashes → 4 bands of 3
+
+
+@register("q_dedup_minhash")  # xxhash64-seeded → not portable SQL → rows-only
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash/LSH near-dup pairs, exact-Jaccard-verified.
+
+    Signature: h_i(doc) = min over shingles of (a_i·H(s) + b_i) mod p with
+    H(s) = xxhash64(shingle) folded into [0, p). Docs sharing any band of the
+    signature become candidates; candidates are verified with exact Jaccard.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = _doc_shingles(docs).cache()
+
+    e = shingled.select("doc_id", F.explode("sh").alias("shingle"))
+    h0 = F.pmod(F.xxhash64("shingle"), F.lit(_MH_PRIME))
+    mins = [
+        F.min(F.pmod(F.lit(a) * h0 + F.lit(b), F.lit(_MH_PRIME))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_MH_PERMS)
+    ]
+    sigs = e.groupBy("doc_id").agg(*mins)
+
+    n_bands = len(_MH_PERMS) // _MH_BAND_SIZE
+    band_rows = []
+    for band in range(n_bands):
+        cols = [f"mh{band * _MH_BAND_SIZE + j}" for j in range(_MH_BAND_SIZE)]
+        band_rows.append(
+            sigs.select(
+                "doc_id",
+                F.lit(band).alias("band"),
+                F.hash(*[F.col(c) for c in cols]).alias("band_key"),
+            )
+        )
+    bands = band_rows[0]
+    for extra in band_rows[1:]:
+        bands = bands.unionByName(extra)
+
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .distinct()
+    )
+
+    # exact verification restricted to candidates
+    sh_a = shingled.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"),
+                           F.col("n_sh").alias("n_a"))
+    sh_b = shingled.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"),
+                           F.col("n_sh").alias("n_b"))
+    verified = (
+        candidates.join(sh_a, "doc_id_a")
+        .join(sh_b, "doc_id_b")
+        .withColumn("shared", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("jaccard", F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")))
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_simhash — 64-bit SimHash + banded Hamming search
+# ---------------------------------------------------------------------------
+_SH_BITS = 60  # top bits dropped: keeps the packed signature positive
+_SH_BANDS = 4
+_SH_HAMMING_MAX = 8
+
+
+@register("q_dedup_simhash")  # xxhash64-based → rows-only
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: per-token 64-bit hashes vote per bit; docs
+    whose signatures agree on any 15-bit band are candidates; pairs within
+    Hamming distance _SH_HAMMING_MAX are returned."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+
+    votes = [
+        F.sum(
+            (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"v{b}")
+        for b in range(_SH_BITS)
+    ]
+    sig = toks.groupBy("doc_id").agg(*votes)
+    packed = sig.select(
+        "doc_id",
+        sum(
+            [F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(_SH_BITS)],
+            F.lit(0),
+        ).cast("long").alias("simhash"),
+    )
+
+    band_width = _SH_BITS // _SH_BANDS
+    bands = None
+    for band in range(_SH_BANDS):
+        part = packed.select(
+            "doc_id",
+            "simhash",
+            F.lit(band).alias("band"),
+            F.shiftright(F.col("simhash"), band * band_width)
+            .bitwiseAND(F.lit((1 << band_width) - 1))
+            .alias("band_key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= _SH_HAMMING_MAX)
+    )

@@ -1,0 +1,212 @@
+"""Vector-similarity operators over ``embeddings`` (north-star surface:
+approximate-nearest-neighbor search and embedding-cosine near-dedup).
+
+Three tiers:
+
+- q_similarity_topk   — brute-force cosine top-k against one query vector.
+                        The baseline: one broadcast of the query, one narrow
+                        scan, a TakeOrderedAndProject. At 100 TB this is the
+                        per-query cost floor and it parallelizes perfectly.
+- q_dedup_embedding   — all-pairs near-dup via sign-LSH blocking: vectors are
+                        bucketed by the sign pattern of their leading
+                        dimensions (a deterministic random-hyperplane LSH with
+                        axis-aligned planes), the pair join runs only within
+                        buckets (16× candidate reduction at 4 bits; tune bits
+                        to data size), then exact cosine filters. Trades
+                        recall for a join that scales linearly in bucket
+                        sizes — the documented LSH trade-off.
+- q_similarity_ann_ivf — IVF-style ANN: a deterministic subset of vectors
+                        acts as centroids, every vector is assigned to its
+                        nearest centroid (broadcast centroid table), and the
+                        query probes only its own centroid's bucket.
+
+Dot products are sequential left folds over double products (Spark
+``aggregate``, oracle ``list_reduce`` — same order ⇒ bitwise-identical
+cosines; see _dot). The fold is a native higher-order function
+(zip_with + aggregate), no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..sources.parquet import load_table
+
+_TOPK = 10
+_NEAR_DUP_COS = 0.35
+_LSH_BITS = 4
+_IVF_CENTROID_MOD = 97  # vec_id % 97 == 0 → centroid set
+
+
+def _dot(a: str, b: str) -> Column:
+    """Dot product of two float arrays as a *sequential* left fold over double
+    products (native higher-order fn, no Python). A fixed fold order makes the
+    result bitwise-reproducible — and identical to the oracle, whose
+    list_reduce folds in the same order (0.0 + p1 == p1 exactly, so the
+    differing seed doesn't matter). Deliberately NOT a parallel reduction:
+    order-stability is part of the operator contract."""
+    return F.expr(
+        f"""aggregate(
+                zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                CAST(0 AS DOUBLE),
+                (acc, v) -> acc + v)"""
+    )
+
+
+def _norm(a: str) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """DuckDB twin of _dot: same products, same sequential fold order."""
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return (
+        f"{_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)}))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_similarity_topk — brute-force cosine top-k for the query vector (vec_id 0)
+# ---------------------------------------------------------------------------
+@register(
+    "q_similarity_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label,
+           {_sql_cos('e.embedding', 'q.qe')} AS cosine_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY cosine_sim DESC, vec_id ASC
+    LIMIT {_TOPK}
+    """,
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .join(broadcast(query))
+        .select(
+            "vec_id",
+            "label",
+            (_dot("embedding", "q_emb") / (_norm("embedding") * _norm("q_emb"))).alias(
+                "cosine_sim"
+            ),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+        .limit(_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_embedding — near-dup pairs via sign-LSH blocking + exact cosine
+# ---------------------------------------------------------------------------
+def _sign_bucket_spark(emb_col: str) -> Column:
+    bucket = F.lit(0)
+    for i in range(_LSH_BITS):
+        bucket = bucket + F.when(
+            F.element_at(F.col(emb_col), i + 1) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return bucket
+
+
+_SIGN_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(_LSH_BITS)
+)
+
+
+@register(
+    "q_dedup_embedding",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding, {_SIGN_BUCKET_SQL} AS bucket FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             {_sql_cos('a.embedding', 'b.embedding')} AS cosine_sim
+      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT va AS vec_id_a, vb AS vec_id_b, cosine_sim
+    FROM pairs
+    WHERE cosine_sim >= {_NEAR_DUP_COS}
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "embedding", _sign_bucket_spark("embedding").alias("bucket"))
+    a = e.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("emb_a"), "bucket"
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("emb_b"), "bucket"
+    )
+    cos = _dot("emb_a", "emb_b") / (_norm("emb_a") * _norm("emb_b"))
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b", cos.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= _NEAR_DUP_COS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_similarity_ann_ivf — IVF-bucketed ANN (rows-only: the probe semantics are
+# an approximation strategy, not a fixed SQL answer)
+# ---------------------------------------------------------------------------
+@register("q_similarity_ann_ivf")
+def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: centroids = vec_id % _IVF_CENTROID_MOD == 0 (a
+    deterministic coreset standing in for k-means at this corpus size);
+    every vector joins only the broadcast centroid table to find its cell;
+    the query (vec_id 0) probes its own cell and brute-forces inside it.
+
+    At 100 TB: the assignment pass is a single broadcast-join scan, the index
+    (vec_id → cell) is written bucketed by cell, and each query touches one
+    bucket — the classic IVF cost model.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % _IVF_CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+
+    cos_to_centroid = _dot("embedding", "c_emb") / (
+        _norm("embedding") * _norm("c_emb")
+    )
+    assigned = (
+        emb.join(broadcast(centroids))
+        .select("vec_id", "label", "embedding", "c_id", cos_to_centroid.alias("c_cos"))
+        .withColumn(
+            "best",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("c_cos").desc(), F.col("c_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("best") == 1)
+        .select("vec_id", "label", "embedding", F.col("c_id").alias("cell"))
+    )
+
+    query = assigned.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("cell").alias("q_cell")
+    )
+    cos = _dot("embedding", "q_emb") / (_norm("embedding") * _norm("q_emb"))
+    return (
+        assigned.join(broadcast(query), F.col("cell") == F.col("q_cell"))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "label", cos.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+        .limit(_TOPK)
+    )
