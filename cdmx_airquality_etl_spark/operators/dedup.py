@@ -55,7 +55,11 @@ def _jaccard_pairs(shingled: DataFrame, threshold: float) -> DataFrame:
     is bitwise-identical in any engine.
     """
     e = shingled.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
-    a, b = e.alias("a"), e.alias("b")
+    # Self-join: force sort-merge so both sides produce identical shuffle
+    # exchanges and Catalyst's ReusedExchange computes the postings once.
+    # (A broadcast join here re-evaluates the whole shingle pipeline per side
+    # — measured 14× slower at sf0.1 — and is impossible at 100 TB anyway.)
+    a, b = e.alias("a"), e.hint("merge").alias("b")
     return (
         a.join(
             b,
@@ -172,20 +176,24 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     sigs = e.groupBy("doc_id").agg(*mins)
 
+    # one pass over the signatures: bands as an exploded literal array, cached
+    # (a unionByName-per-band would recompute the signature aggregation once
+    # per band and again per self-join side)
     n_bands = len(_MH_PERMS) // _MH_BAND_SIZE
-    band_rows = []
-    for band in range(n_bands):
-        cols = [f"mh{band * _MH_BAND_SIZE + j}" for j in range(_MH_BAND_SIZE)]
-        band_rows.append(
-            sigs.select(
-                "doc_id",
-                F.lit(band).alias("band"),
-                F.hash(*[F.col(c) for c in cols]).alias("band_key"),
-            )
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.hash(
+                *[F.col(f"mh{band * _MH_BAND_SIZE + j}") for j in range(_MH_BAND_SIZE)]
+            ).alias("band_key"),
         )
-    bands = band_rows[0]
-    for extra in band_rows[1:]:
-        bands = bands.unionByName(extra)
+        for band in range(n_bands)
+    ]
+    bands = (
+        sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("bk"))
+        .select("doc_id", "bk.band", "bk.band_key")
+        .cache()
+    )
 
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
@@ -250,17 +258,22 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     band_width = _SH_BITS // _SH_BANDS
-    bands = None
-    for band in range(_SH_BANDS):
-        part = packed.select(
-            "doc_id",
-            "simhash",
+    band_structs = [
+        F.struct(
             F.lit(band).alias("band"),
             F.shiftright(F.col("simhash"), band * band_width)
             .bitwiseAND(F.lit((1 << band_width) - 1))
             .alias("band_key"),
         )
-        bands = part if bands is None else bands.unionByName(part)
+        for band in range(_SH_BANDS)
+    ]
+    bands = (
+        packed.select(
+            "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bk")
+        )
+        .select("doc_id", "simhash", "bk.band", "bk.band_key")
+        .cache()
+    )
 
     a, b = bands.alias("a"), bands.alias("b")
     return (
