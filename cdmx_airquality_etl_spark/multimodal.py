@@ -1,0 +1,155 @@
+"""Multimodal column support (north-star surface): image/audio/video as
+opaque ``binary`` columns with typed metadata, processed by Arrow-batched
+``mapInPandas`` stages.
+
+The container has no image/audio libraries, so the *decode* step is stubbed
+(per the build contract): ``decode_media`` raises NotImplementedError unless
+``fake=True``, in which case it produces deterministic features derived from
+the bytes. Everything Spark-side — schemas, partitioning, UDF signatures,
+Arrow batch shapes — is real and tested; swapping the stub for PIL/ffmpeg is
+a pure executor-side change.
+
+Design for 100 TB:
+- payloads stay opaque binary; metadata is a separate narrow struct column so
+  metadata-only queries never deserialize payloads (column pruning does the
+  work — verified by selecting meta.* without touching payload);
+- decode runs in ``mapInPandas`` over Arrow record batches: bytes never pass
+  through Python row-at-a-time, and ``spark.sql.execution.arrow
+  .maxRecordsPerBatch`` bounds executor memory per batch;
+- frame sampling emits one row per sampled frame via the iterator interface
+  (a flatMap shape), keeping peak memory at one batch of frames.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("mime", StringType(), True),
+                    StructField("n_bytes", LongType(), True),
+                    StructField("sha256_prefix", StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("feature", ArrayType(DoubleType()), True),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_bytes", BinaryType(), True),
+    ]
+)
+
+
+def attach_binary(df: DataFrame, id_col: str, text_col: str, mime: str = "application/octet-stream") -> DataFrame:
+    """Demo payload builder: treat a text column's UTF-8 bytes as an opaque
+    payload and attach typed metadata — the schema/partitioning pattern real
+    media tables use (payload opaque, metadata narrow)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
+            F.substring(F.sha2(payload, 256), 1, 16).alias("sha256_prefix"),
+        ).alias("meta"),
+    )
+
+
+def _fake_feature(payload: bytes, dim: int) -> list[float]:
+    """Deterministic stand-in for a real decoder: dim doubles derived from a
+    sha256 stream over the payload."""
+    out: list[float] = []
+    h = hashlib.sha256(payload)
+    block = h.digest()
+    while len(out) < dim:
+        for i in range(0, len(block) - 7, 8):
+            out.append(int.from_bytes(block[i : i + 8], "big") / 2**64)
+            if len(out) == dim:
+                break
+        block = hashlib.sha256(block).digest()
+    return out
+
+
+def decode_media(media: DataFrame, dim: int = 8, fake: bool = False) -> DataFrame:
+    """payload → feature vector. STUB: the real decoder (image decode +
+    embed) needs libraries absent from this container; ``fake=True`` runs a
+    deterministic bytes-derived feature so the full pipeline is testable."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media decoding requires an image/audio library not present "
+                    "in this environment; pass fake=True for the deterministic stub"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                    "feature": [
+                        _fake_feature(bytes(p) if p is not None else b"", dim)
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(_decode, FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 4,
+                  fake: bool = False) -> DataFrame:
+    """Frame sampling STUB (video → every-Nth-frame): slices the payload at
+    fixed offsets, one output row per 'frame' (flatMap shape)."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "frame extraction requires a video library not present in "
+                    "this environment; pass fake=True for the deterministic stub"
+                )
+            ids, idxs, frames = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(p) if p is not None else b""
+                for k in range(min(max_frames, max(1, len(data) // every_n_bytes))):
+                    ids.append(mid)
+                    idxs.append(k)
+                    frames.append(data[k * every_n_bytes : (k + 1) * every_n_bytes])
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_bytes": frames})
+
+    return media.select("media_id", "payload").mapInPandas(_frames, FRAME_SCHEMA)

@@ -1,0 +1,69 @@
+"""ST-INGEST — incremental snapshot ingestion (SURVEY.md §2B).
+
+The reference's incrementality is scheduler-level: an OS task fires
+launcher.bat hourly and each run merges one snapshot into the accumulating DB
+(/root/reference/launcher.bat:1-3 + scrapper.py:329-331). The Spark-native
+equivalent is a file-source stream with ``Trigger.AvailableNow`` driving the
+same keyed merge through ``foreachBatch``:
+
+    new snapshot files land in a directory
+      → readStream picks up only unseen files (checkpointed source offsets)
+      → foreachBatch(merge_into_parquet)  — the M-UPSERT path, per batch
+      → exactly-once per file via checkpoint + idempotent keyed merge
+
+At scale the checkpoint lives on shared storage and the merge is
+partition-scoped (plans/merge.py), so an hourly micro-batch rewrites only the
+partitions it touches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from ..plans.merge import merge_into_parquet
+
+
+def ingest_stream(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema: StructType,
+    target_path: str,
+    keys: list[str],
+    counter_col: str | None = "nupdates",
+    partition_col: str | None = None,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Run (or start) the incremental ingest stream.
+
+    With ``available_now=True`` this processes every unseen file then stops —
+    the scheduled-batch shape of the reference (one launcher run ≙ one call).
+    Returns the finished/running StreamingQuery.
+    """
+    stream = (
+        spark.readStream.schema(source_schema)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(source_dir)
+    )
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_into_parquet(
+            batch_df.sparkSession,
+            batch_df,
+            target_path,
+            keys,
+            counter_col=counter_col,
+            partition_col=partition_col,
+        )
+
+    writer = stream.writeStream.foreachBatch(_merge_batch).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        query = writer.trigger(availableNow=True).start()
+        query.awaitTermination()
+        return query
+    return writer.start()

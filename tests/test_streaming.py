@@ -1,0 +1,115 @@
+"""ST-INGEST / ST-COUNT tests: Trigger.AvailableNow file streams with
+batch-equivalence checks (SURVEY.md §2B — streaming rows are verified against
+their batch twins, no oracle)."""
+
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from cdmx_airquality_etl_spark.schemas import TESTDATA_SCHEMAS
+from cdmx_airquality_etl_spark.sources.parquet import load_table
+from cdmx_airquality_etl_spark.streaming import (
+    ingest_stream,
+    run_windowed_counts_stream,
+    windowed_counts,
+)
+
+SNAP_SCHEMA = "report_ts long, clave_str string, calidad string"
+
+
+def _write_snapshot(spark, dir_, name, rows):
+    spark.createDataFrame([Row(**r) for r in rows], SNAP_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(dir_, name))
+
+
+def test_ingest_stream_incremental_merge(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    src = str(tmp_path / "incoming")
+    tgt = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    schema = StructType(
+        [
+            StructField("report_ts", LongType(), True),
+            StructField("clave_str", StringType(), True),
+            StructField("calidad", StringType(), True),
+        ]
+    )
+
+    # snapshot 1 lands → stream run 1
+    spark.createDataFrame(
+        [Row(report_ts=2025052314, clave_str="UIZ", calidad="buena")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    ingest_stream(spark, src, schema, tgt, keys=["report_ts", "clave_str"],
+                  checkpoint_dir=ckpt)
+    out1 = {r["clave_str"]: r for r in spark.read.parquet(tgt).collect()}
+    assert out1["UIZ"]["nupdates"] == 1
+
+    # snapshot 2: re-scrape (same key, new value) + new key → stream run 2
+    spark.createDataFrame(
+        [
+            Row(report_ts=2025052314, clave_str="UIZ", calidad="mala"),
+            Row(report_ts=2025052314, clave_str="MER", calidad="buena"),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    ingest_stream(spark, src, schema, tgt, keys=["report_ts", "clave_str"],
+                  checkpoint_dir=ckpt)
+    out2 = {r["clave_str"]: r for r in spark.read.parquet(tgt).collect()}
+    assert out2["UIZ"]["calidad"] == "mala"
+    assert out2["UIZ"]["nupdates"] == 2  # counter bumped once per batch
+    assert out2["MER"]["nupdates"] == 1
+
+    # run again with NO new files: checkpoint makes it a no-op (exactly-once)
+    ingest_stream(spark, src, schema, tgt, keys=["report_ts", "clave_str"],
+                  checkpoint_dir=ckpt)
+    out3 = {r["clave_str"]: r for r in spark.read.parquet(tgt).collect()}
+    assert out3["UIZ"]["nupdates"] == 2
+
+
+def test_windowed_counts_stream_matches_batch(spark, tmp_path, sf_dir):
+    src = str(tmp_path / "events_src")
+    out = str(tmp_path / "counts")
+    ckpt = str(tmp_path / "ckpt2")
+
+    events = load_table(spark, sf_dir, "events")
+    # restage with a real timestamp column (load_table converts ns → ts)
+    events.limit(2000).write.parquet(src)
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    staged_schema = StructType(
+        [
+            StructField("event_id", LongType(), True),
+            StructField("ts", TimestampType(), True),
+            StructField("user_id", LongType(), True),
+            StructField("event_type", StringType(), True),
+            StructField("value", DoubleType(), True),
+            StructField("props", StringType(), True),
+        ]
+    )
+
+    run_windowed_counts_stream(spark, src, staged_schema, out, ckpt)
+
+    stream_rows = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(out).collect()
+    }
+    batch_rows = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in windowed_counts(spark.read.schema(staged_schema).parquet(src)).collect()
+    }
+    assert stream_rows == batch_rows
+    staged_n = spark.read.schema(staged_schema).parquet(src).count()
+    assert sum(stream_rows.values()) == staged_n > 0
