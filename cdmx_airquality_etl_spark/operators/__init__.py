@@ -1,6 +1,20 @@
 """Operator modules register themselves into the query/oracle registry on
 import; importing this package loads the full surface."""
 
-from . import dedup, flagship, relational, similarity, textstats  # noqa: F401
+from . import (  # noqa: F401
+    dedup,
+    flagship,
+    relational,
+    similarity,
+    textstats,
+    udf_surface,
+)
 
-__all__ = ["dedup", "flagship", "relational", "similarity", "textstats"]
+__all__ = [
+    "dedup",
+    "flagship",
+    "relational",
+    "similarity",
+    "textstats",
+    "udf_surface",
+]

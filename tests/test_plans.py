@@ -1,0 +1,79 @@
+"""Physical-plan shape tests: the scale properties SURVEY.md §4 promises must
+be visible in the plans, not just intended — predicate pushdown, column
+pruning, broadcast dim joins, TakeOrderedAndProject top-k, partial hash
+aggregation. These are the guarantees that survive a 100× scale-up."""
+
+import pytest
+
+from cdmx_airquality_etl_spark.registry import QUERIES
+
+
+def _plan(spark, sf_dir, name, mode="formatted"):
+    df = QUERIES[name](spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_filter_pred")
+    assert "PushedFilters:" in plan
+    assert "IsNotNull(l_discount)" in plan or "GreaterThan(l_discount" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    # column pruning: unused wide columns never read
+    assert "l_comment" not in plan
+    assert "l_tax" not in plan
+
+
+def test_scan_project_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_scan_project")
+    read_schema_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    for col in ("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"):
+        assert col in read_schema_line
+    for col in ("l_shipdate", "l_suppkey", "l_partkey"):
+        assert col not in read_schema_line
+
+
+def test_dim_join_is_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_dim_join_broadcast")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_flagship_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_flagship_revenue")
+    # nation and region must be broadcast; fact-fact joins may be any
+    # shuffle strategy
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "PushedFilters:" in plan  # shipdate filter reaches the scan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_sort_limit_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort materialization
+
+
+def test_group_agg_partial_final(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_group_agg")
+    assert "partial" in plan.lower()  # map-side combine present
+    # partial + final pair around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_fuzzy_dedup_self_join_is_shuffle_not_broadcast(spark, sf_dir):
+    # the postings self-join must be a shuffle join: broadcast would
+    # re-evaluate the whole shingle pipeline per side (measured 14× slower)
+    # and cannot exist at scale; with SMJ both sides hash-partition on the
+    # shingle and AQE reuses the identical exchange at runtime
+    plan = _plan(spark, sf_dir, "q_dedup_fuzzy")
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+@pytest.mark.parametrize("name", ["q_join_semi", "q_join_anti"])
+def test_semi_anti_join_shapes(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    kind = "LeftSemi" if name == "q_join_semi" else "LeftAnti"
+    assert kind in plan
