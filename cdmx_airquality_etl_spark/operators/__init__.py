@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     dedup,
     flagship,
     relational,
+    scale_ops,
     similarity,
     textstats,
     udf_surface,

@@ -1,0 +1,176 @@
+"""Scale-pattern operators: the techniques a 100 TB deployment leans on,
+packaged as oracle-checked queries.
+
+- q_asof_join    — event-time AS-OF join, an operator Spark's join set lacks
+                   (composition per SURVEY §"custom operators": built from
+                   union + ordered window carry-forward, no UDF). DuckDB has
+                   native ASOF JOIN — that's the oracle.
+- q_sessionize   — gaps-and-islands sessionization (30-min inactivity split),
+                   the batch twin of streaming session windows.
+- q_group_salted — two-stage salted aggregation: the skew-mitigation pattern
+                   (salt → partial agg on (key, salt) → final agg on key).
+                   Result provably identical to the plain aggregate (the
+                   oracle IS the plain aggregate); DECIMAL partials keep the
+                   two-stage sum bit-exact.
+
+Lineage: all three generalize the reference's implicit time-series model
+(report_ts keys + hourly snapshots, sql_config.yaml:12-17,
+scrapper.py:44-52).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..sources.parquet import load_table
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+# ---------------------------------------------------------------------------
+# q_asof_join — for each 'error' event, the user's most recent prior-or-equal
+# 'click' (LEFT semantics: errors with no prior click keep NULLs)
+# ---------------------------------------------------------------------------
+@register(
+    "q_asof_join",
+    oracle="""
+    SELECT e.event_id AS error_event_id,
+           e.user_id,
+           c.event_id AS click_event_id,
+           c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF via union + ordered carry-forward — one shuffle on user_id, no
+    pairwise blow-up (an inequality theta-join would be O(errors × clicks)
+    per user; this is O(events log events) via the window sort, the shape
+    that survives scale)."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_event_id"),
+        F.col("ts").alias("click_ts"),
+        F.lit(1).alias("is_click"),
+        F.lit(None).cast("long").alias("error_event_id"),
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("click_event_id"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(0).alias("is_click"),
+        F.col("event_id").alias("error_event_id"),
+    )
+    # clicks sort before errors at identical ts (is_click desc) → an
+    # equal-timestamp click qualifies, matching ASOF's ts >= click.ts
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_click").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(errors).select(
+        "user_id",
+        "ts",
+        "error_event_id",
+        "is_click",
+        F.last("click_event_id", ignorenulls=True).over(w).alias("click_event_id"),
+        F.last("click_ts", ignorenulls=True).over(w).alias("click_ts"),
+    )
+    return merged.filter(F.col("is_click") == 0).select(
+        "error_event_id", "user_id", "click_event_id", "click_ts"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_sessionize — 30-min-gap sessions per user (gaps-and-islands)
+# ---------------------------------------------------------------------------
+@register(
+    "q_sessionize",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_SESSION_GAP_US}
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM gaps
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_us = F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        prev_us.isNull() | (F.unix_micros("ts") - prev_us > _SESSION_GAP_US), 1
+    ).otherwise(0)
+    sess = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(new_session).over(wsum).alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_group_salted — skew-mitigated two-stage aggregate (same answer as plain)
+# ---------------------------------------------------------------------------
+_SALT_BUCKETS = 16
+
+
+@register(
+    "q_group_salted",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_group_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation: l_returnflag has 3 values, so a naive shuffle
+    lands ~⅓ of the table on single reducers. Salting spreads each key over
+    _SALT_BUCKETS partial groups; the final combine is 3×16 rows. DECIMAL
+    partials make the two-stage sum exactly equal to the one-stage oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    salt = F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(_SALT_BUCKETS))
+    partial = (
+        li.select(
+            "l_returnflag",
+            salt.alias("salt"),
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("price_dec"),
+        )
+        .groupBy("l_returnflag", "salt")
+        .agg(
+            F.sum("price_dec").alias("sum_dec"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("sum_dec").cast("double").alias("sum_price"),
+        F.sum("n").alias("n_rows"),
+    )
