@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     dedup,
     flagship,
     relational,
+    relational_ext,
     scale_ops,
     similarity,
     textstats,
