@@ -6,6 +6,7 @@ from . import (  # noqa: F401
     flagship,
     relational,
     relational_ext,
+    relational_ext2,
     scale_ops,
     similarity,
     textstats,
