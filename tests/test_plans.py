@@ -77,3 +77,40 @@ def test_semi_anti_join_shapes(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     kind = "LeftSemi" if name == "q_join_semi" else "LeftAnti"
     assert kind in plan
+
+
+def test_topk_per_group_pushes_group_limit(spark, sf_dir):
+    # rank<=k must become a WindowGroupLimit so each map task keeps only k
+    # rows per group before the window shuffle — without it, the full fact
+    # table flows through the sort at 100 TB
+    plan = _plan(spark, sf_dir, "q_topk_per_group")
+    assert "WindowGroupLimit" in plan
+
+
+def test_range_join_is_broadcast_nlj(spark, sf_dir):
+    # non-equi join against a 3-row band table: must be a broadcast nested
+    # loop (map-side, no shuffle of the fact side), never a cartesian
+    plan = _plan(spark, sf_dir, "q_range_join")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_exists_subquery_rewrites_to_joins(spark, sf_dir):
+    # Catalyst must decorrelate EXISTS/NOT EXISTS into semi/anti hash joins —
+    # no per-row subquery execution survives in the physical plan
+    plan = _plan(spark, sf_dir, "q_exists_subquery")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_unpivot_is_narrow_expand(spark, sf_dir):
+    # melt = Expand (each row → 3 rows) with no exchange: a narrow transform
+    plan = _plan(spark, sf_dir, "q_unpivot")
+    assert "Expand" in plan
+    assert "Exchange" not in plan
+
+
+def test_time_bucket_partial_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_time_bucket")
+    assert "partial" in plan.lower()
+    assert plan.count("HashAggregate") >= 2
