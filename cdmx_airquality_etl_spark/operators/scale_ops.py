@@ -174,3 +174,50 @@ def q_group_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sum_dec").cast("double").alias("sum_price"),
         F.sum("n").alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_join_skew_salted — skew-mitigated equi-join (same answer as plain join)
+# ---------------------------------------------------------------------------
+@register(
+    "q_join_skew_salted",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle join: when one join key is hot (a celebrity key owning
+    say 10% of the fact table), the plain hash join funnels that key through
+    one reducer. Fix: fact rows get salt = hash(other cols) % S, the build
+    side is exploded ×S (one copy per salt), and the join key becomes
+    (key, salt) — the hot key now spreads over S reducers. The ×S blow-up is
+    on the *smaller* side only, and the oracle proves result equivalence with
+    the unsalted join. AQE's skewedJoin does this adaptively at runtime;
+    this operator is the explicit form for when stats are known up front."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li_s = li.withColumn(
+        "salt",
+        F.pmod(F.xxhash64("l_linenumber", "l_extendedprice"), F.lit(_SALT_BUCKETS))
+        .cast("int"),
+    )
+    ord_s = orders.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT_BUCKETS - 1)))
+    )
+    joined = li_s.join(
+        ord_s,
+        (li_s.l_orderkey == ord_s.o_orderkey) & (li_s.salt == ord_s.salt),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
