@@ -212,6 +212,67 @@ def q_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_conditional_agg",
+    oracle="""
+    SELECT l_linestatus,
+           COUNT(*) FILTER (l_returnflag = 'R') AS n_returned,
+           COUNT(*) FILTER (l_quantity > 25)    AS n_bulk,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                FILTER (l_discount > 0.05) AS DOUBLE) AS discounted_price,
+           CAST(SUM(CASE WHEN l_tax = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_taxfree
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (FILTER clause / count_if / CASE-sum): many
+    measures over one scan instead of N filtered scans — at 100 TB the
+    difference between reading the fact table once and N times."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.count_if(F.col("l_returnflag") == "R").alias("n_returned"),
+        F.count_if(F.col("l_quantity") > 25).alias("n_bulk"),
+        F.sum(
+            F.when(
+                F.col("l_discount") > 0.05,
+                F.col("l_extendedprice").cast("decimal(18,2)"),
+            )
+        ).cast("double").alias("discounted_price"),
+        F.sum(F.when(F.col("l_tax") == 0, 1).otherwise(0)).alias("n_taxfree"),
+    )
+
+
+@register(
+    "q_window_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice)  OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND UNBOUNDED FOLLOWING) AS last_price,
+           nth_value(o_totalprice, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND UNBOUNDED FOLLOWING) AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value with explicit frames: last_value needs the
+    full-partition frame (the default frame ends at CURRENT ROW — the classic
+    silent-wrong-answer both engines share, pinned here by the oracle)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w_full).alias("second_price"),
+    )
+
+
+@register(
     "q_string_funcs",
     oracle="""
     SELECT p_partkey,
