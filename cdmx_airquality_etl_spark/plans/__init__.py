@@ -1,3 +1,15 @@
+from .maintenance import cluster_rewrite, compact, table_stats
 from .merge import collapse_to_key_grain, merge_into_parquet, merge_upsert
+from .rollup import batch_partials, merge_partials, refresh_rollup
 
-__all__ = ["collapse_to_key_grain", "merge_into_parquet", "merge_upsert"]
+__all__ = [
+    "batch_partials",
+    "cluster_rewrite",
+    "collapse_to_key_grain",
+    "compact",
+    "merge_into_parquet",
+    "merge_partials",
+    "merge_upsert",
+    "refresh_rollup",
+    "table_stats",
+]

