@@ -1,0 +1,28 @@
+"""Approximation-quality gates for the ANN operators: the approximate result
+must stay close to the brute-force ground truth (q_similarity_topk). Both
+pipelines are fully deterministic, so recall is a fixed number per corpus —
+pinned here so an index change that silently degrades quality fails CI."""
+
+from cdmx_airquality_etl_spark.operators.similarity import _NEAR_DUP_COS
+from cdmx_airquality_etl_spark.registry import QUERIES
+
+
+def _ids(df):
+    return {r[0] for r in df.collect()}
+
+
+def test_ivf_recall_at_10(spark, sf_dir):
+    truth = _ids(QUERIES["q_similarity_topk"](spark, sf_dir))
+    approx = _ids(QUERIES["q_similarity_ann_ivf"](spark, sf_dir))
+    assert len(truth) == len(approx) == 10
+    # sf0.001: recall 1.0; sf0.01 (5× more vectors, same probe count): 0.8
+    assert len(truth & approx) / len(truth) >= 0.7
+
+
+def test_embedding_neardup_blocks_are_sound(spark, sf_dir):
+    # sign-LSH blocking is a filter on the exact pair set: every surviving
+    # pair must genuinely clear the cosine threshold (no false positives by
+    # construction — the cosine is recomputed inside the block)
+    pairs = QUERIES["q_dedup_embedding"](spark, sf_dir)
+    assert pairs.count() > 0
+    assert pairs.filter(f"cosine_sim < {_NEAR_DUP_COS}").count() == 0
