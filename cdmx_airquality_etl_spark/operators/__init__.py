@@ -7,6 +7,7 @@ from . import (  # noqa: F401
     relational,
     relational_ext,
     relational_ext2,
+    relational_ext3,
     scale_ops,
     similarity,
     textstats,

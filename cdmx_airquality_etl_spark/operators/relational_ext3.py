@@ -1,0 +1,137 @@
+"""Third extension batch: argmax-by aggregation, ordered string aggregation,
+error-safe (try_*) arithmetic, and date/interval arithmetic.
+
+Lineage: argmax is the "latest report per station" identity the reference's
+composite PK encodes (sql_config.yaml:18) done as a hash aggregate instead of
+a window sort; try_* generalizes the reference's cast-with-failure-handling
+(F-CAST, scrapper.py:63,114 — a failed int() aborts its run, here it yields
+NULL per row); date arithmetic extends the exploded date-part dimension
+(scrapper.py:154-165).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.parquet import load_table
+
+
+@register(
+    "q_argmax_group",
+    oracle="""
+    SELECT c_nationkey,
+           max_by(c_name, CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                          * 10000000 + c_custkey) AS richest_customer,
+           MAX(c_acctbal) AS max_acctbal,
+           COUNT(*) AS n_customers
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def q_argmax_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax per group via max_by — a single map-side-combinable hash
+    aggregate, versus the window-rank formulation (q_window_rank) that must
+    shuffle and sort every row. At 100 TB this is the difference between one
+    partial-agg pass and a full-table sort. Ties are broken deterministically
+    by packing (acctbal_cents, custkey) into one orderable BIGINT."""
+    cust = load_table(spark, sf_dir, "customer")
+    order_key = (
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("bigint") * 10000000
+        + F.col("c_custkey")
+    )
+    return cust.groupBy("c_nationkey").agg(
+        F.max_by("c_name", order_key).alias("richest_customer"),
+        F.max("c_acctbal").alias("max_acctbal"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@register(
+    "q_listagg",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS keys_csv,
+           COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderkey < 200
+    GROUP BY o_orderpriority
+    """,
+)
+def q_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG WITHIN GROUP ↔ string_agg): the
+    deterministic-order contract matters — an unordered listagg is
+    nondeterministic under distributed partial aggregation and would never
+    hash-match."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    orders.createOrReplaceTempView("__ord_la")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               listagg(CAST(o_orderkey AS STRING), ',')
+                 WITHIN GROUP (ORDER BY o_orderkey) AS keys_csv,
+               COUNT(*) AS n_orders
+        FROM __ord_la
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "q_try_arith",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity - 25 = 0 THEN NULL
+                ELSE l_extendedprice / (l_quantity - 25) END AS price_per_excess,
+           TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+           TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INTEGER) AS line_roundtrip
+    FROM lineitem
+    WHERE l_orderkey < 1000
+    """,
+)
+def q_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic: try_divide/try_cast yield NULL instead of
+    failing the job — per-row failure isolation, where the reference's bare
+    int() (scrapper.py:63,114) aborts its whole run on one bad cell. At scale
+    a single malformed row must never kill a 1000-executor job."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 25).alias(
+            "price_per_excess"
+        ),
+        F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
+        F.col("l_linenumber").cast("string").cast("int").alias("line_roundtrip"),
+    )
+
+
+@register(
+    "q_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) + 30 AS due_date,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2025-01-01') AS days_to_2025,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           isodow(o_orderdate) - 1 AS weekday_mon0
+    FROM orders
+    WHERE o_orderkey < 2000
+    """,
+)
+def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval arithmetic beyond part extraction (q_date_parts):
+    offsets, day differences, month truncation, month-end, ISO weekday —
+    the derivations a report_ts-keyed history table serves daily."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return orders.select(
+        "o_orderkey",
+        F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
+        F.datediff(F.lit("2025-01-01").cast("date"), F.to_date("o_orderdate"))
+        .cast("long")
+        .alias("days_to_2025"),
+        F.trunc(F.to_date("o_orderdate"), "month").alias("order_month"),
+        F.last_day(F.to_date("o_orderdate")).alias("month_end"),
+        F.weekday("o_orderdate").cast("long").alias("weekday_mon0"),
+    )

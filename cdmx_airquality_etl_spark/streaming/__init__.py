@@ -1,4 +1,14 @@
 from .ingest import ingest_stream
+from .joins import dedup_within_watermark, interval_join
 from .stateful import run_windowed_counts_stream, windowed_counts
+from .stateful_custom import run_running_totals_stream, running_totals
 
-__all__ = ["ingest_stream", "run_windowed_counts_stream", "windowed_counts"]
+__all__ = [
+    "dedup_within_watermark",
+    "ingest_stream",
+    "interval_join",
+    "run_running_totals_stream",
+    "run_windowed_counts_stream",
+    "running_totals",
+    "windowed_counts",
+]
