@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     clustering,
     dedup,
     flagship,
+    pipeline_ops,
     relational,
     relational_ext,
     relational_ext2,

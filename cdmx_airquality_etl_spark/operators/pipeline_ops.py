@@ -1,0 +1,108 @@
+"""Pipeline utilities a training-data factory runs daily: deterministic
+dataset splitting, distribution histograms, and table profiling.
+
+All three are exact and oracle-checked: the split hashes content ids through
+md5 (identical bytes→hex in every engine) rather than a per-engine PRNG, the
+histogram uses exact integer bucketing, and the profile is a set of exact
+aggregates. Determinism here is a scale property: a re-run on 100 TB must
+assign every document to the same split — seeded ``rand()`` does not survive
+a repartition, content hashing does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.parquet import load_table
+
+
+@register(
+    "q_train_test_split",
+    oracle="""
+    SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM (
+      SELECT n_chars,
+             CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 10 < 8
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM documents
+    )
+    GROUP BY split
+    """,
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash split: stable under re-runs, repartitions and engine
+    swaps, unlike rand(seed) which is partition-layout-dependent. The first
+    hex nibble of md5(doc_id) mod 10 < 8 → ~80/20; any engine computing md5
+    assigns identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) % 10
+    return (
+        docs.select(
+            "n_chars",
+            F.when(bucket < 8, "train").otherwise("eval").alias("split"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+           CAST(FLOOR(o_totalprice / 50000) AS BIGINT) * 50000 AS bucket_lo,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram as a hash aggregate: the bucket expr is scalar,
+    so the whole profile is one partial+final agg pass — the way to look at a
+    100 TB distribution (never ORDER BY + window over raw rows)."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("bigint")
+    return (
+        orders.select(
+            bucket.alias("bucket"), (bucket * 50000).alias("bucket_lo")
+        )
+        .groupBy("bucket", "bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "q_profile_table",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           COUNT(*) - COUNT(c_acctbal) AS acctbal_nulls,
+           MIN(c_acctbal) AS acctbal_min,
+           MAX(c_acctbal) AS acctbal_max,
+           MIN(length(c_name)) AS name_len_min,
+           MAX(length(c_name)) AS name_len_max,
+           COUNT(DISTINCT c_mktsegment) AS n_segments
+    FROM customer
+    """,
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-profiling summary (null counts, distinct counts, ranges)
+    — the quality gate a pipeline runs before promoting a batch (V-GATE,
+    /root/reference/scrapper.py:139-144, generalized from 'date parsed?' to
+    'does the batch look like the table')."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        (F.count(F.lit(1)) - F.count("c_acctbal")).alias("acctbal_nulls"),
+        F.min("c_acctbal").alias("acctbal_min"),
+        F.max("c_acctbal").alias("acctbal_max"),
+        F.min(F.length("c_name")).cast("long").alias("name_len_min"),
+        F.max(F.length("c_name")).cast("long").alias("name_len_max"),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+    )
