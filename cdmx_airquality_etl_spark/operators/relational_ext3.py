@@ -108,6 +108,33 @@ def q_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_window_distribution",
+    oracle="""
+    SELECT s_suppkey,
+           percent_rank() OVER (PARTITION BY s_nationkey
+                                ORDER BY s_acctbal, s_suppkey) AS pct_rank,
+           cume_dist()    OVER (PARTITION BY s_nationkey
+                                ORDER BY s_acctbal, s_suppkey) AS cume
+    FROM supplier
+    """,
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank/cume_dist): where a row
+    sits inside its partition's distribution — (rank−1)/(n−1) and
+    rows≤current/n, both integer-ratio divisions, so IEEE-identical across
+    engines."""
+    from pyspark.sql.window import Window
+
+    sup = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return sup.select(
+        "s_suppkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
     "q_date_arith",
     oracle="""
     SELECT o_orderkey,
