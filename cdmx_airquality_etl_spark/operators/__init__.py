@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     relational_ext,
     relational_ext2,
     relational_ext3,
+    relational_ext4,
     scale_ops,
     similarity,
     textstats,

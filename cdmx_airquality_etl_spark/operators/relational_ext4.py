@@ -1,0 +1,148 @@
+"""Fourth extension batch: semantic-corner operators — NULL-safe join
+equality, forward fill (last observation carried forward), and dense-grid
+reporting with zero-fill.
+
+These are the corners where engines silently disagree: NULL keys vanish from
+ordinary equi-joins, window last_value needs IGNORE NULLS for gap repair, and
+reports over sparse data need the empty cells materialized. Each is pinned to
+the DuckDB oracle precisely because the semantics are easy to get wrong.
+Lineage: the reference stores NULLs for missing divs (V-NULL,
+/root/reference/scrapper.py:56-75) and its hourly snapshots imply gap repair
+and dense hourly grids downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..sources.parquet import load_table
+
+
+@register(
+    "q_null_safe_join",
+    oracle="""
+    WITH a AS (
+      SELECT CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                  ELSE o_orderkey % 13 END AS k
+      FROM orders WHERE o_orderkey < 4000
+    ),
+    b AS (
+      SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_orderkey % 13 END AS k
+      FROM orders WHERE o_orderkey >= 4000 AND o_orderkey < 8000
+    )
+    SELECT a.k AS key, COUNT(*) AS n_matches
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY a.k
+    """,
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi-join (<=> / IS NOT DISTINCT FROM): ordinary equi-joins
+    silently drop NULL keys; merge semantics over nullable natural keys need
+    NULL = NULL to match. Spark plans <=> as a regular hash join (NULL hashes
+    like any value under null-safe equality), so the scale profile is
+    unchanged — no fallback to nested-loop."""
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.when(F.col("o_orderkey") % 11 == 0, None).otherwise(
+        F.col("o_orderkey") % 13
+    )
+    key_b = F.when(F.col("o_orderkey") % 7 == 0, None).otherwise(
+        F.col("o_orderkey") % 13
+    )
+    a = orders.filter(F.col("o_orderkey") < 4000).select(key.alias("k"))
+    b = orders.filter(
+        (F.col("o_orderkey") >= 4000) & (F.col("o_orderkey") < 8000)
+    ).select(key_b.alias("kb"))
+    return (
+        a.join(b, a["k"].eqNullSafe(b["kb"]))
+        .groupBy(F.col("k").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+
+
+@register(
+    "q_forward_fill",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
+      FROM events WHERE user_id < 50
+    )
+    """,
+)
+def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill / LOCF: repair gaps by carrying the last non-NULL
+    observation forward within each key's timeline — the standard repair for
+    missed snapshots (the reference's failed hourly scrapes). One window
+    pass, partitioned by key: shuffles once on user_id and scales linearly."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    v = F.when(F.col("event_type") == "click", None).otherwise(F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last(v, ignorenulls=True).over(w).alias("v_filled"),
+    )
+
+
+@register(
+    "q_dense_grid",
+    oracle="""
+    WITH counts AS (
+      SELECT c.c_nationkey AS nk, o.o_orderstatus AS st, COUNT(*) AS n
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT n.n_nationkey AS nationkey, s.st AS orderstatus,
+           COALESCE(counts.n, 0) AS n_orders
+    FROM nation n
+    CROSS JOIN (SELECT DISTINCT o_orderstatus AS st FROM orders) s
+    LEFT JOIN counts ON counts.nk = n.n_nationkey AND counts.st = s.st
+    """,
+)
+def q_dense_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-grid report: every (nation × status) cell materialized, zeros
+    included — sparse aggregates leave reporting holes. The grid is a cross
+    join of two *small distinct* sets (never of facts); the fact-side count
+    is aggregated before the left join, so the expensive table is touched
+    once."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    counts = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nk"), F.col("o_orderstatus").alias("st")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    statuses = orders.select(
+        F.col("o_orderstatus").alias("st_g")
+    ).distinct()
+    grid = nation.select(F.col("n_nationkey").alias("nationkey")).crossJoin(
+        statuses
+    )
+    return (
+        grid.join(
+            counts,
+            (grid.nationkey == counts.nk) & (grid.st_g == counts.st),
+            "left",
+        )
+        .select(
+            "nationkey",
+            F.col("st_g").alias("orderstatus"),
+            F.coalesce("n", F.lit(0)).alias("n_orders"),
+        )
+    )
