@@ -108,6 +108,44 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_dedup_keep_best — exact dedup with a quality-keeper policy
+# ---------------------------------------------------------------------------
+@register(
+    "q_dedup_keep_best",
+    oracle=r"""
+    SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+           max_by(doc_id, n_chars * 100000000 - doc_id) AS keeper_doc_id,
+           MAX(n_chars) AS keeper_chars,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with a *policy*: keep the copy with the most content
+    (longest n_chars; ties → lowest doc_id) instead of an arbitrary one —
+    what a curation pipeline actually wants when duplicates differ in
+    truncation. Argmax via max_by over the packed (n_chars, −doc_id) key:
+    one map-side-combinable hash aggregate, no window sort (cf.
+    q_argmax_group)."""
+    docs = load_table(spark, sf_dir, "documents")
+    quality = F.col("n_chars") * 100_000_000 - F.col("doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            F.md5(_norm_text(F.col("text"))).alias("fingerprint"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.max_by("doc_id", quality).alias("keeper_doc_id"),
+            F.max("n_chars").alias("keeper_chars"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_dedup_fuzzy — shingle-Jaccard near-duplicate pairs (oracle-checked)
 # ---------------------------------------------------------------------------
 @register(
