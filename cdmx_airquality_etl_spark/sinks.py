@@ -1,0 +1,87 @@
+"""Sinks beyond parquet: the reference's SQLite target, and schema-declared
+CSV/JSON round-trips.
+
+``upsert_to_sqlite`` is capability parity with the reference's load step
+(/root/reference/scrapper.py:188-224): a user switching engines may still
+need the accumulated ``air_quality.db`` for downstream tools. It reproduces
+the exact ON CONFLICT DO UPDATE + nupdates semantics, set-based where SQLite
+allows (executemany, one transaction — scrapper.py:208-214's loop collapsed).
+
+Scale note, stated loudly: SQLite is a *driver-side* sink for SMALL,
+ALREADY-AGGREGATED outputs (the reference's ~20-row snapshots, report
+summaries). The frame is collected to the driver; the guard refuses
+anything larger than ``max_rows``. The 100 TB path is parquet + merge
+(plans/merge.py) — this sink exists for edge delivery, not storage.
+"""
+
+from __future__ import annotations
+
+import sqlite3
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def upsert_to_sqlite(
+    df: DataFrame,
+    db_path: str,
+    table: str,
+    key_columns: list[str],
+    counter_col: str | None = "nupdates",
+    max_rows: int = 100_000,
+) -> int:
+    """Keyed UPSERT of a small DataFrame into SQLite; returns rows written.
+
+    Mirrors scrapper.py:196-206's generated SQL: INSERT .. ON CONFLICT(keys)
+    DO UPDATE SET non-key cols = excluded, counter = counter + 1.
+    """
+    rows = df.collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"{len(rows)} rows exceed the driver-side sink cap ({max_rows}); "
+            "use plans.merge.merge_into_parquet for large outputs"
+        )
+    cols = df.columns
+    data_cols = [c for c in cols if c not in key_columns and c != counter_col]
+
+    col_defs = ", ".join(f'"{c}"' for c in cols)
+    placeholders = ", ".join("?" for _ in cols)
+    updates = [f'"{c}" = excluded."{c}"' for c in data_cols]
+    if counter_col and counter_col in cols:
+        updates.append(f'"{counter_col}" = "{table}"."{counter_col}" + 1')
+    conflict = ", ".join(f'"{k}"' for k in key_columns)
+    sql = (
+        f'INSERT INTO "{table}" ({col_defs}) VALUES ({placeholders}) '
+        f"ON CONFLICT({conflict}) DO UPDATE SET {', '.join(updates)}"
+    )
+
+    con = sqlite3.connect(db_path)
+    try:
+        con.execute("BEGIN")
+        con.executemany(sql, [tuple(r) for r in rows])
+        con.commit()
+    except Exception:
+        con.rollback()
+        raise
+    finally:
+        con.close()
+    return len(rows)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    """CSV export (distributed write, one dir of part files)."""
+    df.write.mode("overwrite").option("header", header).csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Schema-declared CSV read — never inferSchema (SURVEY.md §1.3: the only
+    inference allowed in the engine is ingest-time header discovery)."""
+    return spark.read.schema(schema).option("header", True).csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """JSON-lines export (the interchange format for document pipelines)."""
+    df.write.mode("overwrite").json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
+    return spark.read.schema(schema).json(path)
