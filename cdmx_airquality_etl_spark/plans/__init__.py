@@ -1,4 +1,4 @@
-from .maintenance import cluster_rewrite, compact, table_stats
+from .maintenance import cluster_rewrite, compact, table_stats, zorder_rewrite
 from .merge import collapse_to_key_grain, merge_into_parquet, merge_upsert
 from .rollup import batch_partials, merge_partials, refresh_rollup
 
@@ -12,4 +12,5 @@ __all__ = [
     "merge_upsert",
     "refresh_rollup",
     "table_stats",
+    "zorder_rewrite",
 ]

@@ -89,6 +89,53 @@ def compact(
     return {"before": before, "after": table_stats(spark, path), "rewritten": True}
 
 
+def _interleave_bits(x, y, bits: int):
+    """Morton/Z-value of two ints already scaled to [0, 2^bits): native bit
+    exprs only, stays inside codegen."""
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b + 1))
+            .bitwiseOR(F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b))
+        )
+    return z
+
+
+def zorder_rewrite(
+    spark: SparkSession,
+    path: str,
+    col_x: str,
+    col_y: str,
+    n_files: int = 16,
+    bits: int = 16,
+) -> dict:
+    """Rewrite ``path`` clustered on the Morton (Z-order) curve of two
+    numeric columns, so files are tight in BOTH dimensions and min/max stats
+    skip files for predicates on either column — what 1-D range clustering
+    (cluster_rewrite) cannot give for the second key. Columns are min/max
+    scaled to ``bits`` before interleaving (one extra agg pass)."""
+    before = table_stats(spark, path)
+    df = spark.read.parquet(path)
+    lo_x, hi_x, lo_y, hi_y = df.agg(
+        F.min(col_x), F.max(col_x), F.min(col_y), F.max(col_y)
+    ).first()
+    span = (1 << bits) - 1
+
+    def scaled(c, lo, hi):
+        rng = (hi - lo) or 1
+        return ((F.col(c) - F.lit(lo)) * span / F.lit(rng)).cast("long")
+
+    z = _interleave_bits(scaled(col_x, lo_x, hi_x), scaled(col_y, lo_y, hi_y), bits)
+    clustered = (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    _atomic_swap_write(clustered, path)
+    return {"before": before, "after": table_stats(spark, path), "rewritten": True}
+
+
 def cluster_rewrite(
     spark: SparkSession,
     path: str,

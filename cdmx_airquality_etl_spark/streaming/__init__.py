@@ -1,6 +1,6 @@
 from .ingest import ingest_stream
 from .joins import dedup_within_watermark, interval_join
-from .stateful import run_windowed_counts_stream, windowed_counts
+from .stateful import run_windowed_counts_stream, session_counts, windowed_counts
 from .stateful_custom import run_running_totals_stream, running_totals
 
 __all__ = [
@@ -10,5 +10,6 @@ __all__ = [
     "run_running_totals_stream",
     "run_windowed_counts_stream",
     "running_totals",
+    "session_counts",
     "windowed_counts",
 ]

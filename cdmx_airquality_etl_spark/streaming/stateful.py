@@ -42,6 +42,35 @@ def windowed_counts(
     )
 
 
+def session_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Session-window aggregation (dynamic-length windows closed by a ``gap``
+    of inactivity) — the streaming-native form of the batch sessionization in
+    q_sessionize (operators/scale_ops.py). Works on streaming frames (state
+    store merges adjacent sessions as events arrive; watermark closes them)
+    and batch frames identically — the equivalence the test asserts."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark_delay)
+    return (
+        df.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col)
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
 def run_windowed_counts_stream(
     spark,
     source_dir: str,

@@ -83,3 +83,34 @@ def test_incremental_rollup_matches_recompute(spark, sf_dir, tmp_path):
         (F.col("sum_l_quantity") / F.col("count_l_quantity")).alias("a")
     )
     assert avg.count() == rolled.count()
+
+
+def test_zorder_rewrite_tightens_both_dimensions(spark, sf_dir, tmp_path):
+    from cdmx_airquality_etl_spark.plans.maintenance import zorder_rewrite
+
+    path = str(tmp_path / "tz")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", (F.col("o_orderkey") % 1000).alias("k2")
+    )
+    orders.repartition(8).write.parquet(path)
+    before = _rows(spark.read.parquet(path))
+
+    def bbox_area_sum(p):
+        total = 0.0
+        for f in glob.glob(f"{p}/*.parquet"):
+            mm = (
+                spark.read.parquet(f)
+                .agg(F.min("o_custkey"), F.max("o_custkey"), F.min("k2"), F.max("k2"))
+                .first()
+            )
+            if mm[0] is not None:
+                total += (mm[1] - mm[0] + 1) * (mm[3] - mm[2] + 1)
+        return total
+
+    random_area = bbox_area_sum(path)
+    zorder_rewrite(spark, path, "o_custkey", "k2", n_files=8)
+    assert _rows(spark.read.parquet(path)) == before  # data unchanged
+    z_area = bbox_area_sum(path)
+    # z-clustered files must cover dramatically less of the 2-D key space
+    # than the random layout (each random file spans ~the whole space)
+    assert z_area < random_area * 0.5

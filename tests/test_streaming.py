@@ -113,3 +113,41 @@ def test_windowed_counts_stream_matches_batch(spark, tmp_path, sf_dir):
     assert stream_rows == batch_rows
     staged_n = spark.read.schema(staged_schema).parquet(src).count()
     assert sum(stream_rows.values()) == staged_n > 0
+
+
+def test_session_counts_stream_matches_batch(spark, tmp_path, sf_dir):
+    from cdmx_airquality_etl_spark.streaming.stateful import session_counts
+
+    src = str(tmp_path / "sess_src")
+    out = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    events = load_table(spark, sf_dir, "events")
+    events.filter("user_id < 30").write.parquet(src)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    batch = {
+        (r["session_start"], r["session_end"], r["user_id"]): r["n_events"]
+        for r in session_counts(spark.read.schema(schema).parquet(src)).collect()
+    }
+    assert batch  # sessions exist
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        session_counts(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["session_start"], r["session_end"], r["user_id"]): r["n_events"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # append mode emits only watermark-closed sessions; every emitted session
+    # must match the batch answer exactly, and most sessions should close
+    assert got
+    assert all(batch.get(k) == v for k, v in got.items())
+    assert len(got) >= len(batch) * 0.8
