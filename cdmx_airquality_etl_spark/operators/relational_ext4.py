@@ -98,6 +98,77 @@ def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_gaps_islands",
+    oracle="""
+    WITH hours AS (
+      SELECT DISTINCT user_id,
+             CAST(date_diff('hour', TIMESTAMP '2024-01-01', ts) AS BIGINT) AS h
+      FROM events WHERE user_id < 40
+    ),
+    grp AS (
+      SELECT user_id, h,
+             h - row_number() OVER (PARTITION BY user_id ORDER BY h) AS island
+      FROM hours
+    )
+    SELECT user_id, MIN(h) AS start_hour, MAX(h) AS end_hour,
+           COUNT(*) AS n_hours
+    FROM grp GROUP BY user_id, island
+    """,
+)
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: collapse each user's active hours into maximal
+    consecutive runs (value − row_number is constant within a run). The
+    continuity question an hourly snapshot history answers ("which coverage
+    periods are unbroken, where did the scraper miss hours") — one window
+    pass + one aggregate, both partitioned by user."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    hours = events.select(
+        "user_id",
+        (
+            (F.unix_micros("ts") - F.unix_micros(F.lit("2024-01-01").cast("timestamp")))
+            / F.lit(3_600_000_000)
+        ).cast("long").alias("h"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("h")
+    grp = hours.withColumn("island", F.col("h") - F.row_number().over(w))
+    return grp.groupBy("user_id", "island").agg(
+        F.min("h").alias("start_hour"),
+        F.max("h").alias("end_hour"),
+        F.count(F.lit(1)).alias("n_hours"),
+    ).drop("island")
+
+
+@register(
+    "q_mode_per_group",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderstatus,
+           max_by(o_orderpriority,
+                  n * 10 - CAST(substr(o_orderpriority, 1, 1) AS BIGINT)) AS modal_priority,
+           MAX(n) AS modal_count
+    FROM c GROUP BY o_orderstatus
+    """,
+)
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: two stacked hash aggregates (count,
+    then argmax of count) with ties broken by the priority's leading ordinal
+    — engines disagree on bare mode() tie-breaks, so the packing makes the
+    answer well-defined everywhere."""
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    pack = F.col("n") * 10 - F.substring("o_orderpriority", 1, 1).cast("long")
+    return counts.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderpriority", pack).alias("modal_priority"),
+        F.max("n").alias("modal_count"),
+    )
+
+
+@register(
     "q_dense_grid",
     oracle="""
     WITH counts AS (
