@@ -72,17 +72,34 @@ class PipelineAbort(RuntimeError):
     """Raised when V-GATE rejects pages — the run writes nothing."""
 
 
+def _fact_expectations():
+    """Default data-quality expectations on the ingested fact rows — the
+    V-GATE date check widened to the whole record (quality.py). Built lazily:
+    Column exprs need the live session."""
+    from .quality import in_range, matches, not_null
+
+    return [
+        not_null("report_ts"),
+        not_null("clave_str"),
+        matches("clave_str", "^[A-Z0-9]{2,5}$"),
+        in_range("hour_num", 0, 23),
+        in_range("month_num", 1, 12),
+    ]
+
+
 def run(
     spark: SparkSession,
     html_df: DataFrame,
     config: PipelineConfig,
     strict: bool = True,
+    quality_gate: bool = True,
 ) -> dict[str, int]:
     """One scheduled-run equivalent: ingest a batch of report pages and merge
     all three tables. Returns per-table merged-row counts.
 
-    Ordering note: the V-GATE check (rejects must be empty) runs BEFORE any
-    table write, reproducing scrapper.py:139-144's abort-without-partial-load.
+    Ordering note: the V-GATE check (rejects must be empty) and the quality
+    gate both run BEFORE any table write, reproducing scrapper.py:139-144's
+    abort-without-partial-load.
     """
     result = ingest_reports(html_df)
 
@@ -91,6 +108,17 @@ def run(
         log.error("V-GATE: %d unparseable pages — aborting run", n_rejects)
         if strict:
             raise PipelineAbort(f"{n_rejects} pages failed the date gate")
+
+    if quality_gate:
+        from .quality import QualityGateError, gate
+
+        try:
+            gate(result.cdmx, _fact_expectations())
+            gate(result.edomex, _fact_expectations())
+        except QualityGateError as e:
+            log.error("quality gate: %s — aborting run", e)
+            if strict:
+                raise PipelineAbort(str(e)) from e
 
     counts: dict[str, int] = {}
     for name, df in (

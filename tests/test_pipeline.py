@@ -54,3 +54,20 @@ def test_config_from_yaml(tmp_path):
     assert cfg.database == "aq"
     assert cfg.table_path("cdmx") == "/tmp/custom/cdmx"
     assert cfg.table_path("edomex") == "/tmp/wh/aq/edomex"
+
+
+def test_quality_gate_blocks_bad_station_codes(spark, tmp_path):
+    # a page that parses (date OK) but carries a malformed station code must
+    # be stopped by the quality gate, not merged
+    bad_station = PAGE.replace("<td>UIZ</td>", "<td>u!</td>")
+    cfg = _cfg(tmp_path)
+    html_df = spark.createDataFrame([Row(page_id=1, html=bad_station)])
+    with pytest.raises(PipelineAbort, match="quality gate|matches"):
+        run(spark, html_df, cfg)
+    import os
+
+    assert not os.path.exists(cfg.table_path("cdmx"))
+
+    # with the gate off (operator override) the run proceeds
+    counts = run(spark, html_df, cfg, quality_gate=False)
+    assert counts["cdmx"] == 2
