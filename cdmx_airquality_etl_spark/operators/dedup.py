@@ -96,6 +96,9 @@ def _jaccard_pairs(shingled: DataFrame, threshold: float) -> DataFrame:
     """,
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups via md5 of whitespace-normalized content: one hash
+    aggregate keyed on the fingerprint — the PK-identity semantics of
+    sql_config.yaml:18 applied to content instead of keys."""
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select("doc_id", F.md5(_norm_text(F.col("text"))).alias("fingerprint"))

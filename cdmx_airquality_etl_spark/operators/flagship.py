@@ -33,6 +33,9 @@ from ..sources.parquet import load_table
     """,
 )
 def q_flagship_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship end-to-end plan (driver smoke target): revenue per
+    region-year — scan → pushed filter → fact-fact shuffle join → broadcast
+    dim joins → date derive → hash agg, SURVEY.md §7 step 3 in one query."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")

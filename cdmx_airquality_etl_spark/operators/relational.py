@@ -252,6 +252,8 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT join + aggregate: every customer kept, zero-count rows included —
+    the unmatched-target half of M-UPSERT (scrapper.py:197-206)."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
@@ -275,6 +277,8 @@ def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI (existence check, no fact columns emitted, no fan-out) —
+    M-UPSERT's matched split (scrapper.py:197-206) as a query."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
@@ -293,6 +297,8 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI (absence check) — M-UPSERT's not-matched split
+    (scrapper.py:197-206): which targets receive no update."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")

@@ -28,6 +28,9 @@ from ..sources.parquet import load_table
     """,
 )
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 2^n grouping combinations in one
+    Expand + hash-agg pass — the full cross-tab of the reference's
+    denormalized report dims (sql_config.yaml:12-17)."""
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.cube("o_orderstatus", "o_orderpriority").agg(
@@ -49,6 +52,9 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (each flag alone + grand total): the
+    hand-picked subset of CUBE a report actually needs — same single-pass
+    Expand plan, fewer emitted groups."""
     li = load_table(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("__li_gs")
     return spark.sql(
