@@ -66,8 +66,12 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        f"({changed} labels still moving) — raise max_iter (components with "
+        "diameter > max_iter exist) rather than use a partial clustering"
+    )
 
 
 @register(

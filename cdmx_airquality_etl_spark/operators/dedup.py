@@ -117,7 +117,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_keep_best",
     oracle=r"""
     SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
-           max_by(doc_id, n_chars * 100000000 - doc_id) AS keeper_doc_id,
+           max_by(doc_id, n_chars * 10000000000 - doc_id) AS keeper_doc_id,
            MAX(n_chars) AS keeper_chars,
            COUNT(*) AS n_copies
     FROM documents
@@ -130,9 +130,11 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     what a curation pipeline actually wants when duplicates differ in
     truncation. Argmax via max_by over the packed (n_chars, −doc_id) key:
     one map-side-combinable hash aggregate, no window sort (cf.
-    q_argmax_group)."""
+    q_argmax_group). Packing domain: doc_id < 1e10 and n_chars < 9e8 keep
+    the key inside int64 and the tie-break strictly subordinate — beyond
+    that, switch the ordering key to a struct(n_chars, -doc_id)."""
     docs = load_table(spark, sf_dir, "documents")
-    quality = F.col("n_chars") * 100_000_000 - F.col("doc_id")
+    quality = F.col("n_chars") * 10_000_000_000 - F.col("doc_id")
     return (
         docs.select(
             "doc_id",

@@ -33,9 +33,11 @@ from ..sources.parquet import load_table
 )
 def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-hash split: stable under re-runs, repartitions and engine
-    swaps, unlike rand(seed) which is partition-layout-dependent. The first
-    hex nibble of md5(doc_id) mod 10 < 8 → ~80/20; any engine computing md5
-    assigns identically."""
+    swaps, unlike rand(seed) which is partition-layout-dependent. The split
+    expr is ascii(first md5 hex char) % 10 < 8, which passes 12 of the 16
+    equally-likely hex chars → a 75/25 split; any engine computing md5
+    assigns every doc identically. (For an exact 80/20, bucket on two hex
+    chars: conv(substr(md5,1,2),16,10) % 10 < 8.)"""
     docs = load_table(spark, sf_dir, "documents")
     bucket = F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) % 10
     return (

@@ -23,7 +23,7 @@ from ..sources.parquet import load_table
     oracle="""
     SELECT c_nationkey,
            max_by(c_name, CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
-                          * 10000000 + c_custkey) AS richest_customer,
+                          * 10000000000 + c_custkey) AS richest_customer,
            MAX(c_acctbal) AS max_acctbal,
            COUNT(*) AS n_customers
     FROM customer
@@ -35,10 +35,13 @@ def q_argmax_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, versus the window-rank formulation (q_window_rank) that must
     shuffle and sort every row. At 100 TB this is the difference between one
     partial-agg pass and a full-table sort. Ties are broken deterministically
-    by packing (acctbal_cents, custkey) into one orderable BIGINT."""
+    by packing (acctbal_cents, custkey) into one orderable BIGINT — valid
+    while custkey < 1e10 and |acctbal| < 9e6 (int64 headroom); beyond that
+    switch to a struct ordering key."""
     cust = load_table(spark, sf_dir, "customer")
     order_key = (
-        (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("bigint") * 10000000
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("bigint")
+        * 10_000_000_000
         + F.col("c_custkey")
     )
     return cust.groupBy("c_nationkey").agg(

@@ -72,18 +72,25 @@ class PipelineAbort(RuntimeError):
     """Raised when V-GATE rejects pages — the run writes nothing."""
 
 
-def _fact_expectations():
-    """Default data-quality expectations on the ingested fact rows — the
-    V-GATE date check widened to the whole record (quality.py). Built lazily:
-    Column exprs need the live session."""
-    from .quality import in_range, matches, not_null
+def _date_expectations():
+    """Expectations every ingested table shares (the V-GATE date identity
+    widened to ranges). Built lazily: Column exprs need the live session."""
+    from .quality import in_range, not_null
 
     return [
         not_null("report_ts"),
-        not_null("clave_str"),
-        matches("clave_str", "^[A-Z0-9]{2,5}$"),
         in_range("hour_num", 0, 23),
         in_range("month_num", 1, 12),
+    ]
+
+
+def _fact_expectations():
+    """Station-fact expectations = shared date checks + station-key shape."""
+    from .quality import matches, not_null
+
+    return _date_expectations() + [
+        not_null("clave_str"),
+        matches("clave_str", "^[A-Z0-9]{2,5}$"),
     ]
 
 
@@ -102,39 +109,47 @@ def run(
     abort-without-partial-load.
     """
     result = ingest_reports(html_df)
+    # the ingest lineage (HTML parse UDF included) feeds the reject count,
+    # the gates AND the merges — persist each frame so it runs once
+    frames = {
+        "cdmx": result.cdmx.persist(),
+        "edomex": result.edomex.persist(),
+        "gral_stats": result.gral_stats.persist(),
+    }
 
-    n_rejects = result.rejects.count()
-    if n_rejects:
-        log.error("V-GATE: %d unparseable pages — aborting run", n_rejects)
-        if strict:
-            raise PipelineAbort(f"{n_rejects} pages failed the date gate")
-
-    if quality_gate:
-        from .quality import QualityGateError, gate
-
-        try:
-            gate(result.cdmx, _fact_expectations())
-            gate(result.edomex, _fact_expectations())
-        except QualityGateError as e:
-            log.error("quality gate: %s — aborting run", e)
+    try:
+        n_rejects = result.rejects.count()
+        if n_rejects:
+            log.error("V-GATE: %d unparseable pages — aborting run", n_rejects)
             if strict:
-                raise PipelineAbort(str(e)) from e
+                raise PipelineAbort(f"{n_rejects} pages failed the date gate")
 
-    counts: dict[str, int] = {}
-    for name, df in (
-        ("cdmx", result.cdmx),
-        ("edomex", result.edomex),
-        ("gral_stats", result.gral_stats),
-    ):
-        path = config.table_path(name)
-        merge_into_parquet(
-            spark,
-            df,
-            path,
-            keys=MERGE_KEYS[name],
-            counter_col=config.counter_col,
-            partition_col=config.partition_col,
-        )
-        counts[name] = spark.read.parquet(path).count()
-        log.info("merged table %s → %s (%d rows)", name, path, counts[name])
-    return counts
+        if quality_gate:
+            from .quality import QualityGateError, gate
+
+            try:
+                gate(frames["cdmx"], _fact_expectations())
+                gate(frames["edomex"], _fact_expectations())
+                gate(frames["gral_stats"], _date_expectations())
+            except QualityGateError as e:
+                log.error("quality gate: %s — aborting run", e)
+                if strict:
+                    raise PipelineAbort(str(e)) from e
+
+        counts: dict[str, int] = {}
+        for name, df in frames.items():
+            path = config.table_path(name)
+            merge_into_parquet(
+                spark,
+                df,
+                path,
+                keys=MERGE_KEYS[name],
+                counter_col=config.counter_col,
+                partition_col=config.partition_col,
+            )
+            counts[name] = spark.read.parquet(path).count()
+            log.info("merged table %s → %s (%d rows)", name, path, counts[name])
+        return counts
+    finally:
+        for df in frames.values():
+            df.unpersist()

@@ -55,9 +55,39 @@ def table_stats(spark: SparkSession, path: str) -> dict:
     }
 
 
-def _atomic_swap_write(df: DataFrame, path: str) -> None:
+def partition_columns(path: str) -> list[str]:
+    """Hive-style partition columns of a parquet dir (from `col=value`
+    subdirectory names), outermost first; [] for flat tables."""
+    cols: list[str] = []
+    cur = path
+    while True:
+        subdirs = [
+            d for d in os.listdir(cur)
+            if os.path.isdir(os.path.join(cur, d)) and "=" in d
+        ]
+        if not subdirs:
+            return cols
+        cols.append(subdirs[0].split("=", 1)[0])
+        cur = os.path.join(cur, subdirs[0])
+
+
+def _atomic_swap_write(
+    df: DataFrame, path: str, partition_cols: list[str] | None = None
+) -> None:
+    """Write-tmp-then-rename swap (M-TXN, scrapper.py:208-221). Preserves a
+    Hive partition layout when ``partition_cols`` is given — a maintenance
+    rewrite must never flatten the layout merge_into_parquet created, or
+    partition pruning and dynamic partition overwrite both break.
+
+    The instant between the two renames has no directory at ``path``; the
+    previous state survives at ``<path>__old_*`` for manual recovery (true
+    atomic dir swap needs a transactional table format — Delta/Iceberg slot
+    in here)."""
     tmp = f"{path}__tmp_{uuid.uuid4().hex}"
-    df.write.mode("overwrite").parquet(tmp)
+    writer = df.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(tmp)
     old = f"{path}__old_{uuid.uuid4().hex}"
     os.rename(path, old)
     os.rename(tmp, path)
@@ -83,9 +113,12 @@ def compact(
     ):
         return {"before": before, "after": before, "rewritten": False}
 
+    pcols = partition_columns(path)
     df = spark.read.parquet(path)
-    # coalesce, not repartition: merging files needs no shuffle
-    _atomic_swap_write(df.coalesce(n_target), path)
+    # coalesce, not repartition: merging files needs no shuffle. With a
+    # partitioned layout each output task writes one file per partition it
+    # holds, so n_target bounds files per partition, not the total.
+    _atomic_swap_write(df.coalesce(n_target), path, partition_cols=pcols)
     return {"before": before, "after": table_stats(spark, path), "rewritten": True}
 
 
@@ -132,7 +165,7 @@ def zorder_rewrite(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
-    _atomic_swap_write(clustered, path)
+    _atomic_swap_write(clustered, path, partition_cols=partition_columns(path))
     return {"before": before, "after": table_stats(spark, path), "rewritten": True}
 
 
@@ -152,5 +185,5 @@ def cluster_rewrite(
     df = spark.read.parquet(path)
     clustered = df.repartitionByRange(n_files, *[F.col(c) for c in cluster_cols])
     clustered = clustered.sortWithinPartitions(*cluster_cols)
-    _atomic_swap_write(clustered, path)
+    _atomic_swap_write(clustered, path, partition_cols=partition_columns(path))
     return {"before": before, "after": table_stats(spark, path), "rewritten": True}

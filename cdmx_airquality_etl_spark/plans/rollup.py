@@ -84,22 +84,13 @@ def refresh_rollup(
 ) -> DataFrame:
     """Fold one fact batch into the rollup stored at ``rollup_path``
     (create on first call) and return the refreshed rollup frame."""
+    from .maintenance import _atomic_swap_write
+
     delta = batch_partials(batch, keys, spec)
     if os.path.exists(rollup_path):
         current = spark.read.parquet(rollup_path)
         merged = merge_partials(current, delta, keys, spec)
+        _atomic_swap_write(merged, rollup_path)
     else:
-        merged = delta
-    tmp = f"{rollup_path}__tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(rollup_path):
-        import shutil
-        import uuid
-
-        old = f"{rollup_path}__old_{uuid.uuid4().hex}"
-        os.rename(rollup_path, old)
-        os.rename(tmp, rollup_path)
-        shutil.rmtree(old)
-    else:
-        os.rename(tmp, rollup_path)
+        delta.write.mode("overwrite").parquet(rollup_path)
     return spark.read.parquet(rollup_path)

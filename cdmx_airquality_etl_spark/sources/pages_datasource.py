@@ -50,12 +50,13 @@ def _list_pages(path: str, suffix: str) -> list[str]:
     return sorted(out)  # deterministic page ordering → stable page_ids
 
 
-def _page_row(idx: int, fpath: str):
+def _page_row(fpath: str):
     with open(fpath, encoding="utf-8", errors="replace") as fh:
         html = fh.read()
-    # page_id: stable content+name hash folded with the listing index so ids
-    # survive re-listing but still disambiguate identical content
-    pid = (zlib.crc32(fpath.encode()) << 20) | (idx & 0xFFFFF)
+    # page_id derives from the path ALONE: re-listing, replay after a sink
+    # failure, and new files landing in the directory must never change an
+    # already-emitted id (downstream merges key on it)
+    pid = zlib.crc32(fpath.encode())
     return (pid, fpath, int(os.stat(fpath).st_mtime), html)
 
 
@@ -83,8 +84,8 @@ class _HtmlPagesReader(DataSourceReader):
         ] or [_FilesPartition(start=0, files=())]
 
     def read(self, partition: _FilesPartition):
-        for off, fpath in enumerate(partition.files):
-            yield _page_row(partition.start + off, fpath)
+        for fpath in partition.files:
+            yield _page_row(fpath)
 
 
 class _HtmlPagesStreamReader(SimpleDataSourceStreamReader):
@@ -105,17 +106,16 @@ class _HtmlPagesStreamReader(SimpleDataSourceStreamReader):
         files = _list_pages(self.path, self.suffix)
         seen = set(start.get("seen", []))
         new = [f for f in files if f not in seen]
-        rows = [_page_row(files.index(f), f) for f in new]
+        rows = [_page_row(f) for f in new]
         return iter(rows), {"seen": sorted(seen | set(new))}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        files = _list_pages(self.path, self.suffix)
+        # replay emits byte-identical rows (page_id is a pure path hash);
+        # a file deleted between first read and replay cannot be reproduced
+        # and is skipped — an immutable landing zone is part of the source's
+        # contract, as for every file-based exactly-once source
         replay = sorted(set(end.get("seen", [])) - set(start.get("seen", [])))
-        return iter(
-            _page_row(files.index(f) if f in files else 0, f)
-            for f in replay
-            if os.path.exists(f)
-        )
+        return iter(_page_row(f) for f in replay if os.path.exists(f))
 
 
 class HtmlPagesDataSource(DataSource):

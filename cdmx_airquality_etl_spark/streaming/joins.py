@@ -26,6 +26,7 @@ def interval_join(
     right: DataFrame,
     key: str = "user_id",
     ts_col: str = "ts",
+    id_col: str = "event_id",
     horizon: str = "1 hour",
     watermark: str = "2 hours",
 ) -> DataFrame:
@@ -35,12 +36,12 @@ def interval_join(
     l = left.select(
         F.col(key).alias("l_key"),
         F.col(ts_col).alias("l_ts"),
-        F.col("event_id").alias("l_event_id"),
+        F.col(id_col).alias("l_event_id"),
     )
     r = right.select(
         F.col(key).alias("r_key"),
         F.col(ts_col).alias("r_ts"),
-        F.col("event_id").alias("r_event_id"),
+        F.col(id_col).alias("r_event_id"),
     )
     if l.isStreaming:
         l = l.withWatermark("l_ts", watermark)
