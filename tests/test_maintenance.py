@@ -114,3 +114,27 @@ def test_zorder_rewrite_tightens_both_dimensions(spark, sf_dir, tmp_path):
     # z-clustered files must cover dramatically less of the 2-D key space
     # than the random layout (each random file spans ~the whole space)
     assert z_area < random_area * 0.5
+
+
+def test_compact_preserves_partition_layout(spark, sf_dir, tmp_path):
+    # a maintenance rewrite must never flatten the Hive layout the merge
+    # writer created — partition pruning depends on it
+    path = str(tmp_path / "tp")
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "om", F.month("o_orderdate")
+    )
+    orders.repartition(4).write.partitionBy("om").parquet(path)
+    import os
+
+    before_dirs = {d for d in os.listdir(path) if d.startswith("om=")}
+    assert len(before_dirs) == 12
+    before = _rows(spark.read.parquet(path))
+
+    res = compact(spark, path, target_file_bytes=1 << 30)
+    assert res["rewritten"] is True
+    after_dirs = {d for d in os.listdir(path) if d.startswith("om=")}
+    assert after_dirs == before_dirs  # layout intact
+    assert _rows(spark.read.parquet(path)) == before
+    # pruning still works post-compaction
+    one = spark.read.parquet(path).filter(F.col("om") == 3)
+    assert one.count() == spark.read.parquet(f"{path}/om=3").count() > 0
