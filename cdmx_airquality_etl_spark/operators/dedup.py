@@ -209,6 +209,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature become candidates; candidates are verified with exact Jaccard.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # cached because three downstream branches (signatures, verify-a,
+    # verify-b) consume it; released by Spark's ContextCleaner once the
+    # returned frame is dropped by the caller
     shingled = _doc_shingles(docs).cache()
 
     e = shingled.select("doc_id", F.explode("sh").alias("shingle"))

@@ -124,7 +124,10 @@ def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
     hours = events.select(
         "user_id",
-        (
+        # floor, not cast: cast truncates toward zero, which disagrees with
+        # date_diff for pre-anchor timestamps and fuses the two half-hours
+        # around the anchor
+        F.floor(
             (F.unix_micros("ts") - F.unix_micros(F.lit("2024-01-01").cast("timestamp")))
             / F.lit(3_600_000_000)
         ).cast("long").alias("h"),

@@ -158,8 +158,15 @@ def merge_into_parquet(
         touched = [r[0] for r in source.select(partition_col).distinct().collect()]
         target_slice = target.filter(F.col(partition_col).isin(touched))
         merged = merge_upsert(target_slice, source, keys, counter_col=counter_col)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        # per-write option, NOT spark.conf.set: mutating the session conf
+        # would silently switch every later partitioned overwrite in the
+        # session to dynamic semantics
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
     else:
         merged = merge_upsert(target, source, keys, counter_col=counter_col)
         tmp = f"{path}__tmp_{uuid.uuid4().hex}"

@@ -49,9 +49,11 @@ def upsert_to_sqlite(
     if counter_col and counter_col in cols:
         updates.append(f'"{counter_col}" = "{table}"."{counter_col}" + 1')
     conflict = ", ".join(f'"{k}"' for k in key_columns)
+    # key-only frame with no counter → nothing to update on conflict
+    action = f"DO UPDATE SET {', '.join(updates)}" if updates else "DO NOTHING"
     sql = (
         f'INSERT INTO "{table}" ({col_defs}) VALUES ({placeholders}) '
-        f"ON CONFLICT({conflict}) DO UPDATE SET {', '.join(updates)}"
+        f"ON CONFLICT({conflict}) {action}"
     )
 
     con = sqlite3.connect(db_path)

@@ -27,6 +27,15 @@ class ParsedPage:
     tables: dict[str, list[TableRow]] = field(default_factory=dict)
 
 
+# HTML void elements: no end tag exists, so they must not move the depth
+# counter. Real scraped pages write these WITHOUT a self-closing slash
+# (`<img src=...>`); only XHTML-style `<img .../>` balances by itself via
+# handle_startendtag.
+_VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+
 class _PageParser(HTMLParser):
     """One-pass parser: accumulates text per tracked div id and table rows
     per container div id."""
@@ -47,7 +56,8 @@ class _PageParser(HTMLParser):
         self._cur_cell: list[str] | None = None
 
     def handle_starttag(self, tag, attrs):
-        self._depth += 1
+        if tag not in _VOID_TAGS:
+            self._depth += 1
         attrd = dict(attrs)
         if tag == "div":
             div_id = attrd.get("id")
@@ -67,6 +77,8 @@ class _PageParser(HTMLParser):
                 self._cur_row.img_src = src
 
     def handle_endtag(self, tag):
+        if tag in _VOID_TAGS:  # matching starttag never incremented depth
+            return
         if tag in ("td", "th") and self._cur_cell is not None and self._cur_row is not None:
             self._cur_row.cells.append(" ".join("".join(self._cur_cell).split()))
             self._cur_cell = None

@@ -16,14 +16,14 @@ Scale design: `partitions()` splits the file listing into
 executors; each task reads only its own files (no driver-side content I/O —
 the driver touches file *names* only). The same class also serves
 `readStream` (SimpleDataSourceStreamReader) so ST-INGEST can tail the
-landing directory incrementally with exactly-once offsets = sorted file
-names already seen.
+landing directory incrementally with exactly-once offsets = a lexicographic
+file-name high-water mark (requires monotonically-named snapshots).
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
-import zlib
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
@@ -55,8 +55,9 @@ def _page_row(fpath: str):
         html = fh.read()
     # page_id derives from the path ALONE: re-listing, replay after a sink
     # failure, and new files landing in the directory must never change an
-    # already-emitted id (downstream merges key on it)
-    pid = zlib.crc32(fpath.encode())
+    # already-emitted id (downstream merges key on it). 63 bits of md5 —
+    # collision odds at 1M pages ≈ n²/2⁶⁴ ≈ 5e-8, vs near-certain at 32 bits.
+    pid = int.from_bytes(hashlib.md5(fpath.encode()).digest()[:8], "big") >> 1
     return (pid, fpath, int(os.stat(fpath).st_mtime), html)
 
 
@@ -89,9 +90,14 @@ class _HtmlPagesReader(DataSourceReader):
 
 
 class _HtmlPagesStreamReader(SimpleDataSourceStreamReader):
-    """Incremental reader: offset = set of files already emitted, encoded as
-    the sorted listing length + a checksum of names. New files (by name) are
-    emitted each microbatch — the ST-INGEST landing-zone tail."""
+    """Incremental reader over a landing zone of monotonically-named
+    snapshot files (the scheduler drops `report_<yyyymmddhh>.html`-style
+    names). Offset = the lexicographic high-water mark of emitted names —
+    O(1) per checkpoint commit regardless of history size (a seen-set
+    offset would grow with every file ever ingested and be serialized into
+    every commit). Files must sort after all previously-ingested names to
+    be picked up; that monotonic-name contract is the trade for bounded
+    offsets, same as every watermark."""
 
     def __init__(self, options: dict):
         self.path = options.get("path")
@@ -100,22 +106,23 @@ class _HtmlPagesStreamReader(SimpleDataSourceStreamReader):
         self.suffix = options.get("suffix", ".html")
 
     def initialOffset(self) -> dict:
-        return {"seen": []}
+        return {"hwm": ""}
 
     def read(self, start: dict):
         files = _list_pages(self.path, self.suffix)
-        seen = set(start.get("seen", []))
-        new = [f for f in files if f not in seen]
+        hwm = start.get("hwm", "")
+        new = [f for f in files if f > hwm]
         rows = [_page_row(f) for f in new]
-        return iter(rows), {"seen": sorted(seen | set(new))}
+        return iter(rows), {"hwm": new[-1] if new else hwm}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         # replay emits byte-identical rows (page_id is a pure path hash);
         # a file deleted between first read and replay cannot be reproduced
         # and is skipped — an immutable landing zone is part of the source's
         # contract, as for every file-based exactly-once source
-        replay = sorted(set(end.get("seen", [])) - set(start.get("seen", [])))
-        return iter(_page_row(f) for f in replay if os.path.exists(f))
+        lo, hi = start.get("hwm", ""), end.get("hwm", "")
+        replay = [f for f in _list_pages(self.path, self.suffix) if lo < f <= hi]
+        return iter(_page_row(f) for f in replay)
 
 
 class HtmlPagesDataSource(DataSource):
