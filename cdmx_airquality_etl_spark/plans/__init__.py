@@ -1,4 +1,11 @@
-from .maintenance import cluster_rewrite, compact, table_stats, zorder_rewrite
+from .maintenance import (
+    cluster_rewrite,
+    compact,
+    recover_table,
+    table_stats,
+    vacuum,
+    zorder_rewrite,
+)
 from .merge import collapse_to_key_grain, merge_into_parquet, merge_upsert
 from .rollup import batch_partials, merge_partials, refresh_rollup
 
@@ -10,7 +17,9 @@ __all__ = [
     "merge_into_parquet",
     "merge_partials",
     "merge_upsert",
+    "recover_table",
     "refresh_rollup",
     "table_stats",
+    "vacuum",
     "zorder_rewrite",
 ]

@@ -94,6 +94,49 @@ def _atomic_swap_write(
     shutil.rmtree(old)
 
 
+def recover_table(path: str) -> bool:
+    """Crash recovery for the swap window documented on _atomic_swap_write:
+    if ``path`` is missing but a ``<path>__old_*`` survivor exists (process
+    died between the two renames), restore the newest survivor. Returns True
+    when a restore happened. Run before reads on a table whose maintenance
+    job may have crashed."""
+    if os.path.exists(path):
+        return False
+    parent, base = os.path.dirname(path) or ".", os.path.basename(path)
+    survivors = sorted(
+        d for d in os.listdir(parent) if d.startswith(f"{base}__old_")
+    )
+    if not survivors:
+        return False
+    os.rename(os.path.join(parent, survivors[-1]), path)
+    return True
+
+
+def vacuum(path: str, max_age_seconds: int = 24 * 3600) -> int:
+    """Remove leftover ``__tmp_*`` / ``__old_*`` siblings of ``path`` older
+    than ``max_age_seconds`` (crashed rewrites leak them by design — the tmp
+    write or the post-swap rmtree died). Never touches a survivor that
+    recover_table would still need: if ``path`` itself is missing, vacuum
+    refuses to delete ``__old_*`` dirs. Returns the number removed."""
+    import time
+
+    parent, base = os.path.dirname(path) or ".", os.path.basename(path)
+    table_missing = not os.path.exists(path)
+    removed = 0
+    for d in os.listdir(parent):
+        is_tmp = d.startswith(f"{base}__tmp_")
+        is_old = d.startswith(f"{base}__old_")
+        if not (is_tmp or is_old):
+            continue
+        if is_old and table_missing:
+            continue  # recovery material
+        full = os.path.join(parent, d)
+        if time.time() - os.path.getmtime(full) >= max_age_seconds:
+            shutil.rmtree(full)
+            removed += 1
+    return removed
+
+
 def compact(
     spark: SparkSession,
     path: str,

@@ -138,3 +138,29 @@ def test_compact_preserves_partition_layout(spark, sf_dir, tmp_path):
     # pruning still works post-compaction
     one = spark.read.parquet(path).filter(F.col("om") == 3)
     assert one.count() == spark.read.parquet(f"{path}/om=3").count() > 0
+
+
+def test_recover_and_vacuum_after_crashed_swap(spark, sf_dir, tmp_path):
+    from cdmx_airquality_etl_spark.plans.maintenance import recover_table, vacuum
+
+    path = str(tmp_path / "tcrash")
+    load_table(spark, sf_dir, "nation").write.parquet(path)
+    rows = _rows(spark.read.parquet(path))
+
+    # simulate death between the two renames: table gone, __old_ survivor left
+    import os
+
+    os.rename(path, f"{path}__old_deadbeef")
+    os.makedirs(f"{path}__tmp_feedface")  # and a leaked tmp dir
+
+    # vacuum must NOT eat the survivor while the table is missing
+    assert vacuum(path, max_age_seconds=0) == 1  # only the tmp dir goes
+    assert os.path.exists(f"{path}__old_deadbeef")
+
+    assert recover_table(path) is True
+    assert _rows(spark.read.parquet(path)) == rows
+    assert recover_table(path) is False  # idempotent no-op once healthy
+
+    # healthy table → aged __old_ dirs are garbage
+    os.makedirs(f"{path}__old_cafe")
+    assert vacuum(path, max_age_seconds=0) == 1
