@@ -54,6 +54,77 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_curation_pipeline",
+    oracle=r"""
+    WITH clean AS (
+      SELECT doc_id, lang, n_chars, text
+      FROM documents
+      WHERE n_chars >= 80
+        AND len(string_split_regex(trim(lower(text)), '\s+')) >= 15
+    ),
+    kept AS (
+      SELECT max_by(doc_id, n_chars * 10000000000 - doc_id) AS doc_id,
+             max_by(lang, n_chars * 10000000000 - doc_id) AS lang,
+             max_by(n_chars, n_chars * 10000000000 - doc_id) AS n_chars,
+             max_by(text, n_chars * 10000000000 - doc_id) AS text
+      FROM clean
+      GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+    )
+    SELECT CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 10 < 8
+                THEN 'train' ELSE 'eval' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           SUM(len(string_split_regex(trim(lower(text)), '\s+'))) AS total_tokens,
+           SUM(n_chars) AS total_chars
+    FROM kept
+    GROUP BY 1, 2
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-data curation chain as ONE lazy plan: quality filter (length +
+    token-count floors) → exact dedup keeping the longest copy → content-hash
+    train/eval split → per-(split, lang) corpus statistics. Catalyst fuses
+    the whole chain into scan → filter → two hash aggregates: the filter
+    reaches the parquet scan, dedup and the final rollup are the only
+    shuffles, and nothing materializes in between — the composition argument
+    for building curation on a relational engine rather than gluing scripts."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    clean = docs.filter((F.col("n_chars") >= 80) & (F.size(toks) >= 15))
+
+    fingerprint = F.md5(
+        F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")
+    )
+    quality = F.col("n_chars") * 10_000_000_000 - F.col("doc_id")
+    kept = (
+        clean.select("doc_id", "lang", "n_chars", "text", fingerprint.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.max_by("doc_id", quality).alias("doc_id"),
+            F.max_by("lang", quality).alias("lang"),
+            F.max_by("n_chars", quality).alias("n_chars"),
+            F.max_by("text", quality).alias("text"),
+        )
+    )
+
+    bucket = F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) % 10
+    return (
+        kept.select(
+            F.when(bucket < 8, "train").otherwise("eval").alias("split"),
+            "lang",
+            "n_chars",
+            F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("n_toks"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
     "q_histogram",
     oracle="""
     SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
