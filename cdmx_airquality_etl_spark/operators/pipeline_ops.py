@@ -113,7 +113,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(bucket < 8, "train").otherwise("eval").alias("split"),
             "lang",
             "n_chars",
-            F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("n_toks"),
+            F.size(toks).alias("n_toks"),
         )
         .groupBy("split", "lang")
         .agg(

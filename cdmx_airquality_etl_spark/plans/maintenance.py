@@ -103,12 +103,16 @@ def recover_table(path: str) -> bool:
     if os.path.exists(path):
         return False
     parent, base = os.path.dirname(path) or ".", os.path.basename(path)
-    survivors = sorted(
-        d for d in os.listdir(parent) if d.startswith(f"{base}__old_")
-    )
+    survivors = [
+        os.path.join(parent, d)
+        for d in os.listdir(parent)
+        if d.startswith(f"{base}__old_")
+    ]
     if not survivors:
         return False
-    os.rename(os.path.join(parent, survivors[-1]), path)
+    # newest by mtime, NOT by name: the suffix is a random uuid, so a stale
+    # survivor from an earlier crash could sort after the real latest state
+    os.rename(max(survivors, key=os.path.getmtime), path)
     return True
 
 
@@ -119,6 +123,19 @@ def vacuum(path: str, max_age_seconds: int = 24 * 3600) -> int:
     recover_table would still need: if ``path`` itself is missing, vacuum
     refuses to delete ``__old_*`` dirs. Returns the number removed."""
     import time
+
+    def tree_mtime(p: str) -> float:
+        # an in-flight partitioned write touches only subdirs/files, not the
+        # top-level dir — age by the NEWEST mtime in the tree so active
+        # writes never look stale
+        newest = os.path.getmtime(p)
+        for root, dirs, files in os.walk(p):
+            for n in dirs + files:
+                try:
+                    newest = max(newest, os.path.getmtime(os.path.join(root, n)))
+                except OSError:
+                    pass
+        return newest
 
     parent, base = os.path.dirname(path) or ".", os.path.basename(path)
     table_missing = not os.path.exists(path)
@@ -131,9 +148,13 @@ def vacuum(path: str, max_age_seconds: int = 24 * 3600) -> int:
         if is_old and table_missing:
             continue  # recovery material
         full = os.path.join(parent, d)
-        if time.time() - os.path.getmtime(full) >= max_age_seconds:
-            shutil.rmtree(full)
-            removed += 1
+        try:
+            if time.time() - tree_mtime(full) >= max_age_seconds:
+                # ignore_errors: the swap's own rmtree(old) may race us
+                shutil.rmtree(full, ignore_errors=True)
+                removed += 1
+        except FileNotFoundError:
+            pass
     return removed
 
 

@@ -108,9 +108,18 @@ class _HtmlPagesStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"hwm": ""}
 
+    @staticmethod
+    def _hwm_of(offset: dict) -> str:
+        # migration: pre-hwm checkpoints stored the full seen-set — resume
+        # from its max name instead of re-ingesting the whole landing zone
+        if "hwm" in offset:
+            return offset["hwm"]
+        seen = offset.get("seen", [])
+        return max(seen) if seen else ""
+
     def read(self, start: dict):
         files = _list_pages(self.path, self.suffix)
-        hwm = start.get("hwm", "")
+        hwm = self._hwm_of(start)
         new = [f for f in files if f > hwm]
         rows = [_page_row(f) for f in new]
         return iter(rows), {"hwm": new[-1] if new else hwm}
@@ -120,7 +129,7 @@ class _HtmlPagesStreamReader(SimpleDataSourceStreamReader):
         # a file deleted between first read and replay cannot be reproduced
         # and is skipped — an immutable landing zone is part of the source's
         # contract, as for every file-based exactly-once source
-        lo, hi = start.get("hwm", ""), end.get("hwm", "")
+        lo, hi = self._hwm_of(start), self._hwm_of(end)
         replay = [f for f in _list_pages(self.path, self.suffix) if lo < f <= hi]
         return iter(_page_row(f) for f in replay)
 
