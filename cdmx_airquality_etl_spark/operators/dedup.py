@@ -5,9 +5,11 @@ Four escalating strategies, all distributed set-logic — no driver loops:
 - q_dedup_exact     — hash-groupBy on a normalized-content fingerprint.
 - q_dedup_fuzzy     — word-3-shingle Jaccard via explode + equi-join on the
                       shingle (oracle-checkable; the candidate join is the
-                      skew-sensitive part — AQE skew-join handles hot
-                      shingles; at 100 TB you additionally hash shingles to
-                      int64 before the shuffle and cap per-shingle postings).
+                      skew-sensitive part — AQE skew-join handles warm
+                      shingles, and shingles with document frequency above
+                      _MAX_POSTINGS are dropped before the self-join; at
+                      100 TB you additionally hash shingles to int64 before
+                      the shuffle).
 - q_dedup_minhash   — MinHash signatures + LSH banding: candidate pairs come
                       from band-bucket equi-joins (|bands| shuffles of one
                       small row per doc), then exact Jaccard verification on
@@ -28,12 +30,23 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 from ..functions import word_shingles
 from ..registry import register
 from ..sources.parquet import load_table
 
 _JACCARD_THRESHOLD = 0.5
+# Per-shingle postings cap: a shingle appearing in more than this many docs
+# is dropped BEFORE the candidate self-join. A stop-phrase shingle with df=d
+# alone contributes d·(d−1)/2 join rows — unbounded df is the quadratic
+# failure mode of shingle-join dedup at 100 TB. Dropping it costs recall only
+# for pairs whose *entire* overlap is stop-phrases (their Jaccard denominator
+# still counts the dropped shingle, so retained pairs' scores only shrink —
+# the cap never creates false positives). Observed max df: 7 at sf0.01,
+# 25 at sf0.1 — the default prunes nothing at test scale, so the oracle
+# stays exact; production corpora tune it to ~postings that fit one task.
+_MAX_POSTINGS = 1000
 
 
 def _norm_text(col: Column) -> Column:
@@ -48,13 +61,28 @@ def _doc_shingles(docs: DataFrame) -> DataFrame:
     ).withColumn("n_sh", F.size("sh"))
 
 
-def _jaccard_pairs(shingled: DataFrame, threshold: float) -> DataFrame:
+def _jaccard_pairs(
+    shingled: DataFrame, threshold: float, max_postings: int = _MAX_POSTINGS
+) -> DataFrame:
     """Candidate pairs by shingle equi-join → exact Jaccard ≥ threshold.
 
     jaccard = |A∩B| / (|A|+|B|−|A∩B|); integer counts, so the double division
     is bitwise-identical in any engine.
+
+    Shingles with document frequency > ``max_postings`` are removed from the
+    postings before the self-join (hot set is tiny → broadcast anti-join);
+    see _MAX_POSTINGS for the recall trade-off. The df aggregate shuffles by
+    shingle — the same key as the self-join, so AQE/exchange reuse keeps the
+    added cost to one aggregation pass.
     """
     e = shingled.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+    hot = (
+        e.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_postings)
+        .select("shingle")
+    )
+    e = e.join(broadcast(hot), "shingle", "left_anti")
     # Self-join: force sort-merge so both sides produce identical shuffle
     # exchanges and Catalyst's ReusedExchange computes the postings once.
     # (A broadcast join here re-evaluates the whole shingle pipeline per side

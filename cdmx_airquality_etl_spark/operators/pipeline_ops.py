@@ -21,7 +21,7 @@ from ..sources.parquet import load_table
 @register(
     "q_train_test_split",
     oracle="""
-    SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM (
       SELECT n_chars,
              CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 10 < 8
@@ -74,8 +74,9 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN 'train' ELSE 'eval' END AS split,
            lang,
            COUNT(*) AS n_docs,
-           SUM(len(string_split_regex(trim(lower(text)), '\s+'))) AS total_tokens,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT)
+             AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM kept
     GROUP BY 1, 2
     """,

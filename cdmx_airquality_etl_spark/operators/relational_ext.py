@@ -151,7 +151,7 @@ def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_collect_sorted",
     oracle="""
     SELECT o_orderpriority,
-           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
            COUNT(*) AS n_orders
     FROM orders
     GROUP BY o_orderpriority
@@ -160,9 +160,13 @@ def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic list aggregation: collect_set is unordered by contract,
     so sort_array makes the result comparable — the only safe way to emit
-    array aggregates from a distributed engine."""
+    array aggregates from a distributed engine. The sorted set is emitted as
+    a ','-joined string so the result is hashable under pandas-based result
+    canonicalization (array cells are unhashable lists there)."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
-        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.concat_ws(",", F.sort_array(F.collect_set("o_orderstatus"))).alias(
+            "statuses"
+        ),
         F.count(F.lit(1)).alias("n_orders"),
     )

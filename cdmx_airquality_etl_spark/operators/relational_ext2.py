@@ -187,7 +187,7 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_time_bucket",
     oracle="""
-    SELECT CAST(ts AS DATE) AS bucket_day, event_type,
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS bucket_day, event_type,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
     FROM events
@@ -203,7 +203,10 @@ def q_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(
-            F.to_date("ts").alias("bucket_day"), "event_type"
+            # emitted as an ISO string: Spark DATE→pandas object-of-date vs
+            # DuckDB DATE→datetime64 hash differently under the driver canon
+            F.to_date("ts").cast("string").alias("bucket_day"),
+            "event_type",
         ).agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
@@ -314,7 +317,7 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(toks) AS n_toks,
            len(list_distinct(toks)) AS n_distinct,
-           list_sort(list_distinct(toks))[1:3] AS first3_sorted,
+           array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS first3_sorted,
            list_contains(toks, 'the') AS has_the
     FROM (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
@@ -334,6 +337,8 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).cast("long").alias("n_toks"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
-        F.slice(F.array_sort(F.array_distinct(toks)), 1, 3).alias("first3_sorted"),
+        F.concat_ws(",", F.slice(F.array_sort(F.array_distinct(toks)), 1, 3)).alias(
+            "first3_sorted"
+        ),
         F.array_contains(toks, "the").alias("has_the"),
     )

@@ -141,10 +141,10 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_date_arith",
     oracle="""
     SELECT o_orderkey,
-           CAST(o_orderdate AS DATE) + 30 AS due_date,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS due_date,
            date_diff('day', CAST(o_orderdate AS DATE), DATE '2025-01-01') AS days_to_2025,
-           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
-           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS order_month,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
            isodow(o_orderdate) - 1 AS weekday_mon0
     FROM orders
     WHERE o_orderkey < 2000
@@ -157,11 +157,13 @@ def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
     return orders.select(
         "o_orderkey",
-        F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
+        # date outputs emitted as ISO strings (driver-canon hash safety; see
+        # q_time_bucket) — the arithmetic itself stays native DATE ops
+        F.date_add(F.to_date("o_orderdate"), 30).cast("string").alias("due_date"),
         F.datediff(F.lit("2025-01-01").cast("date"), F.to_date("o_orderdate"))
         .cast("long")
         .alias("days_to_2025"),
-        F.trunc(F.to_date("o_orderdate"), "month").alias("order_month"),
-        F.last_day(F.to_date("o_orderdate")).alias("month_end"),
+        F.trunc(F.to_date("o_orderdate"), "month").cast("string").alias("order_month"),
+        F.last_day(F.to_date("o_orderdate")).cast("string").alias("month_end"),
         F.weekday("o_orderdate").cast("long").alias("weekday_mon0"),
     )

@@ -11,10 +11,12 @@ Three tiers:
                         bucketed by the sign pattern of their leading
                         dimensions (a deterministic random-hyperplane LSH with
                         axis-aligned planes), the pair join runs only within
-                        buckets (16× candidate reduction at 4 bits; tune bits
-                        to data size), then exact cosine filters. Trades
-                        recall for a join that scales linearly in bucket
-                        sizes — the documented LSH trade-off.
+                        buckets, then exact cosine filters. The bit count is
+                        DERIVED FROM CORPUS SIZE inside the plan (see
+                        lsh_bits_for), so expected bucket occupancy stays
+                        constant and candidate volume ~linear as the corpus
+                        grows. Trades recall for a join that scales linearly
+                        in bucket sizes — the documented LSH trade-off.
 - q_similarity_ann_ivf — IVF-style ANN: a deterministic subset of vectors
                         acts as centroids, every vector is assigned to its
                         nearest centroid (broadcast centroid table), and the
@@ -38,8 +40,17 @@ from ..sources.parquet import load_table
 
 _TOPK = 10
 _NEAR_DUP_COS = 0.35
-_LSH_BITS = 4
-_IVF_CENTROID_MOD = 97  # vec_id % 97 == 0 → centroid set
+# Sign-LSH sizing: bits grow with the corpus so candidate volume stays
+# ~linear. bits = clamp(ceil(log2(n / _LSH_TARGET_BUCKET)), _LSH_MIN_BITS,
+# _LSH_MAX_BITS) → expected bucket occupancy ≈ _LSH_TARGET_BUCKET docs, so
+# the within-bucket pair join is O(n · target) instead of O(n²/2^const).
+# Computed INSIDE the plan (scalar COUNT aggregate, broadcast cross join) —
+# identically in the DuckDB oracle — so no driver-side action is needed and
+# the same query text is correct at every scale factor.
+_LSH_MIN_BITS = 4
+_LSH_MAX_BITS = 24  # bounded by embedding dim (64); 2^24 buckets ≫ any corpus
+_LSH_TARGET_BUCKET = 32
+_IVF_CENTROID_MOD = 97  # deterministic k-means sample seed (see _centroids)
 
 
 def _dot(a: str, b: str) -> Column:
@@ -112,26 +123,62 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q_dedup_embedding — near-dup pairs via sign-LSH blocking + exact cosine
 # ---------------------------------------------------------------------------
-def _sign_bucket_spark(emb_col: str) -> Column:
+def lsh_bits_for(n: int) -> int:
+    """Python mirror of the in-plan bits formula (for tests/sizing docs)."""
+    import math
+
+    return min(
+        _LSH_MAX_BITS,
+        max(_LSH_MIN_BITS, math.ceil(math.log2(max(n, 1) / _LSH_TARGET_BUCKET))),
+    )
+
+
+def _sign_bucket_spark(emb_col: str, bits_col: str) -> Column:
+    """Bucket = sign pattern of the leading `bits` dimensions, where `bits`
+    is a column (computed from COUNT(*)), so the same expression serves every
+    corpus size. Terms beyond `bits` contribute 0."""
     bucket = F.lit(0)
-    for i in range(_LSH_BITS):
+    for i in range(_LSH_MAX_BITS):
         bucket = bucket + F.when(
-            F.element_at(F.col(emb_col), i + 1) >= 0, F.lit(1 << i)
+            (F.lit(i) < F.col(bits_col))
+            & (F.element_at(F.col(emb_col), i + 1) >= 0),
+            F.lit(1 << i),
         ).otherwise(F.lit(0))
     return bucket
 
 
 _SIGN_BUCKET_SQL = " + ".join(
-    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
-    for i in range(_LSH_BITS)
+    f"(CASE WHEN {i} < nb.bits AND embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(_LSH_MAX_BITS)
 )
+
+_LSH_BITS_SQL = (
+    f"LEAST({_LSH_MAX_BITS}, GREATEST({_LSH_MIN_BITS}, "
+    f"CAST(CEIL(LOG2(COUNT(*) / {_LSH_TARGET_BUCKET}.0)) AS INT)))"
+)
+
+
+def lsh_bits_df(df: DataFrame) -> DataFrame:
+    """1-row frame with the corpus-sized bit count (in-plan twin of
+    lsh_bits_for; broadcast-cross-joined by callers)."""
+    return df.agg(
+        F.least(
+            F.lit(_LSH_MAX_BITS),
+            F.greatest(
+                F.lit(_LSH_MIN_BITS),
+                F.ceil(F.log2(F.count(F.lit(1)) / _LSH_TARGET_BUCKET)).cast("int"),
+            ),
+        ).alias("lsh_bits")
+    )
 
 
 @register(
     "q_dedup_embedding",
     oracle=f"""
-    WITH e AS (
-      SELECT vec_id, embedding, {_SIGN_BUCKET_SQL} AS bucket FROM embeddings
+    WITH nb AS (SELECT {_LSH_BITS_SQL} AS bits FROM embeddings),
+    e AS (
+      SELECT vec_id, embedding, {_SIGN_BUCKET_SQL} AS bucket
+      FROM embeddings, nb
     ),
     pairs AS (
       SELECT a.vec_id AS va, b.vec_id AS vb,
@@ -145,7 +192,9 @@ _SIGN_BUCKET_SQL = " + ".join(
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", "embedding", _sign_bucket_spark("embedding").alias("bucket"))
+    e = emb.join(broadcast(lsh_bits_df(emb))).select(
+        "vec_id", "embedding", _sign_bucket_spark("embedding", "lsh_bits").alias("bucket")
+    )
     a = e.select(
         F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("emb_a"), "bucket"
     )

@@ -55,9 +55,9 @@ def _sql_hits(toks_expr: str, stops: list[str]) -> str:
     oracle=f"""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
-           SUM(len({_sql_toks('text')})) AS total_tokens,
+           CAST(SUM(len({_sql_toks('text')})) AS BIGINT) AS total_tokens,
            CAST(SUM(len({_sql_toks('text')})) AS DOUBLE) / COUNT(*) AS avg_tokens
     FROM documents
     GROUP BY lang

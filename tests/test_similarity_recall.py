@@ -19,6 +19,31 @@ def test_ivf_recall_at_10(spark, sf_dir):
     assert len(truth & approx) / len(truth) >= 0.7
 
 
+def test_lsh_bits_scale_with_corpus(spark):
+    """Bucket count must grow with corpus size (the round-1 weakness was a
+    fixed 16-bucket LSH → ~n²/16 candidate pairs at any n). The Python
+    formula and the in-plan aggregate must agree."""
+    from pyspark.sql import functions as F
+
+    from cdmx_airquality_etl_spark.operators.similarity import (
+        _LSH_MAX_BITS,
+        lsh_bits_df,
+        lsh_bits_for,
+    )
+
+    assert lsh_bits_for(500) == 4       # sf0.01 corpus → round-1 behavior kept
+    assert lsh_bits_for(2000) == 6      # sf0.1 corpus → 64 buckets
+    assert lsh_bits_for(10**6) == 15
+    assert lsh_bits_for(10**12) == _LSH_MAX_BITS  # capped
+    sizes = [1, 10, 500, 2000, 10**5, 10**9]
+    bits = [lsh_bits_for(n) for n in sizes]
+    assert bits == sorted(bits)  # monotone
+
+    for n in (500, 5000):
+        engine_bits = lsh_bits_df(spark.range(n)).collect()[0]["lsh_bits"]
+        assert engine_bits == lsh_bits_for(n)
+
+
 def test_embedding_neardup_blocks_are_sound(spark, sf_dir):
     # sign-LSH blocking is a filter on the exact pair set: every surviving
     # pair must genuinely clear the cosine threshold (no false positives by

@@ -1,10 +1,25 @@
-"""Local differential checker mimicking the driver's t2 correctness gate.
+"""Local differential checker mimicking the driver's correctness gate.
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB over the same parquet dir, then compares row count, column names and
-an order-insensitive value multiset. Exact string equality first (the goal:
-bitwise-identical floats via the DECIMAL-sum policy); falls back to a
-tolerance compare only to classify the failure.
+an order-insensitive value multiset.
+
+CRITICAL: both sides are canonicalized THROUGH PANDAS, exactly like the
+driver — Spark via ``toPandas()``, DuckDB via ``rel.df()`` — because the
+dtype conversions differ from ``fetchall()``'s plain-Python values and that
+difference is what the driver hashes:
+
+* DuckDB ``SUM(int)`` returns HUGEINT → pandas float64 (``110316.0``),
+  while Spark returns int64 (``110316``) → hash mismatch. Oracles must
+  ``CAST(SUM(...) AS BIGINT)``.
+* array-typed result columns become unhashable Python lists → the driver's
+  ``sort_values`` canonicalization crashes. Queries must emit sorted arrays
+  as delimited strings on both sides.
+* DuckDB DECIMAL → float64, Spark DECIMAL → object-of-Decimal; follow the
+  repo policy of summing through DECIMAL then casting back to DOUBLE.
+
+Values are compared type-sensitively (``numpy.int64(1)`` != ``float64(1.0)``)
+so this checker fails exactly where the driver would.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -27,23 +42,39 @@ from cdmx_airquality_etl_spark.schemas import TESTDATA_TABLES  # noqa: E402
 from cdmx_airquality_etl_spark.session import get_spark  # noqa: E402
 
 
-def canon(v) -> str:
+def cell(v) -> str:
+    """Type-sensitive canonical repr of one pandas cell.
+
+    numpy scalars are unwrapped to Python so int64→"110316" and
+    float64→"110316.0" stay distinguishable — the exact divergence the
+    driver's hash sees on uncast DuckDB HUGEINT sums.
+    """
     if v is None:
         return "<NULL>"
+    if hasattr(v, "item"):  # numpy scalar → python scalar
+        v = v.item()
     if isinstance(v, Decimal):
-        v = float(v)
+        return f"dec:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "<NaN>"
-        return repr(v)  # full precision
+            return "<NULL>"  # pandas represents NULL numerics as NaN
+        return repr(v)
     if isinstance(v, bool):
-        return str(int(v))
+        return f"bool:{v}"
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        raise TypeError(
+            "array-typed result column — unhashable under the driver's "
+            "pandas canonicalization; emit a sorted delimited string instead"
+        )
     return str(v)
 
 
-def frame_to_multiset(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+def canon_frame(pdf):
+    """Mirror the driver: sort columns by name, sort rows, stringify cells."""
+    pdf = pdf[sorted(pdf.columns)]
+    rows = [tuple(cell(v) for v in row) for row in pdf.itertuples(index=False)]
+    rows.sort()
+    return rows
 
 
 def approx_equal(a, b) -> bool:
@@ -81,49 +112,63 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
+            s_pdf = sdf.toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
             continue
         if name not in oracles:
-            print(f"ok?   {name}: rows-only ({len(s_rows)} rows, no oracle) "
+            print(f"ok?   {name}: rows-only ({len(s_pdf)} rows, no oracle) "
                   f"[{time.time()-t0:.1f}s]")
-            if len(s_rows) == 0:
-                print(f"      WARNING: 0 rows")
+            if len(s_pdf) == 0:
+                print("      WARNING: 0 rows")
             continue
         try:
-            rel = con.sql(oracles[name])
-            d_cols = [d[0] for d in rel.description]
-            d_rows = rel.fetchall()
+            d_pdf = con.sql(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
             continue
 
         problems = []
-        if sorted(s_cols) != sorted(d_cols):
-            problems.append(f"columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
-        if len(s_rows) != len(d_rows):
-            problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
+        if sorted(s_pdf.columns) != sorted(d_pdf.columns):
+            problems.append(
+                f"columns spark={sorted(s_pdf.columns)} duck={sorted(d_pdf.columns)}"
+            )
+        if len(s_pdf) != len(d_pdf):
+            problems.append(f"rowcount spark={len(s_pdf)} duck={len(d_pdf)}")
         if not problems:
-            ms = frame_to_multiset(s_cols, s_rows)
-            md = frame_to_multiset(d_cols, d_rows)
-            if ms != md:
-                if approx_equal(ms, md):
-                    problems.append("values float-close but NOT exact")
-                else:
-                    problems.append("values mismatch")
+            # dtype drift is the early-warning signal for hash mismatches
+            sd = {c: str(s_pdf[c].dtype) for c in s_pdf.columns}
+            dd = {c: str(d_pdf[c].dtype) for c in d_pdf.columns}
+            drift = {c: (sd[c], dd[c]) for c in sd if sd[c] != dd[c]}
+            try:
+                ms = canon_frame(s_pdf)
+                md = canon_frame(d_pdf)
+            except TypeError as e:
+                problems.append(f"canonicalization error: {e}")
+            else:
+                if ms != md:
+                    if approx_equal(ms, md):
+                        problems.append("values float-close but NOT exact")
+                    else:
+                        problems.append("values mismatch")
+                    if drift:
+                        problems.append(f"dtype drift: {drift}")
                     for i, (ra, rb) in enumerate(zip(ms, md)):
                         if ra != rb:
-                            problems.append(f"  first diff row {i}: spark={ra} duck={rb}")
+                            problems.append(
+                                f"  first diff row {i}: spark={ra} duck={rb}"
+                            )
                             break
+                elif drift:
+                    # values canonicalized equal despite dtype drift — warn
+                    print(f"      note {name}: benign dtype drift {drift}")
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
             failures.append(name)
         else:
-            print(f"OK    {name} ({len(s_rows)} rows) [{time.time()-t0:.1f}s]")
+            print(f"OK    {name} ({len(s_pdf)} rows) [{time.time()-t0:.1f}s]")
 
     print()
     if failures:
