@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from .similarity import _NEAR_DUP_COS, _SIGN_BUCKET_SQL, _sql_cos
+from .similarity import _LSH_BITS_SQL, _NEAR_DUP_COS, _SIGN_BUCKET_SQL, _sql_cos
 
 
 def connected_components(
@@ -78,8 +78,10 @@ def connected_components(
     "q_dedup_clusters",
     oracle=f"""
     WITH RECURSIVE
+    nb AS (SELECT {_LSH_BITS_SQL} AS bits FROM embeddings),
     e AS (
-      SELECT vec_id, embedding, {_SIGN_BUCKET_SQL} AS bucket FROM embeddings
+      SELECT vec_id, embedding, {_SIGN_BUCKET_SQL} AS bucket
+      FROM embeddings, nb
     ),
     p AS (
       SELECT a.vec_id AS va, b.vec_id AS vb

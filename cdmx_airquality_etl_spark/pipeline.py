@@ -31,6 +31,21 @@ from .sources.html_ingest import ingest_reports
 log = logging.getLogger("cdmx_airquality_etl_spark.pipeline")
 
 
+def setup_logging(log_path: str | None = None, level: int = logging.INFO) -> None:
+    """C-LOG file-handler parity (scrapper.py:307-314): tee INFO+ to a
+    configured log file AND the console, reference log format. ``force=True``
+    so a re-configure in one process (CLI after library use) wins."""
+    handlers: list[logging.Handler] = [logging.StreamHandler()]
+    if log_path:
+        handlers.append(logging.FileHandler(log_path, encoding="utf-8"))
+    logging.basicConfig(
+        level=level,
+        format="%(asctime)s - %(levelname)s - %(message)s",
+        handlers=handlers,
+        force=True,
+    )
+
+
 @dataclass
 class PipelineConfig:
     """Mirror of the reference's two YAML configs (config.yaml /

@@ -84,6 +84,22 @@ def _parse_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = []
         for page_id, html in zip(pdf["page_id"], pdf["html"]):
+            if html is None or (isinstance(html, float) and pd.isna(html)):
+                # failed fetch (sources/fetch.py status=-1) → all-NULL parse
+                # row; the missing date line routes it to rejects (V-GATE)
+                out.append(
+                    {
+                        "page_id": page_id,
+                        "hora_text": None,
+                        "reco_text": None,
+                        "pronostico_today": None,
+                        "pronostico_tomorrow": None,
+                        "temp_text": None,
+                        "cdmx_rows": None,
+                        "edomex_rows": None,
+                    }
+                )
+                continue
             page = parse_page(html, div_ids, table_ids)
             # pronosticoaire: the reference reads nested divs 2 and 3 of the
             # forecast block (today / tomorrow scores, scrapper.py:66-75);
