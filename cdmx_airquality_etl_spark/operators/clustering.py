@@ -14,8 +14,9 @@ cuts the lineage chain (without it the plan doubles each iteration and
 Catalyst analysis itself becomes the bottleneck); convergence is detected
 with a count action per round, which is also what bounds the loop. For
 web-scale graphs the same loop holds (it is GraphX/GraphFrames' CC algorithm
-re-expressed on DataFrames); hub-heavy graphs would add the large-star/
-small-star optimization.
+re-expressed on DataFrames); deep or hub-heavy graphs use
+connected_components_star (large-star/small-star contraction, O(log n)
+rounds).
 
 The DuckDB oracle runs the same closure as a recursive CTE (UNION-dedup
 guarantees termination on cycles) — exact agreement, so this "iterative,
@@ -72,6 +73,105 @@ def connected_components(
         f"({changed} labels still moving) — raise max_iter (components with "
         "diameter > max_iter exist) rather than use a partial clustering"
     )
+
+
+def _canon(df: DataFrame) -> DataFrame:
+    """Undirected edge set in canonical (min, max) form, no self-loops."""
+    return (
+        df.filter(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .distinct()
+    )
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    return edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+
+
+def connected_components_star(
+    edges: DataFrame, src: str, dst: str, max_iter: int = 50
+) -> tuple[DataFrame, int]:
+    """Large-star/small-star connected components (the MapReduce CC algorithm
+    of Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the hub-safe alternative to plain min-label propagation: label
+    propagation needs O(diameter) rounds and keeps every edge live, while
+    star contraction halves the structure each alternation, converging in
+    O(log n) rounds and shrinking the edge set as components collapse into
+    stars. Use it when components are deep (chains) or hub-heavy; the plain
+    loop (connected_components) stays the simple path for shallow graphs.
+
+    Each round is two rounds of: per-node min-neighbor aggregate → join →
+    re-canonicalize, with ``localCheckpoint`` lineage cuts. Convergence =
+    stable (count, xxhash-sum) checksum of the edge set — one tiny action
+    per round (production could track a changed-edge count instead).
+
+    Returns (labels, rounds): labels = (node, label=component min), nodes
+    with no edge absent, same contract as connected_components.
+    """
+    E = _canon(
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+    ).localCheckpoint(eager=True)
+
+    def checksum(df: DataFrame):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # XOR fold: order-independent and cannot overflow (SUM of
+            # xxhash64 trips ANSI long-overflow)
+            F.bit_xor(F.xxhash64("a", "b")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = checksum(E)
+    rounds = 0
+    for rounds in range(1, max_iter + 1):
+        # large-star: every neighbor v > u attaches to m = min(N(u) ∪ {u})
+        sym = _sym(E)
+        mins = sym.groupBy("a").agg(F.min("b").alias("mb"))
+        large = (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(
+                F.col("b").alias("x"), F.least("a", "mb").alias("y")
+            )
+        )
+        E = _canon(large).localCheckpoint(eager=True)
+
+        # small-star: neighbors v < u (and u itself) attach to min(N⁻(u)∪{u})
+        sym = _sym(E)
+        neg = sym.filter(F.col("b") < F.col("a"))
+        minsn = neg.groupBy("a").agg(F.min("b").alias("mb"))
+        small = (
+            neg.join(minsn, "a")
+            .select(F.col("b").alias("x"), F.col("mb").alias("y"))
+            .unionByName(
+                minsn.select(F.col("a").alias("x"), F.col("mb").alias("y"))
+            )
+        )
+        E = _canon(small).localCheckpoint(eager=True)
+
+        cur = checksum(E)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+
+    # stars in canonical form are (root=min, leaf) edges
+    labels = (
+        E.select(F.col("b").alias("node"), F.col("a").alias("label"))
+        .unionByName(
+            E.select(F.col("a").alias("node"), F.col("a").alias("label"))
+        )
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+    )
+    return labels, rounds
 
 
 @register(

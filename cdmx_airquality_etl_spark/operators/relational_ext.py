@@ -82,8 +82,9 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global quartiles/ranks. NOTE (scale): an unpartitioned window funnels
     the table through one task — acceptable for dimension-sized inputs like
-    customer, by design. For fact-scale global ranking use range partitioning
-    + per-partition rank + offset merge (two-pass), or approx percentiles."""
+    customer, by design. For fact-scale global bucketing use the
+    boundary-broadcast form (q_quantile_bucket); for fact-scale global
+    ranking, range partitioning + per-partition rank + offset merge."""
     customer = load_table(spark, sf_dir, "customer")
     w_global = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
     w_nation = Window.partitionBy("c_nationkey").orderBy(
@@ -94,6 +95,52 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w_global).alias("balance_quartile"),
         F.rank().over(w_global).alias("balance_rank"),
         F.dense_rank().over(w_nation).alias("rank_in_nation"),
+    )
+
+
+@register(
+    "q_quantile_bucket",
+    oracle="""
+    WITH b AS (
+      SELECT quantile_disc(c_acctbal, 0.25) AS p25,
+             quantile_disc(c_acctbal, 0.50) AS p50,
+             quantile_disc(c_acctbal, 0.75) AS p75
+      FROM customer
+    )
+    SELECT c_custkey,
+           1 + CAST(c_acctbal > b.p25 AS INT) + CAST(c_acctbal > b.p50 AS INT)
+             + CAST(c_acctbal > b.p75 AS INT) AS balance_quartile
+    FROM customer, b
+    """,
+)
+def q_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact-scale form of q_window_ntile's global quartiles: compute the
+    three boundary values as ONE tiny aggregate, broadcast the 1-row result
+    back, and bucket by plain comparisons — no global sort, no single-task
+    window; the scan side stays embarrassingly parallel. Boundaries here are
+    exact percentile_disc (a data member, no interpolation → bitwise oracle
+    agreement); at 100 TB swap in approx_percentile — a mergeable sketch with
+    bounded rank error — and the plan shape is unchanged. Bucket semantics:
+    count of boundaries strictly below the value (ties share a bucket), which
+    is ntile minus its even-cardinality tie-splitting."""
+    customer = load_table(spark, sf_dir, "customer")
+    customer.createOrReplaceTempView("__cust_qb")
+    bounds = spark.sql(
+        """
+        SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY c_acctbal) AS p25,
+               percentile_disc(0.50) WITHIN GROUP (ORDER BY c_acctbal) AS p50,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY c_acctbal) AS p75
+        FROM __cust_qb
+        """
+    )
+    quartile = (
+        F.lit(1)
+        + (F.col("c_acctbal") > F.col("p25")).cast("int")
+        + (F.col("c_acctbal") > F.col("p50")).cast("int")
+        + (F.col("c_acctbal") > F.col("p75")).cast("int")
+    )
+    return customer.join(F.broadcast(bounds)).select(
+        "c_custkey", quartile.alias("balance_quartile")
     )
 
 

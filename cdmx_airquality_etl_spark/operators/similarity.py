@@ -17,10 +17,11 @@ Three tiers:
                         constant and candidate volume ~linear as the corpus
                         grows. Trades recall for a join that scales linearly
                         in bucket sizes — the documented LSH trade-off.
-- q_similarity_ann_ivf — IVF-style ANN: a deterministic subset of vectors
-                        acts as centroids, every vector is assigned to its
-                        nearest centroid (broadcast centroid table), and the
-                        query probes only its own centroid's bucket.
+- q_similarity_ann_ivf — IVF ANN: spherical k-means centroids trained on a
+                        bounded deterministic sample (train_ivf_centroids),
+                        every vector assigned to its nearest centroid
+                        (broadcast centroid table), multi-probe query over
+                        the nprobe nearest cells.
 
 Dot products are sequential left folds over double products (Spark
 ``aggregate``, oracle ``list_reduce`` — same order ⇒ bitwise-identical
@@ -50,7 +51,8 @@ _NEAR_DUP_COS = 0.35
 _LSH_MIN_BITS = 4
 _LSH_MAX_BITS = 24  # bounded by embedding dim (64); 2^24 buckets ≫ any corpus
 _LSH_TARGET_BUCKET = 32
-_IVF_CENTROID_MOD = 97  # deterministic k-means sample seed (see _centroids)
+_IVF_SAMPLE_CAP = 50_000  # driver-side k-means training sample bound
+_IVF_NPROBE = 2  # query probes its nprobe nearest cells
 
 
 def _dot(a: str, b: str) -> Column:
@@ -214,46 +216,90 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_similarity_ann_ivf — IVF-bucketed ANN (rows-only: the probe semantics are
 # an approximation strategy, not a fixed SQL answer)
 # ---------------------------------------------------------------------------
+def train_ivf_centroids(
+    emb: DataFrame, k: int | None = None, iters: int = 8
+) -> list[tuple[int, list[float]]]:
+    """Spherical k-means on a bounded, deterministic sample — how real IVF
+    indexes are trained: the index is built from a coreset, never the full
+    corpus. The collect is capped at _IVF_SAMPLE_CAP rows (hash-stride
+    sampling, stable under repartition), so driver memory is O(cap × dim)
+    regardless of corpus size; assignment of the FULL corpus stays
+    distributed (broadcast join in the caller). Deterministic: stride
+    sampling + strided init + fixed iteration count → identical centroids
+    every run, no RNG."""
+    import math
+
+    import numpy as np
+
+    n = emb.count()
+    if k is None:
+        k = max(4, math.ceil(math.sqrt(n)))  # classic IVF nlist heuristic
+    stride = max(1, n // _IVF_SAMPLE_CAP)
+    sample = (
+        emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(stride)) == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    sample.sort(key=lambda r: r.vec_id)
+    X = np.asarray([r.embedding for r in sample], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    k = min(k, len(X))
+    C = X[:: max(1, len(X) // k)][:k].copy()  # strided deterministic init
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)  # cosine == dot on unit vectors
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-12)
+    return [(j, C[j].tolist()) for j in range(k)]
+
+
 @register("q_similarity_ann_ivf")
 def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: centroids = vec_id % _IVF_CENTROID_MOD == 0 (a
-    deterministic coreset standing in for k-means at this corpus size);
-    every vector joins only the broadcast centroid table to find its cell;
-    the query (vec_id 0) probes its own cell and brute-forces inside it.
+    """IVF ANN: k-means centroids (trained on a bounded sample, see
+    train_ivf_centroids) are broadcast; every vector is assigned to its
+    nearest centroid in one scan; the query (vec_id 0) probes its
+    _IVF_NPROBE nearest cells and brute-forces only inside them.
 
-    At 100 TB: the assignment pass is a single broadcast-join scan, the index
-    (vec_id → cell) is written bucketed by cell, and each query touches one
-    bucket — the classic IVF cost model.
+    At 100 TB: training touches only the sample, the assignment pass is a
+    single broadcast-join scan, the index (vec_id → cell) is written
+    bucketed by cell, and each query touches nprobe buckets — the classic
+    IVF cost model. Multi-probe buys recall at linear probe cost.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") % _IVF_CENTROID_MOD == 0).select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    cents = train_ivf_centroids(emb)
+    centroids = spark.createDataFrame(
+        cents, "c_id int, c_emb array<double>"
     )
 
     cos_to_centroid = _dot("embedding", "c_emb") / (
         _norm("embedding") * _norm("c_emb")
     )
-    assigned = (
+    ranked = (
         emb.join(broadcast(centroids))
         .select("vec_id", "label", "embedding", "c_id", cos_to_centroid.alias("c_cos"))
         .withColumn(
-            "best",
+            "rk",
             F.row_number().over(
                 Window.partitionBy("vec_id").orderBy(
                     F.col("c_cos").desc(), F.col("c_id").asc()
                 )
             ),
         )
-        .filter(F.col("best") == 1)
-        .select("vec_id", "label", "embedding", F.col("c_id").alias("cell"))
+    )
+    assigned = ranked.filter(F.col("rk") == 1).select(
+        "vec_id", "label", "embedding", F.col("c_id").alias("cell")
     )
 
-    query = assigned.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_emb"), F.col("cell").alias("q_cell")
+    # query-side multi-probe: the query's _IVF_NPROBE nearest cells
+    q_cells = (
+        ranked.filter((F.col("vec_id") == 0) & (F.col("rk") <= _IVF_NPROBE))
+        .select(F.col("embedding").alias("q_emb"), F.col("c_id").alias("q_cell"))
     )
     cos = _dot("embedding", "q_emb") / (_norm("embedding") * _norm("q_emb"))
     return (
-        assigned.join(broadcast(query), F.col("cell") == F.col("q_cell"))
+        assigned.join(broadcast(q_cells), F.col("cell") == F.col("q_cell"))
         .filter(F.col("vec_id") != 0)
         .select("vec_id", "label", cos.alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())

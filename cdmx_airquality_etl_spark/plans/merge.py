@@ -127,6 +127,7 @@ def merge_into_parquet(
     keys: list[str],
     counter_col: str | None = None,
     partition_col: str | None = None,
+    check_partition_alignment: bool = False,
 ) -> None:
     """Merge a batch into a parquet table at ``path`` (M-TXN equivalent).
 
@@ -136,6 +137,16 @@ def merge_into_parquet(
     write commit protocol provides the all-or-nothing behavior of the
     reference's BEGIN/COMMIT/ROLLBACK (scrapper.py:208-221).
     Without it: full-table merge + atomic directory swap (small tables only).
+
+    CONTRACT: ``partition_col`` must be functionally dependent on ``keys``
+    (true for the reference layout: year_num is derived from the report_ts
+    key). If a key could reappear under a DIFFERENT partition value, the
+    partition-scoped merge would insert a second copy (counter reset to 1)
+    instead of updating — pass ``check_partition_alignment=True`` to probe
+    for such keys (one column-pruned semi-join over the un-touched
+    partitions) and fail loudly, or ``partition_col=None`` to take the
+    full-table path. The probe is off by default because it defeats the
+    point of partition pruning on every well-formed batch.
     """
     import os
     import shutil
@@ -156,6 +167,20 @@ def merge_into_parquet(
     target = spark.read.parquet(path)
     if partition_col:
         touched = [r[0] for r in source.select(partition_col).distinct().collect()]
+        if check_partition_alignment:
+            stray = (
+                target.filter(~F.col(partition_col).isin(touched))
+                .select(*keys)
+                .join(F.broadcast(source.select(*keys).distinct()), keys, "left_semi")
+                .count()
+            )
+            if stray:
+                raise ValueError(
+                    f"{stray} source key(s) already exist under a partition "
+                    f"value outside the batch's {partition_col} set — "
+                    f"{partition_col} is not functionally dependent on "
+                    f"{keys} for this batch; merge with partition_col=None"
+                )
         target_slice = target.filter(F.col(partition_col).isin(touched))
         merged = merge_upsert(target_slice, source, keys, counter_col=counter_col)
         # per-write option, NOT spark.conf.set: mutating the session conf

@@ -115,3 +115,31 @@ def test_merge_into_parquet_partition_scoped(spark, tmp_path):
     assert out[(2024010100, "UIZ")]["nupdates"] == 1  # untouched partition intact
     assert out[(2025010100, "MER")]["calidad"] == "regular"
     assert out[(2025010100, "MER")]["nupdates"] == 2
+
+
+def test_merge_partition_alignment_probe(spark, tmp_path):
+    """A key reappearing under a different partition value violates the
+    functional-dependency contract: the opt-in probe must fail loudly
+    (silently it would duplicate the key with a reset counter)."""
+    import pytest
+
+    path = os.path.join(str(tmp_path), "mis_tbl")
+    b1 = _snapshot(spark, [(2024010100, "UIZ", "buena")])
+    b1 = b1.withColumn("year_num", F.lit(2024))
+    merge_into_parquet(spark, b1, path, KEYS, counter_col="nupdates",
+                       partition_col="year_num")
+    # same merge key, different partition value
+    b2 = _snapshot(spark, [(2024010100, "UIZ", "mala")])
+    b2 = b2.withColumn("year_num", F.lit(2025))
+    with pytest.raises(ValueError, match="functionally dependent"):
+        merge_into_parquet(spark, b2, path, KEYS, counter_col="nupdates",
+                           partition_col="year_num",
+                           check_partition_alignment=True)
+    # aligned batch passes the probe
+    b3 = _snapshot(spark, [(2024010100, "UIZ", "regular")])
+    b3 = b3.withColumn("year_num", F.lit(2024))
+    merge_into_parquet(spark, b3, path, KEYS, counter_col="nupdates",
+                       partition_col="year_num",
+                       check_partition_alignment=True)
+    out = {r["clave_str"]: r for r in spark.read.parquet(path).collect()}
+    assert out["UIZ"]["calidad"] == "regular" and out["UIZ"]["nupdates"] == 2

@@ -66,10 +66,14 @@ def test_fuzzy_dedup_self_join_is_shuffle_not_broadcast(spark, sf_dir):
     # the postings self-join must be a shuffle join: broadcast would
     # re-evaluate the whole shingle pipeline per side (measured 14× slower)
     # and cannot exist at scale; with SMJ both sides hash-partition on the
-    # shingle and AQE reuses the identical exchange at runtime
-    plan = _plan(spark, sf_dir, "q_dedup_fuzzy")
+    # shingle and AQE reuses the identical exchange at runtime. The ONLY
+    # broadcast allowed is the hot-shingle postings-cap prune — a LeftAnti
+    # against a tiny over-cap set.
+    plan = _plan(spark, sf_dir, "q_dedup_fuzzy", mode="simple")
     assert "SortMergeJoin" in plan
-    assert "BroadcastHashJoin" not in plan
+    for line in plan.splitlines():
+        if "BroadcastHashJoin" in line:
+            assert "LeftAnti" in line, line
 
 
 @pytest.mark.parametrize("name", ["q_join_semi", "q_join_anti"])

@@ -15,8 +15,9 @@ def test_ivf_recall_at_10(spark, sf_dir):
     truth = _ids(QUERIES["q_similarity_topk"](spark, sf_dir))
     approx = _ids(QUERIES["q_similarity_ann_ivf"](spark, sf_dir))
     assert len(truth) == len(approx) == 10
-    # sf0.001: recall 1.0; sf0.01 (5× more vectors, same probe count): 0.8
-    assert len(truth & approx) / len(truth) >= 0.7
+    # k-means IVF (k=√n, nprobe=2): measured 0.9 / 0.9 / 0.8 at sf0.001 /
+    # 0.01 / 0.1 — deterministic training, so these are fixed numbers
+    assert len(truth & approx) / len(truth) >= 0.8
 
 
 def test_lsh_bits_scale_with_corpus(spark):
