@@ -3,13 +3,15 @@
 Four escalating strategies, all distributed set-logic — no driver loops:
 
 - q_dedup_exact     — hash-groupBy on a normalized-content fingerprint.
-- q_dedup_fuzzy     — word-3-shingle Jaccard via explode + equi-join on the
-                      shingle (oracle-checkable; the candidate join is the
-                      skew-sensitive part — AQE skew-join handles warm
-                      shingles, and shingles with document frequency above
-                      _MAX_POSTINGS are dropped before the self-join; at
-                      100 TB you additionally hash shingles to int64 before
-                      the shuffle).
+- q_dedup_fuzzy     — word-3-shingle Jaccard via per-shingle postings lists
+                      (inverted index): group postings by shingle, cap list
+                      size at _MAX_POSTINGS (skew/stop-phrase guard), expand
+                      candidate pairs map-side with array HOFs, count shared
+                      shingles per pair. Oracle-checkable; no join operator,
+                      so skew cannot produce a quadratic join — per-group
+                      state and fan-out are bounded by the cap. At 100 TB
+                      you additionally hash shingles to int64 before the
+                      shuffle.
 - q_dedup_minhash   — MinHash signatures + LSH banding: candidate pairs come
                       from band-bucket equi-joins (|bands| shuffles of one
                       small row per doc), then exact Jaccard verification on
@@ -30,7 +32,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.functions import broadcast
 
 from ..functions import word_shingles
 from ..registry import register
@@ -38,9 +39,9 @@ from ..sources.parquet import load_table
 
 _JACCARD_THRESHOLD = 0.5
 # Per-shingle postings cap: a shingle appearing in more than this many docs
-# is dropped BEFORE the candidate self-join. A stop-phrase shingle with df=d
-# alone contributes d·(d−1)/2 join rows — unbounded df is the quadratic
-# failure mode of shingle-join dedup at 100 TB. Dropping it costs recall only
+# is dropped before candidate-pair expansion. A stop-phrase shingle with df=d
+# alone contributes d·(d−1)/2 candidate pairs — unbounded df is the quadratic
+# failure mode of shingle-based dedup at 100 TB. Dropping it costs recall only
 # for pairs whose *entire* overlap is stop-phrases (their Jaccard denominator
 # still counts the dropped shingle, so retained pairs' scores only shrink —
 # the cap never creates false positives). Observed max df: 7 at sf0.01,
@@ -64,42 +65,42 @@ def _doc_shingles(docs: DataFrame) -> DataFrame:
 def _jaccard_pairs(
     shingled: DataFrame, threshold: float, max_postings: int = _MAX_POSTINGS
 ) -> DataFrame:
-    """Candidate pairs by shingle equi-join → exact Jaccard ≥ threshold.
+    """Candidate pairs from per-shingle postings lists → exact Jaccard ≥
+    threshold.
 
     jaccard = |A∩B| / (|A|+|B|−|A∩B|); integer counts, so the double division
     is bitwise-identical in any engine.
 
-    Shingles with document frequency > ``max_postings`` are removed from the
-    postings before the self-join (hot set is tiny → broadcast anti-join);
-    see _MAX_POSTINGS for the recall trade-off. The df aggregate shuffles by
-    shingle — the same key as the self-join, so AQE/exchange reuse keeps the
-    added cost to one aggregation pass.
+    Plan shape (the inverted-index formulation): ONE shuffle groups postings
+    by shingle; the postings cap is a plain ``size(ps) <= max_postings``
+    filter on the grouped lists; candidate pairs expand MAP-SIDE from each
+    list with native array higher-order functions (sorted, so doc_id_a <
+    doc_id_b by construction); a second shuffle counts shared shingles per
+    pair. Compared to an explode + sort-merge self-join this computes the
+    shingling once, shuffles once less, and — the scale property — bounds
+    BOTH per-group state and per-row pair fan-out by the cap: a group holds
+    ≤ cap structs and emits ≤ cap·(cap−1)/2 pairs, so no task can see a
+    quadratic blow-up regardless of key skew (previously the cap needed its
+    own aggregate + anti-join pass).
     """
-    e = shingled.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
-    hot = (
-        e.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > max_postings)
-        .select("shingle")
+    posts = (
+        shingled.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ps"))
+        .filter(F.size("ps").between(2, max_postings))
     )
-    e = e.join(broadcast(hot), "shingle", "left_anti")
-    # Self-join: force sort-merge so both sides produce identical shuffle
-    # exchanges and Catalyst's ReusedExchange computes the postings once.
-    # (A broadcast join here re-evaluates the whole shingle pipeline per side
-    # — measured 14× slower at sf0.1 — and is impossible at 100 TB anyway.)
-    a, b = e.alias("a"), e.hint("merge").alias("b")
+    pairs = F.explode(
+        F.expr(
+            """flatten(transform(ps, (x, i) ->
+                 transform(slice(ps, i + 2, size(ps) - i - 1), y ->
+                   struct(x.doc_id AS doc_id_a, x.n_sh AS n_a,
+                          y.doc_id AS doc_id_b, y.n_sh AS n_b))))"""
+        )
+    ).alias("p")
     return (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
-        )
+        posts.select(pairs)
+        .select("p.*")
+        .groupBy("doc_id_a", "doc_id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("shared"))
         .withColumn(
             "jaccard",

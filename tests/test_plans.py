@@ -63,17 +63,15 @@ def test_group_agg_partial_final(spark, sf_dir):
 
 
 def test_fuzzy_dedup_self_join_is_shuffle_not_broadcast(spark, sf_dir):
-    # the postings self-join must be a shuffle join: broadcast would
-    # re-evaluate the whole shingle pipeline per side (measured 14× slower)
-    # and cannot exist at scale; with SMJ both sides hash-partition on the
-    # shingle and AQE reuses the identical exchange at runtime. The ONLY
-    # broadcast allowed is the hot-shingle postings-cap prune — a LeftAnti
-    # against a tiny over-cap set.
+    # inverted-index formulation: postings grouped per shingle (one
+    # exchange), pairs expanded MAP-SIDE from the capped lists, pair counts
+    # aggregated (second exchange) — no join operator anywhere, so no task
+    # can see a skew-driven quadratic join (the cap bounds per-group state
+    # and fan-out instead)
     plan = _plan(spark, sf_dir, "q_dedup_fuzzy", mode="simple")
-    assert "SortMergeJoin" in plan
-    for line in plan.splitlines():
-        if "BroadcastHashJoin" in line:
-            assert "LeftAnti" in line, line
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Generate explode" in plan  # map-side pair expansion
 
 
 @pytest.mark.parametrize("name", ["q_join_semi", "q_join_anti"])
