@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..registry import register
 from ..sources.parquet import load_table
@@ -121,6 +122,93 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_toks").alias("total_tokens"),
             F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "q_stratified_sample",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (
+             ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) % 16
+               < (CASE WHEN lang = 'en' THEN 12 ELSE 4 END)
+           ) AS n_sampled
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling — how a training mix is built
+    (e.g. keep 75% of English, 25% of everything else). Membership is a
+    content-hash bucket test per doc (hex char 2 of md5(doc_id), 16 equally
+    likely values), NOT rand(seed): the sample is identical under re-runs,
+    repartitions and engine swaps, and a doc's fate is decidable without
+    global state — the property that lets a 100 TB corpus be sampled in one
+    embarrassingly-parallel scan-side filter. Emitted as per-stratum
+    totals + sampled counts (one conditional hash aggregate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 2, 1)) % 16
+    rate16 = F.when(F.col("lang") == "en", 12).otherwise(4)
+    return (
+        docs.select("lang", (bucket < rate16).alias("kept"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count_if("kept").alias("n_sampled"),
+        )
+    )
+
+
+@register(
+    "q_token_shard",
+    oracle=r"""
+    WITH toks AS (
+      SELECT lang, doc_id,
+             len(string_split_regex(trim(lower(text)), '\s+')) AS n_toks
+      FROM documents
+    ),
+    cum AS (
+      SELECT lang, doc_id, n_toks,
+             CAST(SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_toks
+      FROM toks
+    )
+    SELECT lang,
+           CAST(FLOOR((cum_toks - n_toks) / 2000.0) AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS shard_tokens
+    FROM cum
+    GROUP BY 1, 2
+    """,
+)
+def q_token_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard assignment: pack each language's documents into
+    ~2000-token training shards by running token count (a doc goes to the
+    shard its EXCLUSIVE prefix sum falls in — the streaming-pack rule, so
+    assignment depends only on the docs before it in (lang, doc_id) order,
+    never on a global mutable packer). One window partitioned by lang + one
+    hash aggregate; at 100 TB a single giant language would range-partition
+    on doc_id with per-range offsets merged after (two-pass), same math."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(F.split(F.trim(F.lower("text")), r"\s+"))
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = docs.select("lang", "doc_id", n_toks.alias("n_toks")).select(
+        "lang",
+        "n_toks",
+        F.sum("n_toks").over(w).alias("cum_toks"),
+    )
+    shard = F.floor((F.col("cum_toks") - F.col("n_toks")) / 2000.0).cast("long")
+    return (
+        cum.select("lang", "n_toks", shard.alias("shard_id"))
+        .groupBy("lang", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("shard_tokens"),
         )
     )
 

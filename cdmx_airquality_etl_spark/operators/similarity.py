@@ -213,6 +213,101 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_dedup_embedding_banded — banded sign-LSH (OR amplification): a pair is a
+# candidate if it agrees on ANY band of sign bits, not just the one prefix
+# bucket — the embedding-space analogue of q_dedup_minhash's band trick.
+# Recall rises (independent chances to collide) while each band join stays
+# an equi-join; exact cosine still verifies every candidate, so precision
+# is unchanged. Deterministic axis-aligned planes → fully SQL-expressible.
+# ---------------------------------------------------------------------------
+# band sizing: for a pair at angle θ, P(bit agrees) = 1 − θ/π; a band of w
+# bits collides with p^w and ANY of b bands with 1−(1−p^w)^b. At the operator
+# threshold (cos 0.35 → p ≈ 0.61), 6 bands × 4 bits gives ~0.6 recall vs
+# ~0.2 for 4 × 6 — more, narrower bands trade candidate volume for recall.
+_EMB_BANDS = 6
+_EMB_BAND_BITS = 4  # 6 bands × 4 dims = leading 24 dims as hyperplanes
+
+
+def _band_key_spark(emb_col: str, band: int) -> Column:
+    key = F.lit(0)
+    for j in range(_EMB_BAND_BITS):
+        dim = band * _EMB_BAND_BITS + j + 1
+        key = key + F.when(
+            F.element_at(F.col(emb_col), dim) >= 0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
+    return key
+
+
+def _band_key_sql(band: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN embedding[{band * _EMB_BAND_BITS + j + 1}] >= 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(_EMB_BAND_BITS)
+    )
+
+
+_BANDED_CAND_SQL = "\n      UNION\n".join(
+    f"""      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM e a JOIN e b ON a.bk{band} = b.bk{band} AND a.vec_id < b.vec_id"""
+    for band in range(_EMB_BANDS)
+)
+
+
+@register(
+    "q_dedup_embedding_banded",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             {', '.join(f'{_band_key_sql(b)} AS bk{b}' for b in range(_EMB_BANDS))}
+      FROM embeddings
+    ),
+    c AS (
+{_BANDED_CAND_SQL}
+    )
+    SELECT c.va AS vec_id_a, c.vb AS vec_id_b,
+           {_sql_cos('x.embedding', 'y.embedding')} AS cosine_sim
+    FROM c
+    JOIN e x ON x.vec_id = c.va
+    JOIN e y ON y.vec_id = c.vb
+    WHERE {_sql_cos('x.embedding', 'y.embedding')} >= {_NEAR_DUP_COS}
+    """,
+)
+def q_dedup_embedding_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"), _band_key_spark("embedding", b).alias("key")
+        )
+        for b in range(_EMB_BANDS)
+    ]
+    bands = emb.select(
+        "vec_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("vec_id", "bk.band", "bk.key")
+
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_id_a"), F.col("b.vec_id").alias("vec_id_b"))
+        .distinct()
+    )
+
+    ex = emb.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("emb_a"))
+    ey = emb.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("emb_b"))
+    cos = _dot("emb_a", "emb_b") / (_norm("emb_a") * _norm("emb_b"))
+    return (
+        candidates.join(ex, "vec_id_a")
+        .join(ey, "vec_id_b")
+        .select("vec_id_a", "vec_id_b", cos.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= _NEAR_DUP_COS)
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_similarity_ann_ivf — IVF-bucketed ANN (rows-only: the probe semantics are
 # an approximation strategy, not a fixed SQL answer)
 # ---------------------------------------------------------------------------

@@ -238,3 +238,49 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("fp_full"),
         F.array_min(F.transform(shingles, F.md5)).alias("fp_min_shingle"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_pii_scrub — PII redaction pass (emails, long digit runs)
+# ---------------------------------------------------------------------------
+# ASCII-only patterns chosen to mean the same thing in Java regex (Spark)
+# and RE2 (DuckDB): no lookaround, no \d shorthand-class surprises.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_LONGNUM_RE = r"[0-9]{7,}"
+
+
+@register(
+    "q_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+             '{_LONGNUM_RE}', '[NUM]', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_LONGNUM_RE}')) AS BIGINT)
+             AS n_longnums
+    FROM documents
+    WHERE doc_id < 200
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the compliance pass every training-data pipeline runs
+    before anything else: emails and 7+-digit runs (phone/account shaped)
+    replaced with typed placeholder tokens, plus per-doc match counts for the
+    scrub-rate report. Pure scalar regexp_replace/count inside one
+    WholeStageCodegen projection — scan-side, no shuffle, trivially
+    scan-parallel at 100 TB. Patterns are deliberately lookaround-free so
+    Java regex and RE2 agree (generalizes F-REPL, scrapper.py:20-26)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "[EMAIL]"),
+        _LONGNUM_RE,
+        "[NUM]",
+    )
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.regexp_count("text", F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(_LONGNUM_RE)).cast("long").alias("n_longnums"),
+    )

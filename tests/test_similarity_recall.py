@@ -45,6 +45,45 @@ def test_lsh_bits_scale_with_corpus(spark):
         assert engine_bits == lsh_bits_for(n)
 
 
+def test_banded_lsh_dominates_single_bucket(spark, sf_dir):
+    """OR-amplification must pay off: against brute-force ground truth
+    (all pairs with cosine ≥ threshold), the banded variant's pair set must
+    contain the single-bucket variant's and strictly improve recall on this
+    corpus. Every emitted pair is exact-cosine-verified, so precision is 1.0
+    for both by construction."""
+    from pyspark.sql import functions as F
+
+    from cdmx_airquality_etl_spark.operators.similarity import (
+        _NEAR_DUP_COS,
+        _dot,
+        _norm,
+    )
+    from cdmx_airquality_etl_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ea = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("emb_b"))
+    cos = _dot("emb_a", "emb_b") / (_norm("emb_a") * _norm("emb_b"))
+    truth = {
+        (r.va, r.vb)
+        for r in ea.join(eb, F.col("va") < F.col("vb"))
+        .select("va", "vb", cos.alias("c"))
+        .filter(F.col("c") >= _NEAR_DUP_COS)
+        .collect()
+    }
+    single = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in QUERIES["q_dedup_embedding"](spark, sf_dir).collect()
+    }
+    banded = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in QUERIES["q_dedup_embedding_banded"](spark, sf_dir).collect()
+    }
+    assert single <= truth and banded <= truth  # verified candidates only
+    assert len(banded) > len(single)  # OR amplification strictly helps here
+    assert len(banded) / len(truth) >= 0.5  # recall floor at test scale
+
+
 def test_embedding_neardup_blocks_are_sound(spark, sf_dir):
     # sign-LSH blocking is a filter on the exact pair set: every surviving
     # pair must genuinely clear the cosine threshold (no false positives by
