@@ -216,6 +216,90 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_dedup_incremental — dedup a NEW batch against the known corpus
+# ---------------------------------------------------------------------------
+_INCR_SPLIT_ID = 250  # doc_id < split = known corpus, >= split = new batch
+
+
+@register(
+    "q_dedup_incremental",
+    oracle=rf"""
+    WITH known AS (
+      SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      FROM documents WHERE doc_id < {_INCR_SPLIT_ID}
+    ),
+    batch AS (
+      SELECT doc_id, lang,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      FROM documents WHERE doc_id >= {_INCR_SPLIT_ID}
+    )
+    SELECT b.doc_id, b.lang
+    FROM batch b
+    WHERE b.fp NOT IN (SELECT fp FROM known)
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The op a daily ingest actually runs: drop new-batch docs whose content
+    fingerprint already exists in the accumulated corpus — dedup as an
+    ANTI-JOIN on fingerprints, not a full re-clustering. (Here the split is
+    simulated on doc_id; in production `known` is the fingerprint column of
+    the corpus table.) Scale shape: the anti-join shuffles batch + corpus
+    fingerprints on fp — a narrow (16-byte) column regardless of document
+    size; with the corpus side bucketed by fp the shuffle drops to the batch
+    side only, and a Bloom filter of corpus fingerprints (AQE injects one
+    for selective joins) short-circuits most batch rows scan-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(_norm_text(F.col("text"))).alias("fp")
+    known = docs.filter(F.col("doc_id") < _INCR_SPLIT_ID).select(fp).distinct()
+    batch = docs.filter(F.col("doc_id") >= _INCR_SPLIT_ID).select(
+        "doc_id", "lang", fp
+    )
+    return batch.join(known, "fp", "left_anti").select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# q_duplicate_stats — corpus duplication-rate report
+# ---------------------------------------------------------------------------
+@register(
+    "q_duplicate_stats",
+    oracle=r"""
+    WITH g AS (
+      SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+             COUNT(*) AS n
+      FROM documents GROUP BY 1
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) FILTER (n > 1) AS BIGINT) AS n_dup_groups,
+           CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+             AS docs_in_dup_groups,
+           CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_removable
+    FROM g
+    """,
+)
+def q_duplicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplication report — the number a curation run is judged by
+    ("what fraction of the crawl is copies"): group sizes per content
+    fingerprint rolled into one summary row. Two hash aggregates, the second
+    over |distinct fingerprints| rows; nothing rescans documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.select(F.md5(_norm_text(F.col("text"))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    dup = F.col("n") > 1
+    return g.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.count_if(dup).alias("n_dup_groups"),
+        F.sum(F.when(dup, F.col("n")).otherwise(0)).cast("long")
+        .alias("docs_in_dup_groups"),
+        (F.sum("n") - F.count(F.lit(1))).cast("long").alias("n_removable"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_dedup_minhash — MinHash + LSH banding, exact-verify candidates
 # ---------------------------------------------------------------------------
 _MH_PRIME = 1_000_000_007

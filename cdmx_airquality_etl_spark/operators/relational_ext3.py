@@ -167,3 +167,62 @@ def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last_day(F.to_date("o_orderdate")).cast("string").alias("month_end"),
         F.weekday("o_orderdate").cast("long").alias("weekday_mon0"),
     )
+
+
+@register(
+    "q_corr_manual",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             AS corr_qty_price,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta_price_per_qty
+    FROM s
+    """,
+)
+def q_corr_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / regression slope per group with EXACT moment sums:
+    built-in corr() accumulates floating-point state whose value depends on
+    partial-aggregation order (non-reproducible across runs at scale, and
+    never bitwise-equal across engines), so the moments (Σx, Σy, Σxy, Σx²,
+    Σy²) are summed in DECIMAL — associative, order-free, exact — and the
+    closed-form corr/beta are computed from those six scalars in one fixed
+    double expression. Same map-side-combinable single-pass hash aggregate
+    as corr(), but the answer is a deterministic function of the data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    xd = F.col("l_quantity").cast("decimal(18,2)")
+    yd = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(yd * yd).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return s.select(
+        "l_returnflag",
+        n.cast("long").alias("n_rows"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr_qty_price"),
+        ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("beta_price_per_qty"),
+    )
