@@ -1,9 +1,12 @@
+from .corpus_ingest import corpus_ingest_stream, dedup_batch_against_corpus
 from .ingest import ingest_stream
 from .joins import dedup_within_watermark, interval_join
 from .stateful import run_windowed_counts_stream, session_counts, windowed_counts
 from .stateful_custom import run_running_totals_stream, running_totals
 
 __all__ = [
+    "corpus_ingest_stream",
+    "dedup_batch_against_corpus",
     "dedup_within_watermark",
     "ingest_stream",
     "interval_join",
