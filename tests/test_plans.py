@@ -116,3 +116,39 @@ def test_time_bucket_partial_agg(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_time_bucket")
     assert "partial" in plan.lower()
     assert plan.count("HashAggregate") >= 2
+
+
+def test_stratified_sample_is_one_pruned_agg(spark, sf_dir):
+    # hash-membership sampling must stay a scan-side filter feeding one hash
+    # aggregate: only (doc_id, lang) read, one exchange, no window/join
+    plan = _plan(spark, sf_dir, "q_stratified_sample", mode="simple")
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan and "Window" not in plan
+    read = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "text" not in read  # never deserializes document bodies
+
+
+def test_pii_scrub_is_scan_side(spark, sf_dir):
+    # redaction is a pure projection: pushed id filter, no exchange at all
+    plan = _plan(spark, sf_dir, "q_pii_scrub")
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,200)]" in plan
+    assert "Exchange" not in plan
+
+
+def test_quantile_bucket_broadcasts_boundaries(spark, sf_dir):
+    # the scale-safe global-quantile form: boundaries reduce to ONE row
+    # (SinglePartition exchange of a pruned 1-column scan) and come back as
+    # a broadcast — the fact scan itself never sorts or shuffles
+    plan = _plan(spark, sf_dir, "q_quantile_bucket", mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row bounds cross join
+    assert "Exchange SinglePartition" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_dedup_incremental_is_anti_join_on_fingerprints(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_dedup_incremental", mode="simple")
+    assert "LeftAnti" in plan
+    # both sides push their doc_id split predicate into the scan
+    full = _plan(spark, sf_dir, "q_dedup_incremental")
+    assert "GreaterThanOrEqual(doc_id,250)" in full
+    assert "LessThan(doc_id,250)" in full
