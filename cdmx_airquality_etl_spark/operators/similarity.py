@@ -19,9 +19,9 @@ Three tiers:
                         in bucket sizes — the documented LSH trade-off.
 - q_similarity_ann_ivf — IVF ANN: spherical k-means centroids trained on a
                         bounded deterministic sample (train_ivf_centroids),
-                        every vector assigned to its nearest centroid
-                        (broadcast centroid table), multi-probe query over
-                        the nprobe nearest cells.
+                        assignment as a scan-side argmax over literal
+                        centroid arrays (no join/shuffle), multi-probe
+                        query over the nprobe nearest cells.
 
 Dot products are sequential left folds over double products (Spark
 ``aggregate``, oracle ``list_reduce`` — same order ⇒ bitwise-identical
@@ -34,7 +34,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
-from pyspark.sql.window import Window
 
 from ..registry import register
 from ..sources.parquet import load_table
@@ -350,52 +349,67 @@ def train_ivf_centroids(
     return [(j, C[j].tolist()) for j in range(k)]
 
 
+def _lit_array(values: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in values])
+
+
 @register("q_similarity_ann_ivf")
 def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: k-means centroids (trained on a bounded sample, see
-    train_ivf_centroids) are broadcast; every vector is assigned to its
-    nearest centroid in one scan; the query (vec_id 0) probes its
-    _IVF_NPROBE nearest cells and brute-forces only inside them.
+    train_ivf_centroids) become LITERAL arrays in the plan — the truest form
+    of "broadcast the index" — so cell assignment is a pure scan-side argmax
+    projection: no join, no window, no shuffle anywhere. The query (vec_id
+    0) resolves its _IVF_NPROBE nearest cells driver-side (k tiny numbers),
+    and the final pass is one pruned scan → cell filter → exact cosine →
+    TakeOrderedAndProject.
 
-    At 100 TB: training touches only the sample, the assignment pass is a
-    single broadcast-join scan, the index (vec_id → cell) is written
-    bucketed by cell, and each query touches nprobe buckets — the classic
-    IVF cost model. Multi-probe buys recall at linear probe cost.
+    At 100 TB: training touches only the sample; the assignment pass is
+    embarrassingly parallel; the index (vec_id → cell) is written bucketed
+    by cell so each query reads nprobe buckets — the classic IVF cost
+    model. Multi-probe buys recall at linear probe cost. For very large k
+    (literal expressions grow O(k·dim)) the same plan swaps in a broadcast
+    join + max_by aggregate.
     """
+    import numpy as np
+
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = train_ivf_centroids(emb)
-    centroids = spark.createDataFrame(
-        cents, "c_id int, c_emb array<double>"
-    )
+    cents = train_ivf_centroids(emb)  # unit-norm centroids
+    C = np.asarray([c for _, c in cents])
 
-    cos_to_centroid = _dot("embedding", "c_emb") / (
-        _norm("embedding") * _norm("c_emb")
-    )
-    ranked = (
-        emb.join(broadcast(centroids))
-        .select("vec_id", "label", "embedding", "c_id", cos_to_centroid.alias("c_cos"))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.col("c_cos").desc(), F.col("c_id").asc()
-                )
-            ),
+    # driver-side probe-cell resolution for the query vector
+    q_emb = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    q = np.asarray(q_emb, dtype=np.float64)
+    q_cos = (C @ q) / max(np.linalg.norm(q), 1e-12)  # centroids unit-norm
+    order = sorted(range(len(C)), key=lambda j: (-q_cos[j], j))
+    probe_cells = order[:_IVF_NPROBE]
+
+    # scan-side argmax over literal centroids: array_max on (cos, -j)
+    # structs = highest cosine, ties to the lowest centroid id
+    cell_scores = [
+        F.struct(
+            (_dot("embedding", f"__c{j}") / _norm("embedding")).alias("c"),
+            F.lit(-j).alias("nj"),
         )
+        for j in range(len(C))
+    ]
+    with_cents = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        *[_lit_array(C[j].tolist()).alias(f"__c{j}") for j in range(len(C))],
     )
-    assigned = ranked.filter(F.col("rk") == 1).select(
-        "vec_id", "label", "embedding", F.col("c_id").alias("cell")
+    assigned = with_cents.select(
+        "vec_id",
+        "label",
+        "embedding",
+        (-F.array_max(F.array(*cell_scores)).getField("nj")).alias("cell"),
     )
 
-    # query-side multi-probe: the query's _IVF_NPROBE nearest cells
-    q_cells = (
-        ranked.filter((F.col("vec_id") == 0) & (F.col("rk") <= _IVF_NPROBE))
-        .select(F.col("embedding").alias("q_emb"), F.col("c_id").alias("q_cell"))
-    )
-    cos = _dot("embedding", "q_emb") / (_norm("embedding") * _norm("q_emb"))
+    q_lit = _lit_array(list(map(float, q_emb)))
+    cos = _dot("embedding", "__q") / (_norm("embedding") * _norm("__q"))
     return (
-        assigned.join(broadcast(q_cells), F.col("cell") == F.col("q_cell"))
-        .filter(F.col("vec_id") != 0)
+        assigned.filter(F.col("cell").isin(probe_cells) & (F.col("vec_id") != 0))
+        .withColumn("__q", q_lit)
         .select("vec_id", "label", cos.alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
         .limit(_TOPK)
