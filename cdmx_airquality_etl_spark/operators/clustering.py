@@ -48,6 +48,17 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+
+    def label_sum(df: DataFrame):
+        # labels are monotonically non-increasing per node under the min
+        # aggregation, so an unchanged total sum ⟺ no label moved — one
+        # cheap aggregate per round instead of a join + count. DECIMAL sum:
+        # node-count × id-magnitude can overflow int64 at graph scale.
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = label_sum(labels)
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -59,19 +70,15 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_sum = label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             return labels
+        prev_sum = new_sum
     raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds "
-        f"({changed} labels still moving) — raise max_iter (components with "
-        "diameter > max_iter exist) rather than use a partial clustering"
+        f"connected_components did not converge in {max_iter} rounds — "
+        "raise max_iter (components with diameter > max_iter exist) rather "
+        "than use a partial clustering"
     )
 
 
