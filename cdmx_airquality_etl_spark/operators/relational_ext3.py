@@ -172,26 +172,29 @@ def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_corr_manual",
     oracle="""
-    WITH s AS (
+    WITH v AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+             CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM lineitem
+    ),
+    s AS (
       SELECT l_returnflag,
              CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
-      FROM lineitem
+             CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(x * y) AS BIGINT) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(x * x) AS BIGINT) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(y * y) AS BIGINT) AS DOUBLE) AS syy
+      FROM v
       GROUP BY l_returnflag
     )
     SELECT l_returnflag,
            CAST(n AS BIGINT) AS n_rows,
            (n * sxy - sx * sy)
              / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
-             AS corr_qty_price,
-           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta_price_per_qty
+             AS corr_qty_discount,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta_discount_per_qty
     FROM s
     """,
 )
@@ -199,21 +202,29 @@ def q_corr_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlation / regression slope per group with EXACT moment sums:
     built-in corr() accumulates floating-point state whose value depends on
     partial-aggregation order (non-reproducible across runs at scale, and
-    never bitwise-equal across engines), so the moments (Σx, Σy, Σxy, Σx²,
-    Σy²) are summed in DECIMAL — associative, order-free, exact — and the
-    closed-form corr/beta are computed from those six scalars in one fixed
-    double expression. Same map-side-combinable single-pass hash aggregate
-    as corr(), but the answer is a deterministic function of the data."""
+    never bitwise-equal across engines), so both variables are scaled to
+    INTEGERS (×100 through a DECIMAL(18,2) cast — exact) and the moments
+    (Σx, Σy, Σxy, Σx², Σy²) are summed as BIGINTs: associative, order-free,
+    exact, and — because every sum here stays under 2^53 — exactly
+    representable as doubles, so the closed-form corr/beta are deterministic
+    functions of the data, identical in any engine. (The ×100 scaling
+    cancels: corr is scale-invariant and both variables share the factor.)
+    Deliberately NOT ``CAST(DECIMAL AS DOUBLE)`` on wide decimals: that cast
+    is not correctly rounded in every engine (observed 1-ulp divergence on a
+    DECIMAL(38,4) squared-price sum). Same map-side-combinable single-pass
+    hash aggregate as corr()."""
     li = load_table(spark, sf_dir, "lineitem")
-    xd = F.col("l_quantity").cast("decimal(18,2)")
-    yd = F.col("l_extendedprice").cast("decimal(18,2)")
-    s = li.groupBy("l_returnflag").agg(
+    x = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("long")
+    y = (F.col("l_discount").cast("decimal(18,2)") * 100).cast("long")
+    s = li.select("l_returnflag", x.alias("x"), y.alias("y")).groupBy(
+        "l_returnflag"
+    ).agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(xd).cast("double").alias("sx"),
-        F.sum(yd).cast("double").alias("sy"),
-        F.sum(xd * yd).cast("double").alias("sxy"),
-        F.sum(xd * xd).cast("double").alias("sxx"),
-        F.sum(yd * yd).cast("double").alias("syy"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
@@ -223,6 +234,6 @@ def q_corr_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (n * sxy - sx * sy)
             / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
-        ).alias("corr_qty_price"),
-        ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("beta_price_per_qty"),
+        ).alias("corr_qty_discount"),
+        ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("beta_discount_per_qty"),
     )

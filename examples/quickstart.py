@@ -81,6 +81,22 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         n = spark.read.format("html_pages").load(land).count()
         print(f"html_pages DataSource read {n} page(s)")
 
+    # --- S-HTTP: live fetch (file:// here; http(s) in production) --------
+    # Same shape as the reference's requests.get entry (scrapper.py:133),
+    # distributed: fetch_pages(spark, urls) -> (page_id, url, status, html).
+    # The equivalent command-line run is:
+    #   python -m cdmx_airquality_etl_spark --init-db --config pipeline.yaml \
+    #       --urls urls.txt --log-file etl_log.log
+    from pathlib import Path
+
+    from cdmx_airquality_etl_spark.sources.fetch import fetch_pages
+
+    with tempfile.TemporaryDirectory() as land:
+        page_path = Path(land) / "report.html"
+        page_path.write_text(SNAPSHOT, encoding="utf-8")
+        fetched = fetch_pages(spark, [page_path.as_uri()])
+        print(f"fetched {fetched.count()} page(s) via file:// URL")
+
 
 if __name__ == "__main__":
     main(*sys.argv[1:2])
