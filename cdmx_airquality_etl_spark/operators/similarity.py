@@ -223,27 +223,42 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bits collides with p^w and ANY of b bands with 1−(1−p^w)^b. At the operator
 # threshold (cos 0.35 → p ≈ 0.61), 6 bands × 4 bits gives ~0.6 recall vs
 # ~0.2 for 4 × 6 — more, narrower bands trade candidate volume for recall.
+# Band WIDTH scales with the corpus exactly like the single-bucket variant
+# (the same lsh_bits formula, capped at dim/bands so 6 disjoint bands fit in
+# 64 dims): per-band bucket occupancy stays ~constant, so OR amplification
+# buys recall without the n²/2^const candidate blow-up of a fixed key. Past
+# the cap (n ≫ 32·2^10) switch to random non-axis-aligned hyperplanes —
+# unlimited planes — or drop bands.
 _EMB_BANDS = 6
-_EMB_BAND_BITS = 4  # 6 bands × 4 dims = leading 24 dims as hyperplanes
+_EMB_MAX_BAND_BITS = 10  # 6 bands × 10 dims ≤ 64-dim budget
 
 
-def _band_key_spark(emb_col: str, band: int) -> Column:
-    key = F.lit(0)
-    for j in range(_EMB_BAND_BITS):
-        dim = band * _EMB_BAND_BITS + j + 1
-        key = key + F.when(
-            F.element_at(F.col(emb_col), dim) >= 0, F.lit(1 << j)
-        ).otherwise(F.lit(0))
-    return key
+def _band_key_sql(band: int, bits_ref: str, spark_dialect: bool = False) -> str:
+    """Band key gated on the runtime bits value: band `b` owns dims
+    [b·bits+1 .. b·bits+bits]; terms beyond `bits` contribute 0.
 
+    spark_dialect switches the array accessor: DuckDB's `arr[i]` is 1-based
+    but Spark SQL's is 0-based, so the Spark text uses element_at (1-based)
+    to read the same dimension.
+    """
 
-def _band_key_sql(band: int) -> str:
+    def at(idx: str) -> str:
+        if spark_dialect:
+            return f"element_at(embedding, {idx})"
+        return f"embedding[{idx}]"
+
     return " + ".join(
-        f"(CASE WHEN embedding[{band * _EMB_BAND_BITS + j + 1}] >= 0 "
+        f"(CASE WHEN {j} < {bits_ref} "
+        f"AND {at(f'{band} * {bits_ref} + {j + 1}')} >= 0 "
         f"THEN {1 << j} ELSE 0 END)"
-        for j in range(_EMB_BAND_BITS)
+        for j in range(_EMB_MAX_BAND_BITS)
     )
 
+
+_BAND_BITS_SQL = (
+    f"LEAST({_EMB_MAX_BAND_BITS}, GREATEST({_LSH_MIN_BITS}, "
+    f"CAST(CEIL(LOG2(COUNT(*) / {_LSH_TARGET_BUCKET}.0)) AS INT)))"
+)
 
 _BANDED_CAND_SQL = "\n      UNION\n".join(
     f"""      SELECT a.vec_id AS va, b.vec_id AS vb
@@ -255,10 +270,11 @@ _BANDED_CAND_SQL = "\n      UNION\n".join(
 @register(
     "q_dedup_embedding_banded",
     oracle=f"""
-    WITH e AS (
+    WITH nb AS (SELECT {_BAND_BITS_SQL} AS bits FROM embeddings),
+    e AS (
       SELECT vec_id, embedding,
-             {', '.join(f'{_band_key_sql(b)} AS bk{b}' for b in range(_EMB_BANDS))}
-      FROM embeddings
+             {', '.join(f'{_band_key_sql(b, "nb.bits")} AS bk{b}' for b in range(_EMB_BANDS))}
+      FROM embeddings, nb
     ),
     c AS (
 {_BANDED_CAND_SQL}
@@ -273,15 +289,27 @@ _BANDED_CAND_SQL = "\n      UNION\n".join(
 )
 def q_dedup_embedding_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    bits = emb.agg(
+        F.least(
+            F.lit(_EMB_MAX_BAND_BITS),
+            F.greatest(
+                F.lit(_LSH_MIN_BITS),
+                F.ceil(F.log2(F.count(F.lit(1)) / _LSH_TARGET_BUCKET)).cast("int"),
+            ),
+        ).alias("lsh_bits")
+    )
     band_structs = [
         F.struct(
-            F.lit(b).alias("band"), _band_key_spark("embedding", b).alias("key")
+            F.lit(b).alias("band"),
+            F.expr(_band_key_sql(b, "lsh_bits", spark_dialect=True)).alias("key"),
         )
         for b in range(_EMB_BANDS)
     ]
-    bands = emb.select(
-        "vec_id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("vec_id", "bk.band", "bk.key")
+    bands = (
+        emb.join(broadcast(bits))
+        .select("vec_id", F.explode(F.array(*band_structs)).alias("bk"))
+        .select("vec_id", "bk.band", "bk.key")
+    )
 
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
