@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     clustering,
     dedup,
     flagship,
+    llm_ops,
     pipeline_ops,
     relational,
     relational_ext,

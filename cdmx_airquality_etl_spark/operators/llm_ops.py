@@ -1,0 +1,228 @@
+"""Training-corpus hygiene operators: benchmark decontamination, deterministic
+global shuffle, and intra-document repetition scoring.
+
+These are the three ops an LLM-data pipeline runs between curation and
+training that the rest of the surface doesn't cover: (1) remove training
+documents that leak evaluation-benchmark content (n-gram overlap, the
+standard GPT-3/PaLM-style decontamination rule), (2) shuffle the corpus
+deterministically so shard N of a re-run is byte-identical (content-hash
+order, never a PRNG), and (3) score each document's internal repetition
+(Gopher-style quality rule: boilerplate and SEO spam repeat their own
+n-grams).
+
+Scale notes are per-operator; the common thread is that every per-document
+computation stays scan-side (no shuffle) and every corpus-wide step is a
+single hash aggregate or an equi-join on an n-gram key — never all-pairs,
+never a global single-reducer sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..sources.parquet import load_table
+
+# Word n-gram length for decontamination. Real pipelines use 8-13-gram
+# overlap (GPT-3 used 13-grams); the synthetic corpus draws from a small
+# vocabulary, so 5-grams give the same mechanics with observable overlap.
+_DECON_N = 5
+
+_TOKS_SQL = r"string_split_regex(trim(lower(text)), '\s+')"
+# DuckDB list slice is 1-based inclusive; range(a, b) is [a, b).
+_GRAMS_SQL = (
+    f"CASE WHEN len(toks) >= {_DECON_N} THEN "
+    f"[array_to_string(toks[i:i+{_DECON_N - 1}], ' ') "
+    f"FOR i IN range(1, len(toks) - {_DECON_N - 2})] "
+    "ELSE [] END"
+)
+# Spark slice(x, i, n) is 1-based; sequence(1, k) DESCENDS when k < 1, so
+# the CASE guard must come first.
+_GRAMS_SPARK = (
+    f"CASE WHEN size(toks) >= {_DECON_N} THEN "
+    f"transform(sequence(1, size(toks) - {_DECON_N - 1}), "
+    f"i -> array_join(slice(toks, i, {_DECON_N}), ' ')) "
+    "ELSE array() END"
+)
+
+
+@register(
+    "q_decontaminate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, lang, {_TOKS_SQL} AS toks FROM documents
+    ),
+    ng AS (
+      SELECT doc_id, source, lang, unnest({_GRAMS_SQL}) AS gram FROM tok
+    ),
+    bench AS (SELECT DISTINCT gram FROM ng WHERE source = 'src0'),
+    contaminated AS (
+      SELECT DISTINCT ng.doc_id
+      FROM ng JOIN bench USING (gram)
+      WHERE ng.source <> 'src0'
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (doc_id IN (SELECT doc_id FROM contaminated))
+             AS n_contaminated
+    FROM documents
+    WHERE source <> 'src0'
+    GROUP BY lang
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: a training document is contaminated if it
+    shares any word {n}-gram with the held-out benchmark set (here: the
+    ``src0`` slice stands in for the benchmark). Reported as per-language
+    contaminated counts; the production variant anti-joins the flagged ids
+    away instead of counting them.
+
+    Scale shape: the benchmark side is tiny relative to the corpus (MMLU +
+    HumanEval + friends is ~10^6 n-grams vs 10^12 for the corpus), so its
+    distinct gram set is BROADCAST and contamination detection is a
+    scan-side explode + broadcast semi-join — zero shuffles for the corpus.
+    Past broadcastability (~100 MB of grams) the same plan degrades to a
+    shuffle semi-join on the gram key, still never all-pairs. Generalizes
+    the reference's keyed membership checks (/root/reference/scrapper.py:
+    224-244 upsert key matching) to fuzzy content membership.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    grams = (
+        docs.select("doc_id", "source", "lang", toks.alias("toks"))
+        .select("doc_id", "source", "lang", F.expr(_GRAMS_SPARK).alias("grams"))
+        .select("doc_id", "source", "lang", F.explode("grams").alias("gram"))
+    )
+    bench = grams.filter(F.col("source") == "src0").select("gram").distinct()
+    contaminated = (
+        grams.filter(F.col("source") != "src0")
+        .join(broadcast(bench), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        docs.filter(F.col("source") != "src0")
+        .join(contaminated.withColumn("hit", F.lit(1)), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("hit").alias("n_contaminated"),
+        )
+    )
+
+
+# Shard count for the deterministic shuffle. Real value = corpus size /
+# target shard bytes (tens of thousands at 100 TB); 8 keeps the sf0.01
+# fixture readable.
+_SHUF_SHARDS = 8
+_SHUF_KEY_SQL = "md5('shuf42:' || CAST(doc_id AS VARCHAR))"
+
+
+def _shuf_key_spark():
+    return F.md5(F.concat(F.lit("shuf42:"), F.col("doc_id").cast("string")))
+
+
+@register(
+    "q_global_shuffle",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(ascii(substr({_SHUF_KEY_SQL}, 1, 1)) % {_SHUF_SHARDS} AS BIGINT)
+             AS shard_id,
+           row_number() OVER (
+             PARTITION BY ascii(substr({_SHUF_KEY_SQL}, 1, 1)) % {_SHUF_SHARDS}
+             ORDER BY {_SHUF_KEY_SQL}, doc_id
+           ) AS pos_in_shard
+    FROM documents
+    """,
+)
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-order randomization:
+    every document gets a content-hash key (md5 of a seed + doc_id), a
+    shard = hash bucket, and a position = rank of the key within the
+    shard. Re-running on a repartitioned 100 TB corpus reproduces the
+    exact same (shard, position) for every doc — the property seeded
+    ``rand()`` or ``monotonically_increasing_id`` cannot give — so shard
+    files are byte-stable and a training run is resumable mid-epoch.
+
+    Scale shape: the window is PARTITIONED by shard (one reducer per
+    shard, shard count chosen so each holds ~a shard file's worth), so
+    this is a single hash-partitioned sort, parallel across shards —
+    never a global single-reducer ORDER BY. Epoch N+1 = new seed string.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    key = _shuf_key_spark()
+    shard = (F.ascii(F.substring(key, 1, 1)) % _SHUF_SHARDS).cast("bigint")
+    w = Window.partitionBy(shard).orderBy(key, F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        shard.alias("shard_id"),
+        F.row_number().over(w).alias("pos_in_shard"),
+    )
+
+
+# 3-gram repetition (Gopher's "duplicate n-gram fraction" family).
+_REP_N = 3
+_REP_GRAMS_SQL = (
+    f"CASE WHEN len(toks) >= {_REP_N} THEN "
+    f"[array_to_string(toks[i:i+{_REP_N - 1}], ' ') "
+    f"FOR i IN range(1, len(toks) - {_REP_N - 2})] "
+    "ELSE [] END"
+)
+_REP_GRAMS_SPARK = (
+    f"CASE WHEN size(toks) >= {_REP_N} THEN "
+    f"transform(sequence(1, size(toks) - {_REP_N - 1}), "
+    f"i -> array_join(slice(toks, i, {_REP_N}), ' ')) "
+    "ELSE array() END"
+)
+
+
+@register(
+    "q_repetition_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, {_REP_GRAMS_SQL} AS grams FROM tok
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+           CASE WHEN len(grams) > 0
+                THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+                ELSE 0.0 END AS dup_ratio
+    FROM g
+    """,
+)
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition score: fraction of duplicated word
+    {n}-grams (1 − distinct/total), the Gopher-rule signal that catches
+    boilerplate, keyword stuffing and template spam. The downstream filter
+    is ``dup_ratio > threshold``; emitting the score keeps the oracle
+    exact.
+
+    Scale shape: entirely scan-side — grams, distinct-count and ratio are
+    per-row array expressions inside whole-stage codegen, so the operator
+    is a zero-shuffle projection over the corpus; both engines compute the
+    ratio as one correctly-rounded double division of exact ints, so the
+    cross-engine hash is stable (registry.py float rules).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    grams = F.expr(_REP_GRAMS_SPARK)
+    g = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id", grams.alias("grams")
+    )
+    n = F.size("grams").cast("bigint")
+    nd = F.size(F.array_distinct("grams")).cast("bigint")
+    return g.select(
+        "doc_id",
+        n.alias("n_grams"),
+        nd.alias("n_distinct"),
+        F.when(n > 0, F.lit(1.0) - nd.cast("double") / n)
+        .otherwise(F.lit(0.0))
+        .alias("dup_ratio"),
+    )

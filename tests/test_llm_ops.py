@@ -1,0 +1,89 @@
+"""Semantics + plan-shape tests for the corpus-hygiene operators
+(q_decontaminate, q_global_shuffle, q_repetition_score)."""
+
+from pyspark.sql import functions as F
+
+from cdmx_airquality_etl_spark.registry import QUERIES
+from cdmx_airquality_etl_spark.sources.parquet import load_table
+
+
+def _plan(spark, sf_dir, name, mode="formatted"):
+    df = QUERIES[name](spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_decontaminate
+# ---------------------------------------------------------------------------
+def test_decontaminate_counts_partition_corpus(spark, sf_dir):
+    rows = {r["lang"]: r for r in QUERIES["q_decontaminate"](spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("source") != "src0")
+    per_lang = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert {r.lang for r in rows.values()} == set(per_lang)
+    for lang, r in rows.items():
+        assert r["n_docs"] == per_lang[lang]
+        assert 0 <= r["n_contaminated"] <= r["n_docs"]
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
+    # the benchmark side must be the broadcast side of the semi-join: the
+    # corpus never shuffles for contamination detection
+    plan = _plan(spark, sf_dir, "q_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    semi_lines = [l for l in _plan(spark, sf_dir, "q_decontaminate", "simple").splitlines() if "LeftSemi" in l]
+    assert semi_lines and all("Broadcast" in l for l in semi_lines)
+
+
+# ---------------------------------------------------------------------------
+# q_global_shuffle
+# ---------------------------------------------------------------------------
+def test_global_shuffle_is_a_permutation(spark, sf_dir):
+    out = QUERIES["q_global_shuffle"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    assert out.count() == n
+    assert out.select("doc_id").distinct().count() == n
+    # positions within each shard are exactly 1..shard_size
+    per_shard = (
+        out.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("pos_in_shard").alias("lo"),
+            F.max("pos_in_shard").alias("hi"),
+            F.countDistinct("pos_in_shard").alias("nd"),
+        )
+        .collect()
+    )
+    for r in per_shard:
+        assert (r["lo"], r["hi"], r["nd"]) == (1, r["n"], r["n"])
+
+
+def test_global_shuffle_deterministic_and_partitioned(spark, sf_dir):
+    a = sorted(map(tuple, QUERIES["q_global_shuffle"](spark, sf_dir).collect()))
+    b = sorted(map(tuple, QUERIES["q_global_shuffle"](spark, sf_dir).collect()))
+    assert a == b
+    # the rank window must be hash-partitioned by shard, not a global
+    # single-partition sort
+    plan = _plan(spark, sf_dir, "q_global_shuffle")
+    assert "SinglePartition" not in plan
+
+
+# ---------------------------------------------------------------------------
+# q_repetition_score
+# ---------------------------------------------------------------------------
+def test_repetition_score_invariants(spark, sf_dir):
+    rows = QUERIES["q_repetition_score"](spark, sf_dir).collect()
+    docs_n = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == docs_n
+    for r in rows:
+        assert 0 <= r["n_distinct"] <= r["n_grams"]
+        assert 0.0 <= r["dup_ratio"] < 1.0 or r["n_grams"] == 0
+
+
+def test_repetition_score_is_scan_side(spark, sf_dir):
+    # per-doc scoring is a zero-shuffle projection: no Exchange in the plan
+    plan = _plan(spark, sf_dir, "q_repetition_score")
+    assert "Exchange" not in plan
+    assert "codegen id" in plan
