@@ -104,15 +104,20 @@ def _sql_cos(a: str, b: str) -> str:
     """,
 )
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ||q|| is folded once on the broadcast side, not once per corpus row;
+    # sqrt(dot(q,q)) is the same double either way, so the oracle's
+    # per-pair formulation hashes identically.
     emb = load_table(spark, sf_dir, "embeddings")
-    query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), _norm("embedding").alias("q_nrm")
+    )
     return (
         emb.filter(F.col("vec_id") != 0)
         .join(broadcast(query))
         .select(
             "vec_id",
             "label",
-            (_dot("embedding", "q_emb") / (_norm("embedding") * _norm("q_emb"))).alias(
+            (_dot("embedding", "q_emb") / (_norm("embedding") * F.col("q_nrm"))).alias(
                 "cosine_sim"
             ),
         )
@@ -193,16 +198,29 @@ def lsh_bits_df(df: DataFrame) -> DataFrame:
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    # fold each vector's norm ONCE scan-side and carry it through the
+    # bucket join: the per-pair cosine then needs one fold (the dot), not
+    # three. sqrt(dot(x,x)) is the same double whether computed per vector
+    # or per pair, so the oracle's per-pair formulation hashes identically.
     e = emb.join(broadcast(lsh_bits_df(emb))).select(
-        "vec_id", "embedding", _sign_bucket_spark("embedding", "lsh_bits").alias("bucket")
+        "vec_id",
+        "embedding",
+        _norm("embedding").alias("nrm"),
+        _sign_bucket_spark("embedding", "lsh_bits").alias("bucket"),
     )
     a = e.select(
-        F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("emb_a"), "bucket"
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+        "bucket",
     )
     b = e.select(
-        F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("emb_b"), "bucket"
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+        "bucket",
     )
-    cos = _dot("emb_a", "emb_b") / (_norm("emb_a") * _norm("emb_b"))
+    cos = _dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b"))
     return (
         a.join(b, ["bucket"])
         .filter(F.col("vec_id_a") < F.col("vec_id_b"))
@@ -323,9 +341,19 @@ def q_dedup_embedding_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    ex = emb.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("emb_a"))
-    ey = emb.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("emb_b"))
-    cos = _dot("emb_a", "emb_b") / (_norm("emb_a") * _norm("emb_b"))
+    # per-vector norms folded once (same doubles as the oracle's per-pair
+    # sqrt, see q_dedup_embedding)
+    ex = emb.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("embedding").alias("emb_a"),
+        _norm("embedding").alias("nrm_a"),
+    )
+    ey = emb.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("embedding").alias("emb_b"),
+        _norm("embedding").alias("nrm_b"),
+    )
+    cos = _dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b"))
     return (
         candidates.join(ex, "vec_id_a")
         .join(ey, "vec_id_b")
@@ -360,10 +388,10 @@ def train_ivf_centroids(
     sample = (
         emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(stride)) == 0)
         .select("vec_id", "embedding")
-        .collect()
+        .toPandas()  # Arrow batch transfer — never row-at-a-time py4j
+        .sort_values("vec_id")
     )
-    sample.sort(key=lambda r: r.vec_id)
-    X = np.asarray([r.embedding for r in sample], dtype=np.float64)
+    X = np.asarray([list(e) for e in sample["embedding"]], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     k = min(k, len(X))
     C = X[:: max(1, len(X) // k)][:k].copy()  # strided deterministic init
@@ -379,6 +407,14 @@ def train_ivf_centroids(
 
 def _lit_array(values: list[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in values])
+
+
+def _lit_array_sql(values: list[float]) -> str:
+    """Literal double array as ONE SQL text fragment. Building literal
+    arrays element-wise with F.lit costs a py4j round-trip per element —
+    thousands of driver calls for a centroid table — where a single parsed
+    expression string is one. repr() keeps full float64 precision."""
+    return "array(" + ",".join(f"{float(v)!r}D" for v in values) + ")"
 
 
 @register("q_similarity_ann_ivf")
@@ -411,29 +447,33 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     order = sorted(range(len(C)), key=lambda j: (-q_cos[j], j))
     probe_cells = order[:_IVF_NPROBE]
 
-    # scan-side argmax over literal centroids: array_max on (cos, -j)
-    # structs = highest cosine, ties to the lowest centroid id
-    cell_scores = [
-        F.struct(
-            (_dot("embedding", f"__c{j}") / _norm("embedding")).alias("c"),
-            F.lit(-j).alias("nj"),
+    # scan-side argmax over literal centroids: array_max on (dot, -j)
+    # structs = highest dot, ties to the lowest centroid id. Centroids are
+    # unit-norm and ||embedding|| is a common positive factor across cells,
+    # so argmax over raw dots == argmax over cosines — no per-cell norm.
+    # The whole assignment is ONE parsed expression (single py4j call).
+    def _dot_sql(a: str, b: str) -> str:
+        return (
+            f"aggregate(zip_with({a}, {b}, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
         )
+
+    cell_scores_sql = ",".join(
+        f"struct({_dot_sql('embedding', _lit_array_sql(C[j].tolist()))} AS c, "
+        f"{-j} AS nj)"
         for j in range(len(C))
-    ]
-    with_cents = emb.select(
-        "vec_id",
-        "label",
-        "embedding",
-        *[_lit_array(C[j].tolist()).alias(f"__c{j}") for j in range(len(C))],
     )
-    assigned = with_cents.select(
+    assigned = emb.select(
         "vec_id",
         "label",
         "embedding",
-        (-F.array_max(F.array(*cell_scores)).getField("nj")).alias("cell"),
+        (-F.expr(f"array_max(array({cell_scores_sql}))").getField("nj")).alias(
+            "cell"
+        ),
     )
 
-    q_lit = _lit_array(list(map(float, q_emb)))
+    q_lit = F.expr(_lit_array_sql(list(map(float, q_emb))))
     cos = _dot("embedding", "__q") / (_norm("embedding") * _norm("__q"))
     return (
         assigned.filter(F.col("cell").isin(probe_cells) & (F.col("vec_id") != 0))
