@@ -12,6 +12,9 @@ Four escalating strategies, all distributed set-logic — no driver loops:
                       state and fan-out are bounded by the cap. At 100 TB
                       you additionally hash shingles to int64 before the
                       shuffle.
+- q_dedup_containment — overlap coefficient |A∩B|/min(|A|,|B|) over the same
+                      capped postings core: catches near-SUBSET duplication
+                      (doc embedded in a longer doc) that Jaccard misses.
 - q_dedup_minhash   — MinHash signatures + LSH banding: candidate pairs come
                       from band-bucket equi-joins (|bands| shuffles of one
                       small row per doc), then exact Jaccard verification on
@@ -62,21 +65,18 @@ def _doc_shingles(docs: DataFrame) -> DataFrame:
     ).withColumn("n_sh", F.size("sh"))
 
 
-def _jaccard_pairs(
-    shingled: DataFrame, threshold: float, max_postings: int = _MAX_POSTINGS
+def _shared_shingle_pairs(
+    shingled: DataFrame, max_postings: int = _MAX_POSTINGS
 ) -> DataFrame:
-    """Candidate pairs from per-shingle postings lists → exact Jaccard ≥
-    threshold.
+    """(doc_id_a, doc_id_b, n_a, n_b, shared) for every pair sharing ≥1
+    shingle — the inverted-index core both set-similarity metrics build on.
 
-    jaccard = |A∩B| / (|A|+|B|−|A∩B|); integer counts, so the double division
-    is bitwise-identical in any engine.
-
-    Plan shape (the inverted-index formulation): ONE shuffle groups postings
-    by shingle; the postings cap is a plain ``size(ps) <= max_postings``
-    filter on the grouped lists; candidate pairs expand MAP-SIDE from each
-    list with native array higher-order functions (sorted, so doc_id_a <
-    doc_id_b by construction); a second shuffle counts shared shingles per
-    pair. Compared to an explode + sort-merge self-join this computes the
+    Plan shape: ONE shuffle groups postings by shingle; the postings cap is
+    a plain ``size(ps) <= max_postings`` filter on the grouped lists;
+    candidate pairs expand MAP-SIDE from each list with native array
+    higher-order functions (sorted, so doc_id_a < doc_id_b by
+    construction); a second shuffle counts shared shingles per pair.
+    Compared to an explode + sort-merge self-join this computes the
     shingling once, shuffles once less, and — the scale property — bounds
     BOTH per-group state and per-row pair fan-out by the cap: a group holds
     ≤ cap structs and emits ≤ cap·(cap−1)/2 pairs, so no task can see a
@@ -102,6 +102,20 @@ def _jaccard_pairs(
         .select("p.*")
         .groupBy("doc_id_a", "doc_id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("shared"))
+    )
+
+
+def _jaccard_pairs(
+    shingled: DataFrame, threshold: float, max_postings: int = _MAX_POSTINGS
+) -> DataFrame:
+    """Candidate pairs from per-shingle postings lists → exact Jaccard ≥
+    threshold.
+
+    jaccard = |A∩B| / (|A|+|B|−|A∩B|); integer counts, so the double division
+    is bitwise-identical in any engine.
+    """
+    return (
+        _shared_shingle_pairs(shingled, max_postings)
         .withColumn(
             "jaccard",
             F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")),
@@ -213,6 +227,61 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return _jaccard_pairs(_doc_shingles(docs), _JACCARD_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_containment — overlap-coefficient near-subset pairs
+# ---------------------------------------------------------------------------
+_CONTAINMENT_THRESHOLD = 0.9
+
+
+@register(
+    "q_dedup_containment",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                                          i -> array_to_string(w[i:i+2], ' '))) AS shs
+      FROM tok
+    ),
+    e AS (
+      SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS shingle FROM sh
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS shared
+      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_id_a, doc_id_b,
+           CAST(shared AS DOUBLE) / least(n_a, n_b) AS containment
+    FROM pairs
+    WHERE CAST(shared AS DOUBLE) / least(n_a, n_b) >= {_CONTAINMENT_THRESHOLD}
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-SUBSET duplicate pairs via the overlap coefficient
+    |A∩B| / min(|A|,|B|) ≥ {threshold}: flags a short document embedded in a
+    longer one (quoted article, boilerplate-wrapped rehost), which Jaccard
+    structurally misses — a 200-shingle doc fully contained in a 2000-shingle
+    doc has Jaccard 0.1 but containment 1.0. Same capped inverted-index plan
+    as q_dedup_fuzzy (see _shared_shingle_pairs); only the final scalar
+    metric differs, and the double division of exact ints hashes identically
+    in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        _shared_shingle_pairs(_doc_shingles(docs))
+        .withColumn(
+            "containment",
+            F.col("shared") / F.least(F.col("n_a"), F.col("n_b")),
+        )
+        .filter(F.col("containment") >= _CONTAINMENT_THRESHOLD)
+        .select("doc_id_a", "doc_id_b", "containment")
+    )
 
 
 # ---------------------------------------------------------------------------
