@@ -174,6 +174,83 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Context-window budget for greedy sequence packing (tokens per bin).
+_PACK_CAP = 2000
+
+
+@register(
+    "q_pack_sequences",
+    oracle=rf"""
+    WITH RECURSIVE toks AS (
+      SELECT lang, doc_id,
+             len({_TOKS_SQL}) AS n_toks,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    packed AS (
+      SELECT lang, doc_id, n_toks, rn, 1 AS bin_id, n_toks AS bin_sum
+      FROM toks WHERE rn = 1
+      UNION ALL
+      SELECT t.lang, t.doc_id, t.n_toks, t.rn,
+             CASE WHEN p.bin_sum + t.n_toks > {_PACK_CAP}
+                  THEN p.bin_id + 1 ELSE p.bin_id END,
+             CASE WHEN p.bin_sum + t.n_toks > {_PACK_CAP}
+                  THEN t.n_toks ELSE p.bin_sum + t.n_toks END
+      FROM packed p JOIN toks t ON t.lang = p.lang AND t.rn = p.rn + 1
+    )
+    SELECT lang, CAST(bin_id AS BIGINT) AS bin_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY 1, 2
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy first-fit sequence packing: walk each language's documents in
+    doc_id order, start a new training bin whenever the running token sum
+    would exceed the context budget — so no document is ever split across
+    bins (the boundary-respecting alternative to q_token_shard's
+    concat-then-chunk rule). Bin assignment is a cumulative-sum-WITH-RESET
+    recurrence, which window algebra cannot express (each reset depends on
+    the previous reset), so this is the surface's one legitimate
+    applyInPandas operator: Arrow-batched, grouped by lang, O(1) state per
+    group (one running sum), emitting per-bin summaries — and still
+    oracle-exact, checked against a recursive-CTE reimplementation.
+
+    At 100 TB a single language exceeds one task: range-partition each
+    language on doc_id, pack ranges independently (this same operator),
+    then merge only the per-range boundary bins in a cheap second pass over
+    |ranges| rows — the standard split-point refinement, same math as
+    q_token_shard's note.
+    """
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", "doc_id", F.size(words(F.lower(F.col("text")))).alias("n_toks")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        bin_ids = []
+        bin_id, bin_sum = 0, _PACK_CAP + 1  # first doc always opens bin 1
+        for n in pdf["n_toks"]:
+            if bin_sum + n > _PACK_CAP:
+                bin_id, bin_sum = bin_id + 1, n
+            else:
+                bin_sum += n
+            bin_ids.append(bin_id)
+        pdf = pdf.assign(bin_id=bin_ids)
+        out = pdf.groupby("bin_id", as_index=False).agg(
+            lang=("lang", "first"),
+            n_docs=("doc_id", "size"),
+            bin_tokens=("n_toks", "sum"),
+        )
+        return out[["lang", "bin_id", "n_docs", "bin_tokens"]]
+
+    return toks.groupBy("lang").applyInPandas(
+        pack, "lang string, bin_id bigint, n_docs bigint, bin_tokens bigint"
+    )
+
+
 # 3-gram repetition (Gopher's "duplicate n-gram fraction" family).
 _REP_N = 3
 _REP_GRAMS_SQL = (

@@ -71,6 +71,32 @@ def test_global_shuffle_deterministic_and_partitioned(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# q_pack_sequences
+# ---------------------------------------------------------------------------
+def test_pack_sequences_respects_budget_and_conserves_tokens(spark, sf_dir):
+    from cdmx_airquality_etl_spark.operators.llm_ops import _PACK_CAP
+
+    out = QUERIES["q_pack_sequences"](spark, sf_dir).collect()
+    per_lang_bins = {}
+    for r in out:
+        per_lang_bins.setdefault(r["lang"], []).append(r)
+        # a bin only exceeds the budget when a single oversized doc owns it
+        assert r["bin_tokens"] <= _PACK_CAP or r["n_docs"] == 1
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("n")
+    )
+    totals = {
+        r["lang"]: r["t"]
+        for r in toks.groupBy("lang").agg(F.sum("n").alias("t")).collect()
+    }
+    for lang, bins in per_lang_bins.items():
+        # bins are contiguous 1..max and conserve every token
+        assert sorted(b["bin_id"] for b in bins) == list(range(1, len(bins) + 1))
+        assert sum(b["bin_tokens"] for b in bins) == totals[lang]
+
+
+# ---------------------------------------------------------------------------
 # q_repetition_score
 # ---------------------------------------------------------------------------
 def test_repetition_score_invariants(spark, sf_dir):
