@@ -178,6 +178,22 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_CAP = 2000
 
 
+def pack_bins(sizes: list[int], cap: int) -> list[int]:
+    """The pure packing recurrence (1-based bin id per item, in order): a
+    new bin opens whenever the running sum would exceed ``cap``; an item
+    larger than ``cap`` gets a bin of its own. Property-tested directly in
+    tests/test_llm_ops.py; the Spark operator applies it per group."""
+    bin_ids = []
+    bin_id, bin_sum = 0, cap + 1  # first item always opens bin 1
+    for n in sizes:
+        if bin_sum + n > cap:
+            bin_id, bin_sum = bin_id + 1, n
+        else:
+            bin_sum += n
+        bin_ids.append(bin_id)
+    return bin_ids
+
+
 @register(
     "q_pack_sequences",
     oracle=rf"""
@@ -230,15 +246,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
-        bin_ids = []
-        bin_id, bin_sum = 0, _PACK_CAP + 1  # first doc always opens bin 1
-        for n in pdf["n_toks"]:
-            if bin_sum + n > _PACK_CAP:
-                bin_id, bin_sum = bin_id + 1, n
-            else:
-                bin_sum += n
-            bin_ids.append(bin_id)
-        pdf = pdf.assign(bin_id=bin_ids)
+        pdf = pdf.assign(bin_id=pack_bins(list(pdf["n_toks"]), _PACK_CAP))
         out = pdf.groupby("bin_id", as_index=False).agg(
             lang=("lang", "first"),
             n_docs=("doc_id", "size"),

@@ -1,6 +1,8 @@
 """Semantics + plan-shape tests for the corpus-hygiene operators
-(q_decontaminate, q_global_shuffle, q_repetition_score)."""
+(q_decontaminate, q_global_shuffle, q_repetition_score, q_pack_sequences)."""
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from cdmx_airquality_etl_spark.registry import QUERIES
@@ -94,6 +96,37 @@ def test_pack_sequences_respects_budget_and_conserves_tokens(spark, sf_dir):
         # bins are contiguous 1..max and conserve every token
         assert sorted(b["bin_id"] for b in bins) == list(range(1, len(bins) + 1))
         assert sum(b["bin_tokens"] for b in bins) == totals[lang]
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=150), max_size=60),
+    cap=st.integers(min_value=1, max_value=100),
+)
+@settings(max_examples=300, deadline=None)
+def test_pack_bins_recurrence_laws(sizes, cap):
+    from cdmx_airquality_etl_spark.operators.llm_ops import pack_bins
+
+    bins = pack_bins(sizes, cap)
+    assert len(bins) == len(sizes)
+    if not sizes:
+        return
+    # bin ids start at 1, are non-decreasing, and never skip
+    assert bins[0] == 1
+    assert all(b2 - b1 in (0, 1) for b1, b2 in zip(bins, bins[1:]))
+    # per-bin sums respect the cap unless the bin is a single oversized item
+    from collections import defaultdict
+
+    contents = defaultdict(list)
+    for n, b in zip(sizes, bins):
+        contents[b].append(n)
+    for members in contents.values():
+        assert sum(members) <= cap or len(members) == 1
+    # greedy tightness: an item in a fresh bin would NOT have fit in the
+    # previous bin (no premature splits)
+    for i in range(1, len(sizes)):
+        if bins[i] != bins[i - 1]:
+            prev_sum = sum(contents[bins[i - 1]])
+            assert prev_sum + sizes[i] > cap
 
 
 # ---------------------------------------------------------------------------
