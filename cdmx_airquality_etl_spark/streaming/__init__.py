@@ -1,4 +1,5 @@
 from .corpus_ingest import corpus_ingest_stream, dedup_batch_against_corpus
+from .hygiene import decontaminate_batch, decontaminate_stream
 from .ingest import ingest_stream
 from .joins import dedup_within_watermark, interval_join
 from .stateful import run_windowed_counts_stream, session_counts, windowed_counts
@@ -7,6 +8,8 @@ from .stateful_custom import run_running_totals_stream, running_totals
 __all__ = [
     "corpus_ingest_stream",
     "dedup_batch_against_corpus",
+    "decontaminate_batch",
+    "decontaminate_stream",
     "dedup_within_watermark",
     "ingest_stream",
     "interval_join",
