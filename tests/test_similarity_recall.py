@@ -20,6 +20,15 @@ def test_ivf_recall_at_10(spark, sf_dir):
     assert len(truth & approx) / len(truth) >= 0.8
 
 
+def test_lsh_ann_recall_at_10(spark, sf_dir):
+    truth = _ids(QUERIES["q_similarity_topk"](spark, sf_dir))
+    approx = _ids(QUERIES["q_similarity_ann_lsh"](spark, sf_dir))
+    assert len(truth) == 10 and len(approx) == 10
+    # multi-probe (Hamming ≤ 2) sign-LSH: measured 0.9 / 0.8 / 0.6 at
+    # sf0.001 / 0.01 / 0.1 — deterministic buckets, fixed numbers
+    assert len(truth & approx) / len(truth) >= 0.6
+
+
 def test_lsh_bits_scale_with_corpus(spark):
     """Bucket count must grow with corpus size (the round-1 weakness was a
     fixed 16-bucket LSH → ~n²/16 candidate pairs at any n). The Python
