@@ -43,6 +43,11 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"bench error in {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
+        # drop caches a query may have built (dedup/decontamination cache
+        # shared subtrees): each query is measured cold on an otherwise
+        # empty executor heap, and cached blocks never pressure later
+        # queries' GC
+        spark.catalog.clearCache()
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     result = {
