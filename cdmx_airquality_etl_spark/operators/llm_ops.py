@@ -174,6 +174,47 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BOILERPLATE_TOPK = 20
+
+
+@register(
+    "q_boilerplate_ngrams",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    ng AS (
+      SELECT doc_id, unnest(list_distinct({_GRAMS_SQL})) AS gram FROM tok
+    )
+    SELECT gram, COUNT(*) AS doc_freq
+    FROM ng
+    GROUP BY gram
+    ORDER BY doc_freq DESC, gram ASC
+    LIMIT {_BOILERPLATE_TOPK}
+    """,
+)
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate detector: the {k} word {n}-grams appearing in
+    the most documents (document frequency over per-doc DISTINCT grams, so a
+    gram repeated inside one page counts once). The output IS the removal
+    list a curation run feeds back as a filter — cookie banners, nav bars
+    and license headers dominate it on a real crawl. Scale shape: scan-side
+    gram arrays → one hash aggregate on the gram key (map-side partial
+    combine absorbs the duplication) → TakeOrderedAndProject; ties broken
+    by gram text so the top-k is deterministic across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select(F.array_distinct(_grams_spark(_DECON_N)).alias("grams"))
+        .select(F.explode("grams").alias("gram"))
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("gram").asc())
+        .limit(_BOILERPLATE_TOPK)
+    )
+
+
 # Context-window budget for greedy sequence packing (tokens per bin).
 _PACK_CAP = 2000
 
