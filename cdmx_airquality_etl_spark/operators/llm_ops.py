@@ -125,28 +125,57 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shard count for the deterministic shuffle. Real value = corpus size /
-# target shard bytes (tens of thousands at 100 TB); 8 keeps the sf0.01
-# fixture readable.
-_SHUF_SHARDS = 8
+# Shard sizing for the deterministic shuffle: shard count scales with the
+# corpus (clamped) so per-shard rank state stays ~_SHUF_TARGET_DOCS rows
+# per reducer no matter the corpus size — a FIXED count would make each
+# shard O(n) and the rank window a fat reducer at 100 TB. The shard key is
+# the first 4 md5 nibbles decoded portably (strpos/instr over the hex
+# alphabet — md5 renders lowercase hex in both engines), giving a uniform
+# 0..65535 hash to take modulo the corpus-sized count.
+_SHUF_TARGET_DOCS = 64
+_SHUF_MIN_SHARDS = 8
+_SHUF_MAX_SHARDS = 65536
 _SHUF_KEY_SQL = "md5('shuf42:' || CAST(doc_id AS VARCHAR))"
+_HEX = "0123456789abcdef"
+_SHUF_HASH16_SQL = " + ".join(
+    f"(strpos('{_HEX}', substr({_SHUF_KEY_SQL}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+    for i in range(4)
+)
+_SHUF_NSHARDS_SQL = (
+    f"LEAST({_SHUF_MAX_SHARDS}, GREATEST({_SHUF_MIN_SHARDS}, "
+    f"CAST(CEIL(COUNT(*) / {_SHUF_TARGET_DOCS}.0) AS INT)))"
+)
 
 
 def _shuf_key_spark():
     return F.md5(F.concat(F.lit("shuf42:"), F.col("doc_id").cast("string")))
 
 
+def _shuf_hash16_spark():
+    key = _shuf_key_spark()
+    h = F.lit(0)
+    for i in range(4):
+        h = h + (F.instr(F.lit(_HEX), F.substring(key, i + 1, 1)) - 1) * (
+            16 ** (3 - i)
+        )
+    return h
+
+
 @register(
     "q_global_shuffle",
     oracle=f"""
+    WITH ns AS (SELECT {_SHUF_NSHARDS_SQL} AS nshards FROM documents),
+    keyed AS (
+      SELECT doc_id, ({_SHUF_HASH16_SQL}) % ns.nshards AS shard_id
+      FROM documents, ns
+    )
     SELECT doc_id,
-           CAST(ascii(substr({_SHUF_KEY_SQL}, 1, 1)) % {_SHUF_SHARDS} AS BIGINT)
-             AS shard_id,
+           CAST(shard_id AS BIGINT) AS shard_id,
            row_number() OVER (
-             PARTITION BY ascii(substr({_SHUF_KEY_SQL}, 1, 1)) % {_SHUF_SHARDS}
+             PARTITION BY shard_id
              ORDER BY {_SHUF_KEY_SQL}, doc_id
            ) AS pos_in_shard
-    FROM documents
+    FROM keyed
     """,
 )
 def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -158,18 +187,32 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``rand()`` or ``monotonically_increasing_id`` cannot give — so shard
     files are byte-stable and a training run is resumable mid-epoch.
 
-    Scale shape: the window is PARTITIONED by shard (one reducer per
-    shard, shard count chosen so each holds ~a shard file's worth), so
-    this is a single hash-partitioned sort, parallel across shards —
-    never a global single-reducer ORDER BY. Epoch N+1 = new seed string.
+    Scale shape: shard count grows with the corpus (one in-plan COUNT,
+    same pattern as the LSH bit sizing) so each rank reducer holds
+    ~{target} docs regardless of corpus size, and the window is
+    PARTITIONED by shard — a single hash-partitioned sort, parallel
+    across shards, never a global single-reducer ORDER BY and never a fat
+    per-shard reducer. Epoch N+1 = new seed string.
     """
     docs = load_table(spark, sf_dir, "documents")
+    nshards = docs.agg(
+        F.least(
+            F.lit(_SHUF_MAX_SHARDS),
+            F.greatest(
+                F.lit(_SHUF_MIN_SHARDS),
+                F.ceil(F.count(F.lit(1)) / _SHUF_TARGET_DOCS).cast("int"),
+            ),
+        ).alias("nshards")
+    )
     key = _shuf_key_spark()
-    shard = (F.ascii(F.substring(key, 1, 1)) % _SHUF_SHARDS).cast("bigint")
-    w = Window.partitionBy(shard).orderBy(key, F.col("doc_id"))
-    return docs.select(
+    shard = (_shuf_hash16_spark() % F.col("nshards")).cast("bigint")
+    keyed = docs.join(broadcast(nshards)).select(
+        "doc_id", shard.alias("shard_id")
+    )
+    w = Window.partitionBy("shard_id").orderBy(key, F.col("doc_id"))
+    return keyed.select(
         "doc_id",
-        shard.alias("shard_id"),
+        "shard_id",
         F.row_number().over(w).alias("pos_in_shard"),
     )
 

@@ -67,9 +67,11 @@ def test_global_shuffle_deterministic_and_partitioned(spark, sf_dir):
     b = sorted(map(tuple, QUERIES["q_global_shuffle"](spark, sf_dir).collect()))
     assert a == b
     # the rank window must be hash-partitioned by shard, not a global
-    # single-partition sort
+    # single-partition sort (the 1-row shard-count aggregate is the only
+    # legitimate SinglePartition exchange in the plan)
     plan = _plan(spark, sf_dir, "q_global_shuffle")
-    assert "SinglePartition" not in plan
+    assert "hashpartitioning(shard_id" in plan
+    assert plan.count("SinglePartition") <= 1
 
 
 # ---------------------------------------------------------------------------
