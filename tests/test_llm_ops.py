@@ -148,3 +148,23 @@ def test_repetition_score_is_scan_side(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_repetition_score")
     assert "Exchange" not in plan
     assert "codegen id" in plan
+
+
+# ---------------------------------------------------------------------------
+# q_boilerplate_ngrams / q_similarity_ann_lsh — plan shapes
+# ---------------------------------------------------------------------------
+def test_boilerplate_topk_is_one_agg_plus_take_ordered(spark, sf_dir):
+    # "simple" mode keeps Exchange and its partitioning on one line
+    plan = _plan(spark, sf_dir, "q_boilerplate_ngrams", mode="simple")
+    assert "TakeOrderedAndProject" in plan  # never a global sort
+    assert "partial_count" in plan  # map-side combine absorbs duplication
+    assert plan.count("Exchange hashpartitioning") == 1  # one gram shuffle
+
+
+def test_ann_lsh_broadcasts_query_and_takes_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_similarity_ann_lsh", mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    # the 1-row query side and the 1-row bits row are broadcast; the corpus
+    # side never shuffles for the probe
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
