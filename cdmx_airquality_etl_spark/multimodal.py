@@ -17,7 +17,10 @@ Design for 100 TB:
   through Python row-at-a-time, and ``spark.sql.execution.arrow
   .maxRecordsPerBatch`` bounds executor memory per batch;
 - frame sampling emits one row per sampled frame via the iterator interface
-  (a flatMap shape), keeping peak memory at one batch of frames.
+  (a flatMap shape), keeping peak memory at one batch of frames;
+- resize emits a fixed-size payload per row (width·height bytes in the
+  stub), so downstream partition sizing is input-size-independent — the
+  property a real resample also provides.
 """
 
 from __future__ import annotations
@@ -70,6 +73,15 @@ FRAME_SCHEMA = StructType(
         StructField("media_id", LongType(), False),
         StructField("frame_idx", IntegerType(), False),
         StructField("frame_bytes", BinaryType(), True),
+    ]
+)
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("payload", BinaryType(), True),
     ]
 )
 
@@ -153,3 +165,42 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 4
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_bytes": frames})
 
     return media.select("media_id", "payload").mapInPandas(_frames, FRAME_SCHEMA)
+
+
+def resize_media(
+    media: DataFrame, width: int = 32, height: int = 32, fake: bool = False
+) -> DataFrame:
+    """Resize STUB (image → width×height): 1-row-per-row mapInPandas with the
+    real operator's schema and batch shape. The real path (decode → resample
+    → re-encode) needs an image library absent from this container; the
+    ``fake=True`` stand-in emits a deterministic width·height-byte payload
+    (sha256 byte stream over the original) so output size — the property
+    downstream partition sizing depends on — behaves like a real resize:
+    fixed per row, independent of input size."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resizing requires an image library not present in "
+                    "this environment; pass fake=True for the deterministic stub"
+                )
+            outs = []
+            for p in pdf["payload"]:
+                data = bytes(p) if p is not None else b""
+                block, buf = hashlib.sha256(data).digest(), b""
+                while len(buf) < target:
+                    buf += block
+                    block = hashlib.sha256(block).digest()
+                outs.append(buf[:target])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": outs,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(_resize, RESIZE_SCHEMA)

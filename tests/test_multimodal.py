@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from cdmx_airquality_etl_spark.multimodal import (
     attach_binary,
     decode_media,
+    resize_media,
     sample_frames,
 )
 from cdmx_airquality_etl_spark.sources.parquet import load_table
@@ -65,3 +66,23 @@ def test_sample_frames(media):
             range(len(fr))
         )
         assert all(len(bytes(f["frame_bytes"])) <= 64 for f in fr)
+
+
+def test_resize_media_fixed_output_size(media):
+    out = resize_media(media, width=16, height=8, fake=True).collect()
+    assert len(out) == 50
+    for r in out:
+        assert (r["width"], r["height"]) == (16, 8)
+        # the property downstream partition sizing relies on: output bytes
+        # are fixed per row regardless of input payload size
+        assert len(bytes(r["payload"])) == 16 * 8
+    # deterministic
+    again = resize_media(media, width=16, height=8, fake=True).collect()
+    assert {r["media_id"]: bytes(r["payload"]) for r in out} == {
+        r["media_id"]: bytes(r["payload"]) for r in again
+    }
+
+
+def test_resize_media_real_path_gated(media):
+    with pytest.raises(Exception, match="NotImplementedError|image resizing"):
+        resize_media(media, fake=False).collect()
