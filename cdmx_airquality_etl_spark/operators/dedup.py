@@ -22,9 +22,11 @@ Four escalating strategies, all distributed set-logic — no driver loops:
                       O(docs × k) + candidates, never O(docs²).
 - q_dedup_simhash   — 64-bit SimHash + banded Hamming-distance search.
 
-MinHash/SimHash use deterministic seeded permutations (xxhash64-based), so
-results are stable run-to-run, but their hash functions are not expressible
-in portable SQL → rows-only driver check (exact/fuzzy carry full oracles).
+Every strategy carries a FULL DuckDB oracle: MinHash/SimHash run their
+seeded permutations over a portable base hash (md5 hex decoded to int64 —
+_md5_int / _sql_md5_int) rather than engine-specific xxhash64/murmur3, so
+signatures, banding, candidate joins and verification are all
+value-checked cross-engine.
 
 Lineage: generalizes the reference's key-identity semantics (PK dedup,
 sql_config.yaml:18,34,50) and normalize-then-compare pipeline
@@ -55,6 +57,30 @@ _MAX_POSTINGS = 1000
 
 def _norm_text(col: Column) -> Column:
     return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+# Portable content hash: the first `nchars` hex nibbles of md5 decoded to a
+# BIGINT. Spark decodes with native conv(); DuckDB (no conv) decodes each
+# nibble by position in the hex alphabet — identical integers, which is
+# what lets the seeded MinHash/SimHash pipelines carry EXACT oracles
+# instead of rows-only checks (xxhash64/murmur3 exist only in Spark).
+_HEX = "0123456789abcdef"
+
+
+def _md5_int(col: Column, nchars: int) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, nchars), 16, 10).cast("long")
+
+
+def _sql_md5_int(expr: str, nchars: int) -> str:
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('{_HEX}', substr(md5({expr}), {i + 1}, 1)) - 1) * "
+            f"{16 ** (nchars - 1 - i)}"
+            for i in range(nchars)
+        )
+        + ")"
+    )
 
 
 def _doc_shingles(docs: DataFrame) -> DataFrame:
@@ -381,15 +407,81 @@ _MH_PERMS = [
 ]
 _MH_BAND_SIZE = 3  # 12 hashes → 4 bands of 3
 
+# shared CTE text: distinct word-3-shingles per doc (the q_dedup_fuzzy
+# tokenization) + the portable per-shingle base hash folded into [0, p)
+_MH_SHINGLE_CTES = rf"""
+    tok AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                                          i -> array_to_string(w[i:i+2], ' '))) AS shs
+      FROM tok
+    ),
+    e AS (
+      SELECT doc_id, unnest(shs) AS shingle FROM sh
+    ),
+    h AS (
+      SELECT doc_id, {_sql_md5_int('shingle', 8)} % {_MH_PRIME} AS h0 FROM e
+    )"""
 
-@register("q_dedup_minhash")  # xxhash64-seeded → not portable SQL → rows-only
+_MH_SIG_SQL = ", ".join(
+    f"MIN(({a} * h0 + {b}) % {_MH_PRIME}) AS mh{i}"
+    for i, (a, b) in enumerate(_MH_PERMS)
+)
+
+_MH_BANDS_SQL = "\n      UNION ALL\n".join(
+    f"""      SELECT doc_id, {band} AS band,
+             concat_ws(':', {', '.join(f'mh{band * _MH_BAND_SIZE + j}' for j in range(_MH_BAND_SIZE))})
+               AS band_key
+      FROM sigs"""
+    for band in range(len(_MH_PERMS) // _MH_BAND_SIZE)
+)
+
+
+@register(
+    "q_dedup_minhash",
+    oracle=rf"""
+    WITH {_MH_SHINGLE_CTES},
+    sigs AS (
+      SELECT doc_id, {_MH_SIG_SQL} FROM h GROUP BY doc_id
+    ),
+    bands AS (
+{_MH_BANDS_SQL}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_id_a, c.doc_id_b,
+           CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
+             / (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs)))
+             AS jaccard
+    FROM cand c
+    JOIN sh x ON x.doc_id = c.doc_id_a
+    JOIN sh y ON y.doc_id = c.doc_id_b
+    WHERE CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
+            / (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs)))
+          >= {_JACCARD_THRESHOLD}
+    """,
+)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash/LSH near-dup pairs, exact-Jaccard-verified.
+    """MinHash/LSH near-dup pairs, exact-Jaccard-verified — with a full
+    DuckDB oracle: the permuted hashes run on a PORTABLE base hash (md5 hex
+    → int, see _md5_int), so every stage (signatures, banding, candidate
+    join, exact verify) is reproducible SQL. a·H + b stays under 2^63
+    (a < 2^32, H < p ≈ 2^30), so the modular arithmetic is exact int64 in
+    both engines; band keys are ':'-joined strings, not an engine hash.
 
-    Signature: h_i(doc) = min over shingles of (a_i·H(s) + b_i) mod p with
-    H(s) = xxhash64(shingle) folded into [0, p). Docs sharing any band of the
-    signature become candidates; candidates are verified with exact Jaccard.
-    """
+    Signature: h_i(doc) = min over shingles of (a_i·H(s) + b_i) mod p.
+    Docs sharing any band of the signature become candidates; candidates
+    are verified with exact Jaccard. Cost: O(docs × k) signature work +
+    |bands| narrow self-joins + verification on candidates only — the
+    100 TB path (never all-pairs)."""
     docs = load_table(spark, sf_dir, "documents")
     # cached because three downstream branches (signatures, verify-a,
     # verify-b) consume it; released by Spark's ContextCleaner once the
@@ -397,7 +489,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = _doc_shingles(docs).cache()
 
     e = shingled.select("doc_id", F.explode("sh").alias("shingle"))
-    h0 = F.pmod(F.xxhash64("shingle"), F.lit(_MH_PRIME))
+    h0 = F.pmod(_md5_int(F.col("shingle"), 8), F.lit(_MH_PRIME))
     mins = [
         F.min(F.pmod(F.lit(a) * h0 + F.lit(b), F.lit(_MH_PRIME))).alias(f"mh{i}")
         for i, (a, b) in enumerate(_MH_PERMS)
@@ -411,8 +503,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     band_structs = [
         F.struct(
             F.lit(band).alias("band"),
-            F.hash(
-                *[F.col(f"mh{band * _MH_BAND_SIZE + j}") for j in range(_MH_BAND_SIZE)]
+            F.concat_ws(
+                ":",
+                *[F.col(f"mh{band * _MH_BAND_SIZE + j}") for j in range(_MH_BAND_SIZE)],
             ).alias("band_key"),
         )
         for band in range(n_bands)
@@ -454,21 +547,63 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q_dedup_simhash — 64-bit SimHash + banded Hamming search
 # ---------------------------------------------------------------------------
-_SH_BITS = 60  # top bits dropped: keeps the packed signature positive
+_SH_BITS = 60  # 15 md5 nibbles = 60 hyperplanes; packed signature positive
 _SH_BANDS = 4
 _SH_HAMMING_MAX = 8
 
+_SH_BAND_WIDTH = _SH_BITS // _SH_BANDS
+_SH_BANDS_SQL = "\n      UNION ALL\n".join(
+    f"""      SELECT doc_id, simhash, {band} AS band,
+             (simhash >> {band * _SH_BAND_WIDTH}) & {(1 << _SH_BAND_WIDTH) - 1}
+               AS band_key
+      FROM packed"""
+    for band in range(_SH_BANDS)
+)
 
-@register("q_dedup_simhash")  # xxhash64-based → rows-only
+
+@register(
+    "q_dedup_simhash",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+      FROM documents
+    ),
+    th AS (
+      SELECT doc_id, {_sql_md5_int('t', 15)} AS h FROM tok
+    ),
+    bits AS (
+      SELECT doc_id, b.b AS bit, SUM(((h >> b.b) & 1) * 2 - 1) AS vote
+      FROM th, LATERAL unnest(range(0, {_SH_BITS})) AS b(b)
+      GROUP BY 1, 2
+    ),
+    packed AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit)
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    ),
+    bands AS (
+{_SH_BANDS_SQL}
+    )
+    SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SH_HAMMING_MAX}
+    """,
+)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: per-token 64-bit hashes vote per bit; docs
-    whose signatures agree on any 15-bit band are candidates; pairs within
-    Hamming distance _SH_HAMMING_MAX are returned."""
+    """SimHash near-dup pairs — with a full DuckDB oracle: per-token 60-bit
+    PORTABLE hashes (md5 hex → int, _md5_int) vote per bit; docs whose
+    signatures agree on any 15-bit band are candidates; pairs within
+    Hamming distance {max} are returned. The oracle recomputes the votes in
+    long format (doc, bit) — same integer sums, same sign rule, same packed
+    signature — so the banded search is value-checked end to end."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", _md5_int(F.col("tok"), 15))
 
     votes = [
         F.sum(
@@ -514,9 +649,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("long")
+            .alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= _SH_HAMMING_MAX)

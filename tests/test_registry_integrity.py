@@ -10,8 +10,6 @@ from cdmx_airquality_etl_spark.registry import ORACLES, QUERIES
 ROWS_ONLY = {
     "q_udf_normalize": "exact NFKD fold — DuckDB has no NFKD normalize",
     "q_group_approx": "HLL estimator — sketch values are engine-specific",
-    "q_dedup_minhash": "xxhash64-seeded permutations — not portable SQL",
-    "q_dedup_simhash": "xxhash64 token hashes — not portable SQL",
     "q_similarity_ann_ivf": "probe strategy is an approximation, not a fixed answer",
     "q_multimodal_meta": "stubbed binary decode — no SQL equivalent",
 }
