@@ -488,13 +488,22 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # returned frame is dropped by the caller
     shingled = _doc_shingles(docs).cache()
 
-    e = shingled.select("doc_id", F.explode("sh").alias("shingle"))
-    h0 = F.pmod(_md5_int(F.col("shingle"), 8), F.lit(_MH_PRIME))
+    # h0 materializes as a COLUMN in the projection under the aggregate so
+    # the md5 decode runs once per shingle row; putting the h0 expression
+    # inside each of the 12 MIN aggregates would inline 12 copies into the
+    # aggregate expressions (one md5 per permutation per row + a 12× larger
+    # codegen unit — measured ~4× slower cold)
+    eh = shingled.select("doc_id", F.explode("sh").alias("shingle")).select(
+        "doc_id",
+        F.pmod(_md5_int(F.col("shingle"), 8), F.lit(_MH_PRIME)).alias("h0"),
+    )
     mins = [
-        F.min(F.pmod(F.lit(a) * h0 + F.lit(b), F.lit(_MH_PRIME))).alias(f"mh{i}")
+        F.min(F.pmod(F.lit(a) * F.col("h0") + F.lit(b), F.lit(_MH_PRIME))).alias(
+            f"mh{i}"
+        )
         for i, (a, b) in enumerate(_MH_PERMS)
     ]
-    sigs = e.groupBy("doc_id").agg(*mins)
+    sigs = eh.groupBy("doc_id").agg(*mins)
 
     # one pass over the signatures: bands as an exploded literal array, cached
     # (a unionByName-per-band would recompute the signature aggregation once
