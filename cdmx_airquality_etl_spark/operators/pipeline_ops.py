@@ -213,6 +213,65 @@ def q_token_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DRIFT_SPLIT_ID = 250  # doc_id < split = previous snapshot, >= split = new batch
+
+
+@register(
+    "q_profile_drift",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT lang,
+             CASE WHEN doc_id < {_DRIFT_SPLIT_ID} THEN 'prev' ELSE 'new' END AS snap
+      FROM documents
+    ),
+    counts AS (
+      SELECT lang,
+             COUNT(*) FILTER (snap = 'prev') AS n_prev,
+             COUNT(*) FILTER (snap = 'new') AS n_new
+      FROM tagged GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_prev) AS BIGINT) AS t_prev,
+             CAST(SUM(n_new) AS BIGINT) AS t_new
+      FROM counts
+    )
+    SELECT c.lang, c.n_prev, c.n_new,
+           CAST(c.n_new AS DOUBLE) / t.t_new
+             - CAST(c.n_prev AS DOUBLE) / t.t_prev AS rate_shift
+    FROM counts c, tot t
+    """,
+)
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between corpus snapshots — the check a daily
+    ingest runs before promoting a batch ('did the language mix move?'),
+    generalizing the reference's V-GATE from 'is this batch well-formed' to
+    'does this batch look like the table' (doc_id halves stand in for the
+    two snapshots). Per-category counts from ONE conditional hash aggregate
+    over one scan; the two totals ride a broadcast 1-row cross join, so
+    drift over a 100 TB corpus costs exactly one aggregation pass. The
+    rate_shift doubles divide exact int64 counts — identical in both
+    engines (registry float rules)."""
+    docs = load_table(spark, sf_dir, "documents")
+    prev = F.col("doc_id") < _DRIFT_SPLIT_ID
+    counts = docs.groupBy("lang").agg(
+        F.count_if(prev).alias("n_prev"),
+        F.count_if(~prev).alias("n_new"),
+    )
+    tot = counts.agg(
+        F.sum("n_prev").cast("long").alias("t_prev"),
+        F.sum("n_new").cast("long").alias("t_new"),
+    )
+    return counts.join(F.broadcast(tot)).select(
+        "lang",
+        "n_prev",
+        "n_new",
+        (
+            F.col("n_new").cast("double") / F.col("t_new")
+            - F.col("n_prev").cast("double") / F.col("t_prev")
+        ).alias("rate_shift"),
+    )
+
+
 @register(
     "q_histogram",
     oracle="""
