@@ -291,7 +291,7 @@ _CONTAINMENT_THRESHOLD = 0.9
 )
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-SUBSET duplicate pairs via the overlap coefficient
-    |A∩B| / min(|A|,|B|) ≥ {threshold}: flags a short document embedded in a
+    |A∩B| / min(|A|,|B|) ≥ 0.9: flags a short document embedded in a
     longer one (quoted article, boilerplate-wrapped rehost), which Jaccard
     structurally misses — a 200-shingle doc fully contained in a 2000-shingle
     doc has Jaccard 0.1 but containment 1.0. Same capped inverted-index plan
@@ -605,7 +605,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs — with a full DuckDB oracle: per-token 60-bit
     PORTABLE hashes (md5 hex → int, _md5_int) vote per bit; docs whose
     signatures agree on any 15-bit band are candidates; pairs within
-    Hamming distance {max} are returned. The oracle recomputes the votes in
+    Hamming distance 8 are returned. The oracle recomputes the votes in
     long format (doc, bit) — same integer sums, same sign rule, same packed
     signature — so the banded search is value-checked end to end."""
     docs = load_table(spark, sf_dir, "documents")

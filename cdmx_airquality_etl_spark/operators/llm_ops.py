@@ -80,7 +80,7 @@ def _grams_spark(n: int):
 )
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: a training document is contaminated if it
-    shares any word {n}-gram with the held-out benchmark set (here: the
+    shares any word 5-gram with the held-out benchmark set (here: the
     ``src0`` slice stands in for the benchmark). Reported as per-language
     contaminated counts; the production variant anti-joins the flagged ids
     away instead of counting them.
@@ -189,7 +189,7 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: shard count grows with the corpus (one in-plan COUNT,
     same pattern as the LSH bit sizing) so each rank reducer holds
-    ~{target} docs regardless of corpus size, and the window is
+    ~64 docs regardless of corpus size, and the window is
     PARTITIONED by shard — a single hash-partitioned sort, parallel
     across shards, never a global single-reducer ORDER BY and never a fat
     per-shard reducer. Epoch N+1 = new seed string.
@@ -237,7 +237,7 @@ _BOILERPLATE_TOPK = 20
     """,
 )
 def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-wide boilerplate detector: the {k} word {n}-grams appearing in
+    """Corpus-wide boilerplate detector: the 20 word 5-grams appearing in
     the most documents (document frequency over per-doc DISTINCT grams, so a
     gram repeated inside one page counts once). The output IS the removal
     list a curation run feeds back as a filter — cookie banners, nav bars
@@ -373,7 +373,7 @@ _REP_GRAMS_SQL = (
 )
 def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition score: fraction of duplicated word
-    {n}-grams (1 − distinct/total), the Gopher-rule signal that catches
+    3-grams (1 − distinct/total), the Gopher-rule signal that catches
     boilerplate, keyword stuffing and template spam. The downstream filter
     is ``dup_ratio > threshold``; emitting the score keeps the oracle
     exact.

@@ -269,13 +269,13 @@ _LSH_PROBE_HAMMING = 2
 )
 def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k: score only the vectors in buckets
-    within Hamming distance {probe} of the query's corpus-sized sign-LSH
+    within Hamming distance 2 of the query's corpus-sized sign-LSH
     bucket (multi-probe), exact cosine rerank inside them — the LSH
     counterpart of q_similarity_ann_ivf, with the same cost model (read a
     few buckets, not the corpus) but a deterministic in-plan bucket
     function instead of trained centroids, which is what makes this ANN
     query fully oracle-checkable. Scale shape: with bits sized so buckets
-    hold ~{target} vectors, probing Hamming ≤ 2 reads C(bits,≤2) of 2^bits
+    hold ~32 vectors, probing Hamming ≤ 2 reads C(bits,≤2) of 2^bits
     buckets — at production bit widths (15+) that is ≪ 1% of the corpus,
     and bucket-partitioned storage turns it into literal partition pruning;
     the rerank is a broadcast of the 1-row query + scan-side cosine +
