@@ -220,3 +220,54 @@ def q_dense_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n", F.lit(0)).alias("n_orders"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_lateral_join — correlated LATERAL subquery (per-row dependent subquery)
+# ---------------------------------------------------------------------------
+_LATERAL_K = 2
+
+
+@register(
+    "q_lateral_join",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_mktsegment,
+           l.o_orderkey, l.o_orderdate, l.o_totalprice
+    FROM customer c
+    JOIN LATERAL (
+      SELECT o_orderkey, o_orderdate, o_totalprice
+      FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+      ORDER BY o_orderdate DESC, o_orderkey ASC
+      LIMIT {_LATERAL_K}
+    ) l ON true
+    WHERE c.c_custkey < 300
+    """,
+)
+def q_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (Spark 4 ``DataFrame.lateralJoin`` +
+    ``Column.outer()``): for each customer, its 2 most recent finished
+    orders — the per-row dependent subquery shape (top-k per outer row)
+    that SQL expresses as JOIN LATERAL and the DataFrame API could not
+    express at all before Spark 4.
+
+    Catalyst decorrelates the lateral subquery into a window-over-join
+    (DecorrelateInnerQuery): the physical plan is the same shuffle +
+    per-key ranking q_topk_per_group builds by hand — NOT a per-outer-row
+    re-execution — so the lateral form costs one shuffle of the filtered
+    orders at any scale. Deterministic: ties broken by o_orderkey; the
+    date filter prunes the orders scan before the shuffle."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = customer.filter(F.col("c_custkey") < 300)
+    recent = (
+        orders.where(
+            (F.col("o_custkey") == F.col("c_custkey").outer())
+            & (F.col("o_orderstatus") == "F")
+        )
+        .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").asc())
+        .limit(_LATERAL_K)
+    )
+    return cust.lateralJoin(recent).select(
+        "c_custkey", "c_mktsegment", "o_orderkey", "o_orderdate", "o_totalprice"
+    )

@@ -559,3 +559,84 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
         .limit(_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_semantic — SemDeDup-style anchor pruning inside sign-LSH buckets
+# ---------------------------------------------------------------------------
+# Within each embedding cluster, documents too close to the cluster's
+# representative are semantic duplicates and get pruned (the SemDeDup recipe,
+# Abbas et al. 2023, arXiv:2303.09540 — public paper). Clusters here are the
+# corpus-sized sign-LSH buckets already used by q_dedup_embedding, and the
+# representative is the bucket's min-vec_id member ("anchor") — a
+# deterministic choice that needs NO centroid float averaging, so every
+# number in the operator is an exact per-pair fold and the whole pass
+# carries a full DuckDB oracle.
+_SEM_DUP_COS = 0.35
+
+
+@register(
+    "q_dedup_semantic",
+    oracle=f"""
+    WITH nb AS (SELECT {_LSH_BITS_SQL} AS bits FROM embeddings),
+    e AS (
+      SELECT vec_id, embedding, {_SIGN_BUCKET_SQL} AS bucket
+      FROM embeddings, nb
+    ),
+    anch AS (
+      SELECT bucket, MIN(vec_id) AS anchor_id,
+             CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM e GROUP BY bucket
+    )
+    SELECT m.vec_id, n.anchor_id, n.n_members,
+           {_sql_cos('m.embedding', 'a.embedding')} AS cosine_sim
+    FROM e m
+    JOIN anch n ON m.bucket = n.bucket
+    JOIN e a ON a.vec_id = n.anchor_id AND a.bucket = m.bucket
+    WHERE m.vec_id <> n.anchor_id
+      AND {_sql_cos('m.embedding', 'a.embedding')} >= {_SEM_DUP_COS}
+    """,
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, SemDeDup-shaped: prune members of an embedding
+    cluster that sit within cosine _SEM_DUP_COS of the cluster
+    representative. Clusters = deterministic sign-LSH buckets (bits sized
+    to the corpus in-plan, as q_dedup_embedding); representative = the
+    bucket's min-vec_id anchor, so selection is exact and order-free.
+    Output: the DROP list (member, its anchor, bucket population, cosine).
+
+    Plan shape: one aggregate on bucket (min + count), one join to pull the
+    anchor vector, one member↔anchor join — every member is scored against
+    exactly ONE anchor, so the pass is O(n) pairs TOTAL (vs q_dedup_embedding's
+    O(n·bucket) all-pairs-within-bucket) — the cheap first pass a 100 TB
+    curation run does before any pairwise pass. Anchor rows are one per
+    bucket (~n/32): Spark broadcasts them when small, SMJ otherwise — left
+    to AQE. Cosines are sequential folds (_dot), bitwise equal to the
+    oracle's list_reduce."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.join(broadcast(lsh_bits_df(emb))).select(
+        "vec_id",
+        "embedding",
+        _norm("embedding").alias("nrm"),
+        _sign_bucket_spark("embedding", "lsh_bits").alias("bucket"),
+    )
+    anchors = e.groupBy("bucket").agg(
+        F.min("vec_id").alias("anchor_id"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    )
+    anchor_vecs = anchors.join(
+        e.select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("embedding").alias("anchor_emb"),
+            F.col("nrm").alias("anchor_nrm"),
+            "bucket",
+        ),
+        ["bucket", "anchor_id"],
+    )
+    cos = _dot("embedding", "anchor_emb") / (F.col("nrm") * F.col("anchor_nrm"))
+    return (
+        e.join(anchor_vecs, "bucket")
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select("vec_id", "anchor_id", "n_members", cos.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= _SEM_DUP_COS)
+    )

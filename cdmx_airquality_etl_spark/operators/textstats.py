@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.parquet import load_table
+from .dedup import _md5_int, _sql_md5_int
 
 # Tiny stopword inventories for the heuristic language-ID (n-gram/stopword
 # scoring). Deliberately small and hardcoded so the oracle SQL can repeat them
@@ -283,4 +284,155 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         scrubbed.alias("scrubbed"),
         F.regexp_count("text", F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
         F.regexp_count("text", F.lit(_LONGNUM_RE)).cast("long").alias("n_longnums"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_quality_classifier — hashed-bag-of-words linear quality model
+# ---------------------------------------------------------------------------
+# fastText-style linear scorer over hashed token features: each token hashes
+# into one of _QC_DIM weight buckets, the document score is the sum of its
+# tokens' weights plus a bias. Weights are integer MILLI-units generated once
+# from a fixed LCG recurrence and embedded as literals in BOTH the Spark plan
+# and the oracle SQL, so the whole model is part of the query text. Integer
+# sums are exact and order-independent; the single final divide-by-1000 is
+# IEEE-identical in both engines — no float-accumulation drift.
+_QC_DIM = 64
+_QC_BIAS_MILLI = 50
+
+
+def _qc_weights() -> list[int]:
+    # Deterministic LCG (Numerical Recipes constants) → milli-weights in
+    # [-500, 500). Generated at import; the SAME list is rendered into the
+    # Spark literal array and the oracle literal list below.
+    w, x = [], 7
+    for _ in range(_QC_DIM):
+        x = (x * 1664525 + 1013904223) % (2**32)
+        w.append(x % 1000 - 500)
+    return w
+
+
+_QC_W = _qc_weights()
+
+
+@register(
+    "q_quality_classifier",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_QC_BIAS_MILLI} + CAST(coalesce(list_sum(list_transform(
+                 {_sql_toks('text')},
+                 t -> [{', '.join(str(w) for w in _QC_W)}]
+                      [({_sql_md5_int('t', 8)}) % {_QC_DIM} + 1]
+             )), 0) AS BIGINT) AS score_milli
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(score_milli AS DOUBLE) / 1000.0 AS score,
+           score_milli > 0 AS keep
+    FROM scored
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality classifier — the fastText-shaped model-based
+    quality gate of an LLM curation pipeline (the learned upgrade of
+    q_quality_score's hand ratios): score(doc) = bias + Σ_tokens
+    W[md5(token) mod D]. The entire model (D=64 integer milli-weights)
+    is a literal in the plan, the per-document sum is a native higher-order
+    fold over the token array — a pure scan-side projection with NO shuffle
+    and NO Python, so at 100 TB it runs at parquet-scan speed inside
+    WholeStageCodegen. Scoring is exact: integer weights sum in int64
+    (order-independent), one final divide produces the double score
+    identically in Spark and DuckDB. Generalizes the reference's
+    quality-gate idea (V-GATE, scrapper.py:139-144) from presence checks to
+    a trained-model scoring pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    w_arr = F.array(*[F.lit(w).cast("long") for w in _QC_W])
+    tok_weight = lambda t: F.element_at(  # noqa: E731
+        w_arr, (F.pmod(_md5_int(t, 8), F.lit(_QC_DIM)) + 1).cast("int")
+    )
+    score_milli = F.lit(_QC_BIAS_MILLI).cast("long") + F.coalesce(
+        F.aggregate(
+            _toks(F.col("text")),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + tok_weight(t),
+        ),
+        F.lit(0).cast("long"),
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        (score_milli.cast("double") / F.lit(1000.0)).alias("score"),
+        (score_milli > 0).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_tfidf_topterms — top terms per language by exact-arithmetic TF-IDF
+# ---------------------------------------------------------------------------
+_TFIDF_K = 5
+_TFIDF_MIN_LEN = 3
+
+
+@register(
+    "q_tfidf_topterms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest({_sql_toks('text')}) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT lang, term,
+             CAST(COUNT(*) AS BIGINT) AS tf,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok WHERE len(term) >= {_TFIDF_MIN_LEN}
+      GROUP BY lang, term
+    ),
+    n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY lang),
+    ranked AS (
+      SELECT tf.lang, term, tf, df,
+             CAST(tf * n_docs AS DOUBLE) / df AS tfidf,
+             ROW_NUMBER() OVER (PARTITION BY tf.lang
+                                ORDER BY CAST(tf * n_docs AS DOUBLE) / df DESC,
+                                         term ASC) AS rnk
+      FROM tf JOIN n ON tf.lang = n.lang
+    )
+    SELECT lang, term, tf, df, tfidf, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {_TFIDF_K}
+    """,
+)
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per language by TF-IDF — the corpus-vocabulary
+    report a curation run uses to spot boilerplate and topic drift. Exact
+    arithmetic end to end: tf (term occurrences) and df (distinct docs) are
+    integer hash aggregates, n_docs per language is a tiny broadcast dim,
+    and the score tf·N/df is ONE integer multiply plus ONE IEEE divide — no
+    float accumulation, so Spark and DuckDB agree bitwise. Plan shape at
+    100 TB: explode → ONE shuffle on (lang, term) computing tf and df
+    map-side-partially, broadcast join of the per-language doc counts, and
+    a top-k window over (lang) whose input is already one row per term —
+    the window never sees raw token volume. Deterministic ties broken by
+    term; IDF uses the raw ratio N/df (monotone with log-idf, so the
+    ranking is the standard one without cross-engine ln() risk)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(_toks(F.col("text"))).alias("term")
+    ).filter(F.length("term") >= _TFIDF_MIN_LEN)
+    tf = toks.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    n = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    scored = tf.join(broadcast(n), "lang").withColumn(
+        "tfidf", (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _TFIDF_K)
+        .select("lang", "term", "tf", "df", "tfidf", "rnk")
     )

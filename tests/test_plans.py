@@ -152,3 +152,44 @@ def test_dedup_incremental_is_anti_join_on_fingerprints(spark, sf_dir):
     full = _plan(spark, sf_dir, "q_dedup_incremental")
     assert "GreaterThanOrEqual(doc_id,250)" in full
     assert "LessThan(doc_id,250)" in full
+
+
+def test_quality_classifier_is_scan_side(spark, sf_dir):
+    # the hashed linear model is a pure projection: no shuffle, no join —
+    # at 100 TB it runs at parquet-scan speed
+    plan = _plan(spark, sf_dir, "q_quality_classifier", mode="simple")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    read_schema_line = next(
+        l for l in plan.splitlines() if "ReadSchema" in l
+    )
+    assert "text" in read_schema_line and "source" not in read_schema_line
+
+
+def test_tfidf_single_token_shuffle_and_broadcast_n(spark, sf_dir):
+    # tf/df aggregate is the only pass over token volume (one exchange on
+    # (lang, term) + partial agg); per-language doc counts join broadcast;
+    # the window runs on per-term rows, never raw tokens
+    plan = _plan(spark, sf_dir, "q_tfidf_topterms")
+    assert "BroadcastHashJoin" in plan
+    assert "partial" in plan.lower()
+    assert "SortMergeJoin" not in plan
+
+
+def test_lateral_join_decorrelates(spark, sf_dir):
+    # Catalyst must rewrite the correlated LATERAL subquery into a
+    # join + per-key ranking (WindowGroupLimit), NOT per-outer-row
+    # re-execution; both scans keep their pushed filters
+    plan = _plan(spark, sf_dir, "q_lateral_join")
+    assert "WindowGroupLimit" in plan
+    assert "LessThan(c_custkey,300)" in plan
+    assert "EqualTo(o_orderstatus,F)" in plan
+
+
+def test_dedup_semantic_anchor_is_linear(spark, sf_dir):
+    # every member scores against exactly ONE anchor: the member↔anchor
+    # join is on bucket (equi), and no all-pairs self-join condition
+    # (vec_id < vec_id) appears anywhere in the plan
+    plan = _plan(spark, sf_dir, "q_dedup_semantic", mode="simple")
+    assert "vec_id#" in plan
+    assert " < vec_id" not in plan.replace("anchor_id", "")
