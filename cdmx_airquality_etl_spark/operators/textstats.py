@@ -409,12 +409,15 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer hash aggregates, n_docs per language is a tiny broadcast dim,
     and the score tf·N/df is ONE integer multiply plus ONE IEEE divide — no
     float accumulation, so Spark and DuckDB agree bitwise. Plan shape at
-    100 TB: explode → ONE shuffle on (lang, term) computing tf and df
-    map-side-partially, broadcast join of the per-language doc counts, and
-    a top-k window over (lang) whose input is already one row per term —
-    the window never sees raw token volume. Deterministic ties broken by
-    term; IDF uses the raw ratio N/df (monotone with log-idf, so the
-    ranking is the standard one without cross-engine ln() risk)."""
+    100 TB: token volume crosses exactly two exchanges, both preceded by
+    map-side partial aggregation — (lang, term, doc_id) for the distinct-df
+    pre-aggregate (per-doc repeats collapse before the wire), then
+    (lang, term) for tf+df — the standard two-phase count-distinct; the
+    per-language doc counts broadcast, and the top-k window over (lang)
+    runs on one-row-per-term input already cut to k rows per partition by
+    WindowGroupLimit. Deterministic ties broken by term; IDF uses the raw
+    ratio N/df (monotone with log-idf, so the ranking is the standard one
+    without cross-engine ln() risk)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang", F.explode(_toks(F.col("text"))).alias("term")

@@ -22,6 +22,12 @@ DETERMINISTIC_QUERIES = [
     "q_dedup_simhash",
     "q_doc_fingerprint",
     "q_similarity_ann_lsh",
+    # hashed-model scoring and anchor selection are content-derived (md5
+    # weights / min-id anchors / exact int + single-divide arithmetic) —
+    # the same guarantee their docstrings state
+    "q_quality_classifier",
+    "q_dedup_semantic",
+    "q_tfidf_topterms",
 ]
 
 
