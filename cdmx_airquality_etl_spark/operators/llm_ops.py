@@ -396,3 +396,120 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("dup_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_chunk_documents — sliding-window chunking into training sequences
+# ---------------------------------------------------------------------------
+# The chunker every pretraining pipeline runs between curation and packing:
+# long documents become overlapping fixed-token windows. Window starts are
+# i·stride for i = 0..floor((n_tokens-1)/stride), so every token is covered
+# and consecutive chunks overlap by (chunk - stride) tokens. Sized small
+# (20/15) because the synthetic docs average ~55 tokens; production uses
+# 2048/1920-shaped values with the same plan.
+_CHUNK_TOKS = 20
+_CHUNK_STRIDE = 15
+
+
+@register(
+    "q_chunk_documents",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+           array_to_string(
+             toks[i * {_CHUNK_STRIDE} + 1 : i * {_CHUNK_STRIDE} + {_CHUNK_TOKS}],
+             ' ') AS chunk_text,
+           CAST(len(toks[i * {_CHUNK_STRIDE} + 1 :
+                         i * {_CHUNK_STRIDE} + {_CHUNK_TOKS}]) AS BIGINT)
+             AS n_chunk_tokens
+    FROM tok, LATERAL unnest(range(0, CAST(floor((len(toks) - 1)
+                                               / {_CHUNK_STRIDE}) AS BIGINT) + 1))
+         AS t(i)
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: split each document's token stream into
+    windows of _CHUNK_TOKS tokens every _CHUNK_STRIDE (overlap = 5 tokens),
+    one output row per (doc, window) — the document→training-sequence
+    explode that feeds q_pack_sequences. Start offsets are a pure
+    arithmetic sequence, window slices are native ``slice`` over the token
+    array, and chunk ids are positional — all content-derived, so output
+    is stable under re-runs and repartitioning.
+
+    Scale shape: entirely scan-side — tokenize once per row, explode the
+    window-start sequence (Generate, no shuffle), slice + join per window
+    inside WholeStageCodegen. Zero exchanges at any corpus size; output
+    volume is the ~(1/stride)-fold token duplication the overlap policy
+    itself demands. Tail windows shorter than the chunk size are emitted
+    (n_chunk_tokens tells the packer), matching the oracle's slice
+    semantics exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks"),
+    )
+    starts = F.sequence(
+        F.lit(0),
+        F.floor((F.size("toks") - 1) / _CHUNK_STRIDE).cast("int"),
+    )
+    exploded = toks.select("doc_id", "toks", F.explode(starts).alias("i"))
+    window = F.slice(
+        F.col("toks"), F.col("i") * _CHUNK_STRIDE + 1, _CHUNK_TOKS
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("i").cast("long").alias("chunk_id"),
+        F.array_join(window, " ").alias("chunk_text"),
+        F.size(window).cast("long").alias("n_chunk_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_cap_per_source — per-source document caps by content-hash rank
+# ---------------------------------------------------------------------------
+# The domain-cap rule of crawl curation: no source may contribute more than
+# K documents. Selection is by content-hash rank (md5 of the text, doc_id
+# tiebreak), so which K survive is a pure function of the data — stable
+# under re-runs, repartitioning and cluster size, and unbiased toward
+# ingest order (a head(K) would keep whatever happened to arrive first).
+_SOURCE_CAP = 15
+
+
+@register(
+    "q_cap_per_source",
+    oracle=f"""
+    SELECT source, doc_id, CAST(keep_rank AS BIGINT) AS keep_rank
+    FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(text) ASC, doc_id ASC)
+               AS keep_rank
+      FROM documents
+    )
+    WHERE keep_rank <= {_SOURCE_CAP}
+    """,
+)
+def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cap: keep at most _SOURCE_CAP documents per source,
+    chosen by content-hash rank — the anti-domination rule a crawl corpus
+    applies so no single domain floods the training mix.
+
+    Scale shape: rank ≤ K over (source) compiles to WindowGroupLimit —
+    every map task pre-cuts its partition to K rows per source BEFORE the
+    exchange, so the shuffle carries O(sources · K · tasks) rows, not the
+    corpus, and the final per-source pass is over ≤ K·tasks rows. No
+    single-reducer risk even for a source owning half the corpus. md5
+    renders as lowercase hex in both engines, so the rank order — and
+    therefore the kept set — is identical under the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("text")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select(
+            "source", "doc_id", F.row_number().over(w).cast("long").alias("keep_rank")
+        )
+        .filter(F.col("keep_rank") <= _SOURCE_CAP)
+    )

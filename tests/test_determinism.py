@@ -28,6 +28,8 @@ DETERMINISTIC_QUERIES = [
     "q_quality_classifier",
     "q_dedup_semantic",
     "q_tfidf_topterms",
+    "q_chunk_documents",
+    "q_cap_per_source",
 ]
 
 

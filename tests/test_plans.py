@@ -193,3 +193,18 @@ def test_dedup_semantic_anchor_is_linear(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_dedup_semantic", mode="simple")
     assert "vec_id#" in plan
     assert " < vec_id" not in plan.replace("anchor_id", "")
+
+
+def test_chunk_documents_is_zero_shuffle_generate(spark, sf_dir):
+    # chunking is a scan-side explode over window starts: no exchange, no
+    # join — output volume is the stride-policy duplication only
+    plan = _plan(spark, sf_dir, "q_chunk_documents", mode="simple")
+    assert "Exchange" not in plan
+    assert "Generate" in plan
+
+
+def test_cap_per_source_uses_window_group_limit(spark, sf_dir):
+    # rank<=K per source must pre-cut map-side (WindowGroupLimit) so the
+    # shuffle never carries the full corpus for a hot source
+    plan = _plan(spark, sf_dir, "q_cap_per_source")
+    assert "WindowGroupLimit" in plan
