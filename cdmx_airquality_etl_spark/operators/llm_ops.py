@@ -448,7 +448,7 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
-        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks"),
+        words(F.lower(F.col("text"))).alias("toks"),
     )
     starts = F.sequence(
         F.lit(0),
@@ -484,7 +484,7 @@ _SOURCE_CAP = 15
     FROM (
       SELECT source, doc_id,
              ROW_NUMBER() OVER (PARTITION BY source
-                                ORDER BY md5(text) ASC, doc_id ASC)
+                                ORDER BY md5(text) ASC NULLS LAST, doc_id ASC)
                AS keep_rank
       FROM documents
     )
@@ -504,8 +504,11 @@ def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     renders as lowercase hex in both engines, so the rank order — and
     therefore the kept set — is identical under the oracle."""
     docs = load_table(spark, sf_dir, "documents")
+    # NULLS LAST pinned on both sides: Spark's asc() defaults nulls-first,
+    # DuckDB's ASC nulls-last — a NULL text would silently reorder the kept
+    # set between engines otherwise
     w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("text")).asc(), F.col("doc_id").asc()
+        F.md5(F.col("text")).asc_nulls_last(), F.col("doc_id").asc()
     )
     return (
         docs.select(

@@ -256,7 +256,7 @@ def q_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-key ranking q_topk_per_group builds by hand — NOT a per-outer-row
     re-execution — so the lateral form costs one shuffle of the filtered
     orders at any scale. Deterministic: ties broken by o_orderkey; the
-    date filter prunes the orders scan before the shuffle."""
+    orderstatus filter is pushed into the orders scan before the shuffle."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     cust = customer.filter(F.col("c_custkey") < 300)

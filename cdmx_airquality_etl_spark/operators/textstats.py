@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
 
 from ..registry import register
 from ..sources.parquet import load_table
@@ -427,9 +429,6 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("df"),
     )
     n = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
-    from pyspark.sql import Window
-    from pyspark.sql.functions import broadcast
-
     scored = tf.join(broadcast(n), "lang").withColumn(
         "tfidf", (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")
     )

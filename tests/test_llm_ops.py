@@ -168,3 +168,35 @@ def test_ann_lsh_broadcasts_query_and_takes_ordered(spark, sf_dir):
     # side never shuffles for the probe
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_cap_per_source_null_text_ranks_last(spark, tmp_path):
+    # NULL text must rank LAST on both engines (Spark asc defaults
+    # nulls-first, DuckDB ASC nulls-last — the operator pins nulls-last on
+    # the Spark side and NULLS LAST in the oracle); a NULL doc must never
+    # displace a hashed doc from the kept set
+    import duckdb
+
+    from cdmx_airquality_etl_spark.registry import ORACLES, QUERIES
+
+    rows = [(i, None if i % 7 == 0 else f"doc text {i}", "en", "srcA", 10)
+            for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = sorted(
+        tuple(r) for r in QUERIES["q_cap_per_source"](spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(ORACLES["q_cap_per_source"]).fetchall())
+    assert got == want
+    # nulls-last means the 6 NULL-text docs rank 35-40 — beyond the cap —
+    # so the kept set is exactly 15 hashed docs and no NULL doc displaces one
+    assert len(got) == 15
+    assert all(doc_id % 7 != 0 for (_, doc_id, _) in got)
