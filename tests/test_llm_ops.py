@@ -200,3 +200,40 @@ def test_cap_per_source_null_text_ranks_last(spark, tmp_path):
     # so the kept set is exactly 15 hashed docs and no NULL doc displaces one
     assert len(got) == 15
     assert all(doc_id % 7 != 0 for (_, doc_id, _) in got)
+
+
+def test_chunk_documents_covers_every_token(spark, tmp_path):
+    # chunking laws, on docs straddling the window boundaries: chunk i is
+    # exactly tokens[i*stride : i*stride+chunk]; every token appears in
+    # some chunk; chunk count = floor((n-1)/stride)+1
+    from cdmx_airquality_etl_spark.operators.llm_ops import (
+        _CHUNK_STRIDE,
+        _CHUNK_TOKS,
+    )
+    from cdmx_airquality_etl_spark.registry import QUERIES
+
+    lengths = [1, 14, 15, 16, 20, 21, 35, 100]
+    rows = [
+        (i, " ".join(f"t{i}_{j}" for j in range(n)), "en", "srcA", 10)
+        for i, n in enumerate(lengths)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = QUERIES["q_chunk_documents"](spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r
+    for doc_id, n in enumerate(lengths):
+        toks = [f"t{doc_id}_{j}" for j in range(n)]
+        chunks = by_doc[doc_id]
+        assert len(chunks) == (n - 1) // _CHUNK_STRIDE + 1
+        seen = set()
+        for i, r in chunks.items():
+            want = toks[i * _CHUNK_STRIDE : i * _CHUNK_STRIDE + _CHUNK_TOKS]
+            assert r.chunk_text.split(" ") == want
+            assert r.n_chunk_tokens == len(want) <= _CHUNK_TOKS
+            seen.update(want)
+        assert seen == set(toks)
