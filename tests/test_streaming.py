@@ -131,23 +131,46 @@ def test_session_counts_stream_matches_batch(spark, tmp_path, sf_dir):
     }
     assert batch  # sessions exist
 
-    stream = spark.readStream.schema(schema).parquet(src)
-    q = (
-        session_counts(stream)
-        .writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            session_counts(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # Append mode only emits a session once the watermark passes its end, and
+    # the watermark used by a micro-batch is the one computed from PRIOR
+    # batches — so a single AvailableNow pass over a closed directory emits
+    # nothing. Drive the watermark forward deterministically with two sentinel
+    # events (distinct out-of-range users) far past every real session end,
+    # each landing in its own checkpointed run: run 2's batch advances the
+    # commit watermark past all real data, run 3's batch emits every closed
+    # real session. This also exercises checkpoint continuity across restarts.
+    max_ts = spark.read.schema(schema).parquet(src).agg(F.max("ts")).collect()[0][0]
+
+    def append_sentinel(user_id, hours_ahead):
+        spark.createDataFrame(
+            [Row(event_id=10_000_000 + user_id,
+                 ts=max_ts + __import__("datetime").timedelta(hours=hours_ahead),
+                 user_id=user_id, event_type="sentinel", value=0.0, props=None)],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    run_once()  # run 1: all real data in one batch, watermark still at epoch
+    append_sentinel(999_998, 10)
+    run_once()  # run 2: watermark advances past all real session ends
+    append_sentinel(999_999, 20)
+    run_once()  # run 3: every real session (and sentinel 1's) is now closed
+
     got = {
         (r["session_start"], r["session_end"], r["user_id"]): r["n_events"]
         for r in spark.read.parquet(out).collect()
+        if r["user_id"] < 30  # drop sentinel sessions
     }
-    # append mode emits only watermark-closed sessions; every emitted session
-    # must match the batch answer exactly, and most sessions should close
-    assert got
-    assert all(batch.get(k) == v for k, v in got.items())
-    assert len(got) >= len(batch) * 0.8
+    assert got == batch
