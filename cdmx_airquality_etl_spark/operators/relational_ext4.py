@@ -66,7 +66,8 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_forward_fill",
     oracle="""
-    SELECT event_id, user_id, ts,
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
            last_value(v IGNORE NULLS) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
@@ -89,10 +90,13 @@ def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # ts emitted as a zero-padded µs ISO string — raw timestamp outputs
+    # canonicalize to datetime64[ns] (Spark) vs datetime64[us] (DuckDB)
+    # under the pandas bridge, the dtype-sensitivity q_time_bucket documents
     return events.select(
         "event_id",
         "user_id",
-        "ts",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
         F.last(v, ignorenulls=True).over(w).alias("v_filled"),
     )
 
@@ -232,7 +236,9 @@ _LATERAL_K = 2
     "q_lateral_join",
     oracle=f"""
     SELECT c.c_custkey, c.c_mktsegment,
-           l.o_orderkey, l.o_orderdate, l.o_totalprice
+           l.o_orderkey,
+           strftime(l.o_orderdate, '%Y-%m-%d %H:%M:%S.%f') AS o_orderdate,
+           l.o_totalprice
     FROM customer c
     JOIN LATERAL (
       SELECT o_orderkey, o_orderdate, o_totalprice
@@ -268,6 +274,13 @@ def q_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").asc())
         .limit(_LATERAL_K)
     )
+    # o_orderdate emitted as a zero-padded µs ISO string (see q_forward_fill)
     return cust.lateralJoin(recent).select(
-        "c_custkey", "c_mktsegment", "o_orderkey", "o_orderdate", "o_totalprice"
+        "c_custkey",
+        "c_mktsegment",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "o_orderdate"
+        ),
+        "o_totalprice",
     )

@@ -40,7 +40,7 @@ _SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
     SELECT e.event_id AS error_event_id,
            e.user_id,
            c.event_id AS click_event_id,
-           c.ts AS click_ts
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
     FROM (SELECT * FROM events WHERE event_type = 'error') e
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       ON e.user_id = c.user_id AND e.ts >= c.ts
@@ -83,8 +83,16 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("click_event_id", ignorenulls=True).over(w).alias("click_event_id"),
         F.last("click_ts", ignorenulls=True).over(w).alias("click_ts"),
     )
+    # click_ts emitted as a zero-padded µs ISO string: a raw timestamp
+    # column canonicalizes to datetime64[ns] from Spark but datetime64[us]
+    # from DuckDB's pandas bridge — the same dtype-sensitivity q_time_bucket
+    # documents for DATE. NULLs (no prior click) stay NULL through both
+    # engines' formatters.
     return merged.filter(F.col("is_click") == 0).select(
-        "error_event_id", "user_id", "click_event_id", "click_ts"
+        "error_event_id",
+        "user_id",
+        "click_event_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
     )
 
 

@@ -170,9 +170,12 @@ TESTDATA_SCHEMAS: dict[str, StructType] = {
     "events": StructType(
         [
             StructField("event_id", LongType(), True),
-            # TIMESTAMP(NANOS) on disk → read as long nanos, converted to a
-            # TimestampType column by sources/parquet.load_table
-            StructField("ts", LongType(), True),
+            # ts precision varies by testdata generation (TIMESTAMP(NANOS)
+            # in rounds 1-2, TIMESTAMP(MICROS) from round 3);
+            # sources/parquet.load_table probes the file footer and adapts —
+            # this declared type covers the MICROS case, the NANOS case
+            # swaps in LongType + an explicit conversion
+            StructField("ts", TimestampType(), True),
             StructField("user_id", LongType(), True),
             StructField("event_type", StringType(), True),
             StructField("value", DoubleType(), True),

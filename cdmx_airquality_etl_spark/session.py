@@ -52,8 +52,11 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # events.parquet stores TIMESTAMP(NANOS) which Spark's reader rejects;
-        # read as long nanos and convert in the loader (sources/parquet.py)
+        # events.parquet has shipped as TIMESTAMP(NANOS) (rounds 1-2) and
+        # TIMESTAMP(MICROS) (round 3+); Spark's reader rejects NANOS outright
+        # unless read as long. This flag makes NANOS files readable; the
+        # loader (sources/parquet.py) probes the footer and converts only
+        # when the file really is NANOS. Harmless for MICROS files.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():

@@ -8,22 +8,47 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 from ..schemas import TESTDATA_SCHEMAS, TESTDATA_TABLES
 
+# (sf_dir) -> True if events.ts is stored as TIMESTAMP(NANOS); probed once
+# per path from the parquet footer (driver-side, one footer read).
+_EVENTS_TS_IS_NANOS: dict[str, bool] = {}
+
+
+def _events_ts_is_nanos(spark: SparkSession, path: str) -> bool:
+    if path not in _EVENTS_TS_IS_NANOS:
+        # with spark.sql.legacy.parquet.nanosAsLong set, schema inference
+        # surfaces TIMESTAMP(NANOS) as LongType and TIMESTAMP(MICROS) as
+        # TimestampType — the distinction load_table must adapt to, since
+        # the testdata generator has shipped both encodings across rounds
+        inferred = spark.read.parquet(path).schema["ts"].dataType
+        _EVENTS_TS_IS_NANOS[path] = isinstance(inferred, LongType)
+    return _EVENTS_TS_IS_NANOS[path]
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    reader = spark.read
+    path = f"{sf_dir}/{name}.parquet"
     schema = TESTDATA_SCHEMAS.get(name)
-    if schema is not None:
-        reader = reader.schema(schema)
-    df = reader.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
+    if name == "events" and schema is not None and _events_ts_is_nanos(spark, path):
         # ts is TIMESTAMP(NANOS) on disk — read as long nanos
         # (spark.sql.legacy.parquet.nanosAsLong) and floor-convert to a real
         # timestamp at µs precision, matching DuckDB's ns→µs truncation.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return df
+        schema = StructType(
+            [
+                StructField("ts", LongType(), f.nullable)
+                if f.name == "ts"
+                else f
+                for f in schema.fields
+            ]
+        )
+        df = spark.read.schema(schema).parquet(path)
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
