@@ -3,6 +3,13 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+The harness that records this output keeps only the last ~2000 chars of
+stdout, and a 98-entry per-query dict overflows that (BENCH_r02 recorded
+``parsed: null`` for exactly this reason). So the printed line carries the
+aggregate plus a fixed HEADLINE subset of per-query timings and is
+length-guarded to fit the capture window; the full per-query breakdown is
+written to ``BENCH_DETAIL.json`` next to this script.
+
 Each query is forced with a noop-sink write (full execution, no driver
 collect/serialization cost in the measurement). One warm-up scan first so
 JVM/codegen/parquet-footer warmup isn't attributed to the first query.
@@ -22,6 +29,36 @@ from cdmx_airquality_etl_spark import QUERIES  # noqa: E402
 from cdmx_airquality_etl_spark.session import get_spark  # noqa: E402
 from cdmx_airquality_etl_spark.sources.parquet import load_table  # noqa: E402
 
+# Representative subset reported inline (the full dict goes to
+# BENCH_DETAIL.json): the flagship query, one of each join/agg/window
+# shape, and the historically expensive dedup/similarity/skew family.
+HEADLINE = [
+    "q_group_agg",
+    "q_dim_join_broadcast",
+    "q_merge_fullouter",
+    "q_window_rank",
+    "q_pivot",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_fuzzy",
+    "q_dedup_clusters",
+    "q_dedup_embedding",
+    "q_similarity_topk",
+    "q_similarity_ann_lsh",
+    "q_text_stats",
+    "q_quality_score",
+    "q_curation_pipeline",
+    "q_range_join",
+    "q_asof_join",
+    "q_sessionize",
+    "q_join_skew_salted",
+    "q_corr_manual",
+]
+
+# The recording harness keeps the last 2000 chars of stdout; leave slack
+# for a trailing newline and any stray log line.
+_MAX_LINE = 1800
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -31,8 +68,13 @@ def main() -> int:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: JVM, codegen, parquet footers
-    load_table(spark, sf_dir, "lineitem").count()
+    # warm-up: JVM, codegen, parquet footers — touch every table once so no
+    # query is charged for its table's first footer/schema read
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ):
+        load_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
@@ -50,16 +92,41 @@ def main() -> int:
         spark.catalog.clearCache()
 
     ok = {k: v for k, v in timings.items() if v >= 0}
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
+                "metric": "total_wall_sec_all_queries",
+                "value": round(sum(ok.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_queries": len(timings),
+                "n_failed": len(timings) - len(ok),
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+
+    headline = {k: timings[k] for k in HEADLINE if k in timings}
+    failed = sorted(k for k, v in timings.items() if v < 0)
     result = {
         "metric": "total_wall_sec_all_queries",
         "value": round(sum(ok.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": headline,
         "sf": sf,
         "n_queries": len(timings),
-        "n_failed": len(timings) - len(ok),
+        "n_failed": len(failed),
+        "failed": failed[:10],
+        "detail": "BENCH_DETAIL.json",
     }
-    print(json.dumps(result))
+    line = json.dumps(result, separators=(",", ":"))
+    while len(line) > _MAX_LINE and result["queries"]:
+        result["queries"].popitem()
+        line = json.dumps(result, separators=(",", ":"))
+    print(line)
     return 0 if len(ok) == len(timings) else 1
 
 
