@@ -95,21 +95,21 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     224-244 upsert key matching) to fuzzy content membership.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # cached: the benchmark-gram build and the corpus probe both consume
-    # this, and the n-gram expression is the most expensive projection in
-    # the plan — computed once, read twice (released by the ContextCleaner
-    # once the result frame is dropped; at production scale the benchmark
-    # side is a separate tiny table and only the corpus branch remains)
-    grams = (
-        docs.select(
-            "doc_id", "source", "lang", _grams_spark(_DECON_N).alias("grams")
-        )
-        .select("doc_id", "source", "lang", F.explode("grams").alias("gram"))
-        .cache()
+    # The benchmark branch and the corpus branch consume DISJOINT slices
+    # (source == src0 vs != src0), so each document's grams are exploded
+    # exactly once either way — no shared subtree, nothing worth caching.
+    # Filtering BEFORE the explode pushes the source predicate into the
+    # parquet scan, and the exploded gram stream (orders of magnitude larger
+    # than the input at corpus scale) is never materialized to executor
+    # memory — it flows straight into the distinct / semi-join exchanges.
+    bench = (
+        docs.filter(F.col("source") == "src0")
+        .select(F.explode(_grams_spark(_DECON_N)).alias("gram"))
+        .distinct()
     )
-    bench = grams.filter(F.col("source") == "src0").select("gram").distinct()
     contaminated = (
-        grams.filter(F.col("source") != "src0")
+        docs.filter(F.col("source") != "src0")
+        .select("doc_id", F.explode(_grams_spark(_DECON_N)).alias("gram"))
         .join(broadcast(bench), "gram", "left_semi")
         .select("doc_id")
         .distinct()
