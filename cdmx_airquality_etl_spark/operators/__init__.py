@@ -3,6 +3,7 @@ import; importing this package loads the full surface."""
 
 from . import (  # noqa: F401
     clustering,
+    corpus_quality,
     dedup,
     flagship,
     llm_ops,

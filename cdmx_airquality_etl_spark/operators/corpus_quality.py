@@ -1,0 +1,214 @@
+"""Model-based and rule-based corpus quality scoring.
+
+Two operators that complete the quality-filter family (q_quality_score's
+ratio features, q_quality_classifier's hashed linear model,
+q_repetition_score's n-gram repetition):
+
+- q_gopher_rules — the Gopher-style *rule battery*: per-document word-count
+  bounds, mean-word-length bounds, top-word-dominance cap and stopword
+  presence, each emitted as a flag plus the overall verdict. This is the
+  filter stack real curation pipelines run before any model-based scoring
+  (generalizes the reference's V-GATE row-quality gate,
+  /root/reference/scrapper.py:150-153, from schema validity to content
+  quality).
+- q_unigram_lm — a corpus-trained unigram language model scoring each
+  document by its mean add-one-smoothed token probability. The train step
+  is ONE hash aggregate over the corpus (token -> count); scoring is a
+  broadcast join back. Kept in probability space with exact integer
+  arithmetic — Σ(count+1) per doc as BIGINT, ONE final double division —
+  because log-domain scoring (ln/log2) is not correctly rounded by either
+  engine's libm and 1-ulp divergence would break bitwise reproducibility
+  across engines/runs (same policy as the DECIMAL-sum rule, SURVEY.md §5.1).
+
+Scale notes:
+- q_gopher_rules is pure scan-side expression work (WholeStageCodegen, no
+  shuffle, no Python). The top-word count is an O(unique·tokens) per-row
+  fold — fine for web-document token counts (10^2-10^4); for book-length
+  rows the explode+count formulation below (q_unigram_lm's shape) is the
+  fallback.
+- q_unigram_lm shuffles twice (token-count aggregate; per-doc regroup).
+  The vocab side is broadcast: a 10^7-10^8-term vocab is ~1 GB — at the
+  edge of broadcastability, so production keeps the default join and lets
+  AQE pick broadcast vs shuffle by the *measured* vocab size; the corpus
+  side never shuffles more than (doc_id, token) pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..registry import register
+from ..sources.parquet import load_table
+from .textstats import _sql_toks, _toks
+
+# Rule thresholds, chosen to discriminate on the synthetic corpus (observed
+# at sf0.01: n_words 10..99 with quartiles 32/76, mean word length
+# 3.71..5.30, top-word fraction ≤ 0.30 with median 0.093). Production
+# pipelines tune these per-source; Gopher's originals are 50..100k words,
+# mean word length 3..10, etc.
+_MIN_WORDS = 20
+_MAX_WORDS = 90
+_MIN_MWL = 3.8
+_MAX_MWL = 5.0
+_MAX_TOP_FRAC = 0.12
+_STOPWORDS = ["the", "a"]
+
+
+def _top_count(toks: Column) -> Column:
+    """Occurrence count of the most frequent token — a per-row native fold
+    (distinct tokens × containment scan), no shuffle, no Python."""
+    return F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+
+
+_SQL_TOP_COUNT = (
+    "list_max(list_transform(list_distinct(toks), "
+    "t -> len(list_filter(toks, x -> x = t))))"
+)
+
+_SQL_STOPS = ", ".join(f"'{s}'" for s in _STOPWORDS)
+
+
+@register(
+    "q_gopher_rules",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, {_sql_toks('text')} AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    m AS (
+      SELECT doc_id, lang,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             list_sum(list_transform(toks, t -> len(t))) / len(toks)
+               AS mean_word_len,
+             {_SQL_TOP_COUNT} / CAST(len(toks) AS DOUBLE) AS top_word_frac,
+             CAST(len(list_filter(list_distinct(toks),
+                                  t -> t IN ({_SQL_STOPS}))) AS BIGINT)
+               AS stop_hits
+      FROM tok
+    )
+    SELECT doc_id, lang, n_words, mean_word_len, top_word_frac, stop_hits,
+           CASE WHEN n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS}
+                THEN 1 ELSE 0 END AS pass_len,
+           CASE WHEN mean_word_len BETWEEN {_MIN_MWL} AND {_MAX_MWL}
+                THEN 1 ELSE 0 END AS pass_mwl,
+           CASE WHEN top_word_frac <= {_MAX_TOP_FRAC}
+                THEN 1 ELSE 0 END AS pass_rep,
+           CASE WHEN stop_hits >= 1 THEN 1 ELSE 0 END AS pass_stop,
+           CASE WHEN n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS}
+                 AND mean_word_len BETWEEN {_MIN_MWL} AND {_MAX_MWL}
+                 AND top_word_frac <= {_MAX_TOP_FRAC}
+                 AND stop_hits >= 1
+                THEN 1 ELSE 0 END AS pass_all
+    FROM m
+    """,
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rule battery, one scan, all native expressions.
+
+    Float determinism: every ratio is ONE division of two exact integers
+    (IEEE division is correctly rounded → bitwise-identical across engines);
+    no float accumulation anywhere. Flags are emitted as INT (not BOOLEAN)
+    so both engines canonicalize identically.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = _toks(F.col("text"))
+    stops = F.array(*[F.lit(s) for s in _STOPWORDS])
+    m = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("n_words"),
+        (
+            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+            / F.size(toks)
+        ).alias("mean_word_len"),
+        (_top_count(toks) / F.size(toks)).alias("top_word_frac"),
+        F.size(
+            F.filter(F.array_distinct(toks), lambda t: F.array_contains(stops, t))
+        )
+        .cast("long")
+        .alias("stop_hits"),
+    )
+    pass_len = F.col("n_words").between(_MIN_WORDS, _MAX_WORDS)
+    pass_mwl = F.col("mean_word_len").between(_MIN_MWL, _MAX_MWL)
+    pass_rep = F.col("top_word_frac") <= _MAX_TOP_FRAC
+    pass_stop = F.col("stop_hits") >= 1
+    return m.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "mean_word_len",
+        "top_word_frac",
+        "stop_hits",
+        pass_len.cast("int").alias("pass_len"),
+        pass_mwl.cast("int").alias("pass_mwl"),
+        pass_rep.cast("int").alias("pass_rep"),
+        pass_stop.cast("int").alias("pass_stop"),
+        (pass_len & pass_mwl & pass_rep & pass_stop).cast("int").alias("pass_all"),
+    )
+
+
+@register(
+    "q_unigram_lm",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest({_sql_toks('text')}) AS word
+      FROM documents WHERE text IS NOT NULL
+    ),
+    counts AS (SELECT word, COUNT(*) AS c FROM tok GROUP BY word),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_corpus, COUNT(*) AS v_vocab
+      FROM counts
+    ),
+    per_doc AS (
+      SELECT doc_id, lang, COUNT(*) AS n_toks,
+             CAST(SUM(c + 1) AS BIGINT) AS s
+      FROM tok JOIN counts USING (word)
+      GROUP BY doc_id, lang
+    )
+    SELECT doc_id, lang, n_toks,
+           s / (n_toks * (n_corpus + v_vocab)) AS avg_prob
+    FROM per_doc, tot
+    """,
+)
+def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM document scoring: train on the corpus (token counts), then
+    score each document by its mean add-one-smoothed token probability
+    mean_t (c_t + 1) / (N + V). High = common-word soup, low = rare-token
+    noise; curation keeps the middle band.
+
+    avg_prob = Σ(c_t + 1) / (n_toks · (N + V)) — numerator and denominator
+    are exact BIGINTs, so the single double division is bitwise-identical
+    in any engine (see module docstring for why not log-space).
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = docs.select(
+        "doc_id", "lang", F.explode(_toks(F.col("text"))).alias("word")
+    )
+    counts = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.agg(
+        F.sum("c").cast("long").alias("n_corpus"),
+        F.count(F.lit(1)).alias("v_vocab"),
+    )
+    per_doc = (
+        tok.join(broadcast(counts), "word")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum(F.col("c") + 1).cast("long").alias("s"),
+        )
+    )
+    return per_doc.join(broadcast(tot)).select(
+        "doc_id",
+        "lang",
+        "n_toks",
+        (
+            F.col("s") / (F.col("n_toks") * (F.col("n_corpus") + F.col("v_vocab")))
+        ).alias("avg_prob"),
+    )

@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
 
 from ..registry import register
 from ..sources.parquet import load_table
@@ -639,4 +640,85 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("anchor_id"))
         .select("vec_id", "anchor_id", "n_members", cos.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= _SEM_DUP_COS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_knn_graph — bucketed k-NN graph (top-k neighbors per vector)
+# ---------------------------------------------------------------------------
+# The building block embedding-curation pipelines share (SemDeDup pruning,
+# density estimation, label propagation all start from a k-NN graph).
+# Candidates are restricted to each vector's sign-LSH bucket — the same
+# corpus-sized blocking q_dedup_embedding uses, so candidate volume stays
+# ~n·bucket_size, never all-pairs — then ranked by exact cosine with a
+# per-vector window. Both the bucket function and the ranking are
+# deterministic in-plan expressions, so the whole approximate graph is
+# SQL-expressible and hash-checked against DuckDB. Vectors whose bucket is
+# a singleton have no candidates and are absent, by contract.
+_KNN_K = 3
+
+
+@register(
+    "q_knn_graph",
+    oracle=f"""
+    WITH nb AS (SELECT {_LSH_BITS_SQL} AS bits FROM embeddings),
+    e AS (
+      SELECT vec_id, embedding, {_SIGN_BUCKET_SQL} AS bucket
+      FROM embeddings, nb
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             {_sql_cos('a.embedding', 'b.embedding')} AS cosine_sim
+      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT vec_id, neighbor_id, cosine_sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY vec_id
+               ORDER BY cosine_sim DESC, neighbor_id ASC) AS INT) AS nn_rank
+      FROM pairs
+    )
+    SELECT vec_id, neighbor_id, nn_rank, cosine_sim
+    FROM ranked WHERE nn_rank <= {_KNN_K}
+    """,
+)
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} neighbor graph within sign-LSH buckets.
+
+    Plan: one bucket equi-join (candidates), one shuffle on vec_id for the
+    ranking window — per-vector partitions are bucket-sized, so no fat
+    reducer. Norms are folded once per vector scan-side (identical doubles
+    to the oracle's per-pair form, see q_dedup_embedding). Ties broken by
+    neighbor_id so row_number is total-ordered and reproducible.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.join(broadcast(lsh_bits_df(emb))).select(
+        "vec_id",
+        "embedding",
+        _norm("embedding").alias("nrm"),
+        _sign_bucket_spark("embedding", "lsh_bits").alias("bucket"),
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_id"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+        "bucket",
+    )
+    b = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+        "bucket",
+    )
+    cos = _dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id", cos.alias("cosine_sim"))
+        .withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= _KNN_K)
+        .select("vec_id", "neighbor_id", "nn_rank", "cosine_sim")
     )
