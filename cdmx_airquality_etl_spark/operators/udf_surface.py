@@ -56,3 +56,50 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("f0") / F.count(F.lit(1))).alias("avg_f0"),
         )
     )
+
+
+@register("q_compression_ratio")
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal — the standard cheap proxy for
+    repetitive/boilerplate text (very low ratio) and random noise (ratio
+    near or above 1) used by large-corpus curation pipelines alongside the
+    rule battery (q_gopher_rules) and model scores (q_unigram_lm,
+    q_quality_classifier).
+
+    Python is unavoidable (no DEFLATE in SQL expressions — also why this is
+    a rows-only entry), so the operator demonstrates the engine's sanctioned
+    slow path: ``mapInPandas`` with Arrow-batched transfer, per-batch work
+    vectorized over the pandas block, zero shuffles — a pure scan-side map
+    that scales embarrassingly. Level is pinned (6) so output is
+    deterministic for a given zlib build."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def score(batches):
+        import pandas as pd
+        import zlib
+
+        for pdf in batches:
+            n_bytes, n_comp = [], []
+            for t in pdf["text"]:
+                if t is None:
+                    n_bytes.append(None)
+                    n_comp.append(None)
+                else:
+                    raw = t.encode("utf-8")
+                    n_bytes.append(len(raw))
+                    n_comp.append(len(zlib.compress(raw, 6)))
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "lang": pdf["lang"],
+                    "n_bytes": pd.array(n_bytes, dtype="Int64"),
+                    "n_compressed": pd.array(n_comp, dtype="Int64"),
+                }
+            )
+            out["ratio"] = out["n_compressed"] / out["n_bytes"]
+            yield out
+
+    return docs.select("doc_id", "lang", "text").mapInPandas(
+        score,
+        "doc_id long, lang string, n_bytes long, n_compressed long, ratio double",
+    )

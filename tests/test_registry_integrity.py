@@ -12,6 +12,7 @@ ROWS_ONLY = {
     "q_group_approx": "HLL estimator — sketch values are engine-specific",
     "q_similarity_ann_ivf": "probe strategy is an approximation, not a fixed answer",
     "q_multimodal_meta": "stubbed binary decode — no SQL equivalent",
+    "q_compression_ratio": "zlib DEFLATE — no compression fn in DuckDB SQL",
 }
 
 
