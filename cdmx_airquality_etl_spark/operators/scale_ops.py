@@ -7,6 +7,9 @@ packaged as oracle-checked queries.
                    native ASOF JOIN — that's the oracle.
 - q_sessionize   — gaps-and-islands sessionization (30-min inactivity split),
                    the batch twin of streaming session windows.
+- q_session_window — the same sessions via Spark's NATIVE session_window
+                   aggregate (no window-function pass; boundary semantics
+                   pinned by its oracle: diff >= gap starts a session).
 - q_group_salted — two-stage salted aggregation: the skew-mitigation pattern
                    (salt → partial agg on (key, salt) → final agg on key).
                    Result provably identical to the plain aggregate (the
@@ -229,4 +232,66 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
         .cast("double")
         .alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_session_window — native session_window aggregation (batch form)
+# ---------------------------------------------------------------------------
+@register(
+    "q_session_window",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f')
+             AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` aggregation — the batch form of the
+    streaming session operator (streaming/stateful.py's watermarked
+    variant), and the primitive q_sessionize builds by hand with
+    gaps-and-islands. One shuffle on user_id; Spark merges overlapping
+    per-event windows [ts, ts+gap) inside the aggregate, so no window
+    function pass is needed.
+
+    Session-boundary contract, pinned by the oracle: Spark session windows
+    are half-open [start, last_ts + gap), so an event at EXACTLY
+    last_ts + gap starts a new session — the oracle's new-session predicate
+    is therefore ``diff >= gap``, not ``> gap`` (q_sessionize's hand-built
+    islands use ``>``; both are valid operators, the boundary semantics
+    differ by design and each oracle pins its own). Window bounds are
+    emitted as zero-padded µs ISO strings per the temporal-output policy."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
     )
