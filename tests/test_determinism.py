@@ -30,6 +30,13 @@ DETERMINISTIC_QUERIES = [
     "q_tfidf_topterms",
     "q_chunk_documents",
     "q_cap_per_source",
+    # round-3 additions: exact-integer scoring (unigram LM), single-division
+    # ratios + sorted-run fold (gopher rules), tie-broken row_number over
+    # IEEE-deterministic cosine (knn graph), pinned-level zlib (compression)
+    "q_unigram_lm",
+    "q_gopher_rules",
+    "q_knn_graph",
+    "q_compression_ratio",
 ]
 
 
