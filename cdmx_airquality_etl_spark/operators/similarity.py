@@ -722,3 +722,60 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nn_rank") <= _KNN_K)
         .select("vec_id", "neighbor_id", "nn_rank", "cosine_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_ann_recall — recall@k of the LSH index against exact brute force
+# ---------------------------------------------------------------------------
+# The evaluation every ANN deployment runs continuously: what fraction of
+# the TRUE top-k does the index return? Both sides are deterministic,
+# oracle-checked queries already (q_similarity_topk, q_similarity_ann_lsh),
+# so their composition — a semi-join of the two top-k id sets and one
+# integer division — is itself exactly SQL-expressible: an index-quality
+# monitor with a correctness proof. At scale this runs over a sampled query
+# set instead of one vector; the per-query plan is unchanged.
+@register(
+    "q_ann_recall",
+    oracle=f"""
+    WITH nb AS (SELECT {_LSH_BITS_SQL} AS bits FROM embeddings),
+    e AS (
+      SELECT vec_id, embedding, {_SIGN_BUCKET_SQL} AS bucket
+      FROM embeddings, nb
+    ),
+    q AS (SELECT embedding AS qe, bucket AS qb FROM e WHERE vec_id = 0),
+    exact AS (
+      SELECT x.vec_id
+      FROM embeddings x, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) qq
+      WHERE x.vec_id <> 0
+      ORDER BY {_sql_cos('x.embedding', 'qq.qe')} DESC, x.vec_id ASC
+      LIMIT {_TOPK}
+    ),
+    approx AS (
+      SELECT e.vec_id
+      FROM e, q
+      WHERE bit_count(xor(e.bucket, q.qb)) <= {_LSH_PROBE_HAMMING}
+        AND e.vec_id <> 0
+      ORDER BY {_sql_cos('e.embedding', 'q.qe')} DESC, e.vec_id ASC
+      LIMIT {_TOPK}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_hits,
+           COUNT(a.vec_id) / COUNT(*) AS recall
+    FROM exact x LEFT JOIN approx a USING (vec_id)
+    """,
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@{k} of multi-probe sign-LSH vs exact cosine top-k, as one
+    lazy plan (no driver-side set math): exact top-k LEFT-joined to the
+    approx top-k on vec_id, hits counted, one integer division — bitwise
+    identical in any engine."""
+    exact = q_similarity_topk(spark, sf_dir).select("vec_id")
+    approx = q_similarity_ann_lsh(spark, sf_dir).select("vec_id").withColumn(
+        "h", F.lit(1)
+    )
+    flagged = exact.join(approx, "vec_id", "left")
+    return flagged.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.count("h").alias("n_hits"),
+        (F.count("h") / F.count(F.lit(1))).alias("recall"),
+    )
