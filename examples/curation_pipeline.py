@@ -3,17 +3,18 @@ on top of the reference's ETL surface, composed as ONE lazy Spark plan per
 stage over the driver test corpus.
 
     raw documents
-      → quality gate        (length floor + repetition ceiling — Gopher rules)
+      → rule battery        (Gopher-style flags: q_gopher_rules)
+      → model scoring       (unigram-LM band + zlib compression ratio)
       → exact dedup         (md5 fingerprint, keep the longest copy)
       → decontamination     (drop docs sharing a 5-gram with the benchmark)
       → train/eval split    (content-hash buckets, re-run-stable)
       → sequence packing    (greedy first-fit into 2000-token bins per lang)
-      → deterministic shuffle → sharded parquet a trainer streams
+      → deterministic shuffle → sharded JSONL a trainer streams
 
 Every stage is the library form of an oracle-checked registry query
-(q_quality_score, q_dedup_keep_best, q_decontaminate, q_train_test_split,
-q_pack_sequences, q_global_shuffle), so the example is a tour, not new
-semantics.
+(q_gopher_rules, q_unigram_lm, q_compression_ratio, q_dedup_keep_best,
+q_decontaminate, q_train_test_split, q_pack_sequences, q_global_shuffle),
+so the example is a tour, not new semantics.
 
 Run: python examples/curation_pipeline.py [sf_dir]
 """
@@ -35,7 +36,13 @@ from cdmx_airquality_etl_spark.operators.llm_ops import (
     _grams_spark,
     pack_bins,
 )
+from cdmx_airquality_etl_spark.operators.corpus_quality import (
+    q_gopher_rules,
+    q_unigram_lm,
+)
+from cdmx_airquality_etl_spark.operators.udf_surface import q_compression_ratio
 from cdmx_airquality_etl_spark.session import get_spark
+from cdmx_airquality_etl_spark.sinks import export_jsonl_shards
 from cdmx_airquality_etl_spark.sources.parquet import load_table
 from cdmx_airquality_etl_spark.streaming.hygiene import decontaminate_stream
 
@@ -49,15 +56,30 @@ def main() -> None:
     n0 = docs.count()
     print(f"raw corpus: {n0} docs")
 
-    # 1. quality gate: length floor + duplicated-3-gram ceiling (scan-side)
+    # 1a. rule battery: Gopher-style flags, keep rule-passing docs
+    #     (scan-side; the registry's q_gopher_rules over this corpus)
+    passing = q_gopher_rules(spark, sf_dir).filter(F.col("pass_all") == 1)
+    rules_ok = docs.join(passing.select("doc_id"), "doc_id", "left_semi")
+    print(f"after Gopher rule battery: {rules_ok.count()} docs")
+
+    # 1b. model scores: drop the extreme unigram-LM band (common-word soup)
+    #     and near-incompressible noise (zlib ratio ≈ 1)
+    lm = q_unigram_lm(spark, sf_dir).select("doc_id", "avg_prob")
+    comp = q_compression_ratio(spark, sf_dir).select("doc_id", "ratio")
     grams3 = _grams_spark(3)
     dup_ratio = F.when(
         F.size(grams3) > 0,
         F.lit(1.0)
         - F.size(F.array_distinct(grams3)).cast("double") / F.size(grams3),
     ).otherwise(F.lit(0.0))
-    clean = docs.filter((F.col("n_chars") >= 80) & (dup_ratio < 0.2))
-    print(f"after quality gate: {clean.count()} docs")
+    clean = (
+        rules_ok.join(lm, "doc_id")
+        .join(comp, "doc_id")
+        .filter((F.col("avg_prob") < 0.08) & (F.col("ratio") < 0.9))
+        .filter((F.col("n_chars") >= 80) & (dup_ratio < 0.2))
+        .drop("avg_prob", "ratio")
+    )
+    print(f"after model scores + legacy gate: {clean.count()} docs")
 
     # 2. exact dedup, keep the longest copy per fingerprint
     fp = F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "))
@@ -112,22 +134,13 @@ def main() -> None:
     for r in sorted(bins.collect(), key=lambda r: (r["split"], r["lang"])):
         print(f"  {r['split']:>5} {r['lang']}: {r['n_bins']} bins, {r['tokens']} tokens")
 
-    # 6. deterministic shuffle → sharded parquet (8 content-hash shards)
-    key = F.md5(F.concat(F.lit("shuf42:"), F.col("doc_id").cast("string")))
-    sharded = packed.withColumn(
-        "shard_id", (F.ascii(F.substring(key, 1, 1)) % 8).cast("int")
-    )
+    # 6. deterministic sharded JSONL export (content-hash shards + manifest)
     with tempfile.TemporaryDirectory() as out:
-        (
-            sharded.repartition("shard_id")
-            .write.partitionBy("shard_id")
-            .mode("overwrite")
-            .parquet(os.path.join(out, "shards"))
+        manifest = export_jsonl_shards(
+            packed, os.path.join(out, "shards"), n_shards=8, key_col="doc_id"
         )
-        n_shards = len(
-            [d for d in os.listdir(os.path.join(out, "shards")) if d.startswith("shard_id=")]
-        )
-        print(f"wrote {n_shards} deterministic shards")
+        total = sum(c for _, c in manifest)
+        print(f"wrote {len(manifest)} deterministic JSONL shards, {total} rows")
 
     spark.stop()
 
