@@ -209,8 +209,12 @@ def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("long").alias("n_corpus"),
         F.count(F.lit(1)).alias("v_vocab"),
     )
+    # no broadcast() hint on the vocab side: a web-corpus vocab can exceed
+    # broadcastability, and AQE already converts to broadcast-hash at
+    # runtime when the MEASURED count table is small (it is, at every test
+    # SF) — forcing the hint would pin an OOM at 100 TB instead
     per_doc = (
-        tok.join(broadcast(counts), "word")
+        tok.join(counts, "word")
         .groupBy("doc_id", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_toks"),
