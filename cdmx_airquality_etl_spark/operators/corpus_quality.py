@@ -1,6 +1,7 @@
-"""Model-based and rule-based corpus quality scoring.
+"""Model-based and rule-based corpus quality scoring, plus the cross-modal
+metadata join.
 
-Two operators that complete the quality-filter family (q_quality_score's
+Operators completing the quality-filter family (q_quality_score's
 ratio features, q_quality_classifier's hashed linear model,
 q_repetition_score's n-gram repetition):
 
@@ -27,10 +28,13 @@ Scale notes:
   rows the explode+count formulation below (q_unigram_lm's shape) is the
   fallback.
 - q_unigram_lm shuffles twice (token-count aggregate; per-doc regroup).
-  The vocab side is broadcast: a 10^7-10^8-term vocab is ~1 GB — at the
-  edge of broadcastability, so production keeps the default join and lets
-  AQE pick broadcast vs shuffle by the *measured* vocab size; the corpus
-  side never shuffles more than (doc_id, token) pairs.
+  The vocab-side join carries NO broadcast hint: a 10^7-10^8-term vocab is
+  ~1 GB — at the edge of broadcastability — so AQE picks broadcast vs
+  shuffle from the *measured* vocab size (broadcast at every test SF); the
+  corpus side never shuffles more than (doc_id, token) pairs.
+- q_modal_join (text metadata ↔ embedding labels) is one equi-join shuffle
+  on the shared document key; warehouse deployments bucket both tables on
+  that key, making it a zero-shuffle local merge.
 """
 
 from __future__ import annotations
@@ -228,4 +232,36 @@ def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.col("s") / (F.col("n_toks") * (F.col("n_corpus") + F.col("v_vocab")))
         ).alias("avg_prob"),
+    )
+
+
+@register(
+    "q_modal_join",
+    oracle="""
+    SELECT d.lang, e.label,
+           COUNT(*) AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY d.lang, e.label
+    """,
+)
+def q_modal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal star join: text metadata ↔ embedding-space labels on the
+    shared document key — the analysis joining an embedding clustering back
+    to corpus metadata (label distribution per language). One equi-join
+    shuffle on the key plus a hash aggregate; at warehouse scale both
+    tables bucket on the shared key (plans/maintenance.py's clustering),
+    making the join a zero-shuffle local merge. Integer-only aggregates →
+    bitwise-stable across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    return (
+        docs.join(emb, "doc_id")
+        .groupBy("lang", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
     )
