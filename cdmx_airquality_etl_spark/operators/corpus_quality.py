@@ -265,3 +265,68 @@ def q_modal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+# Target language mix for q_mixing_weights (sums to 1.0; the five langs the
+# synthetic corpus draws). Production reads this from run config.
+_TARGET_MIX = [("en", 0.40), ("es", 0.20), ("fr", 0.15), ("de", 0.15), ("zh", 0.10)]
+
+_TARGET_MIX_SQL = ", ".join(f"('{lang}', {w})" for lang, w in _TARGET_MIX)
+
+
+@register(
+    "q_mixing_weights",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, len({_sql_toks('text')}) AS n_toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    actual AS (
+      SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS lang_toks
+      FROM tok GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(lang_toks) AS BIGINT) AS total_toks FROM actual)
+    SELECT a.lang, a.n_docs, a.lang_toks,
+           a.lang_toks / total_toks AS actual_share,
+           t.share AS target_share,
+           (t.share * total_toks) / a.lang_toks AS weight
+    FROM actual a
+    JOIN (VALUES {_TARGET_MIX_SQL}) AS t(lang, share) USING (lang),
+         tot
+    """,
+)
+def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing weights: the per-language sampling multiplier that turns
+    the corpus's ACTUAL token mix into a TARGET mix (weight > 1 → oversample,
+    < 1 → downsample) — the static form of the mixture-reweighting step
+    training pipelines run between curation and sharding (the learned
+    variants, DoReMi-style, replace the target table with model feedback;
+    the engine-side computation is identical).
+
+    Plan: scan-side token counts → one per-lang hash aggregate (5 rows) →
+    broadcast joins against the literal target mix and the 1-row total.
+    Float determinism: actual_share is one int/int division; weight is
+    (literal × BIGINT) / BIGINT — two correctly-rounded IEEE ops with
+    identical operand order in both engines."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = docs.select("lang", F.size(_toks(F.col("text"))).alias("n_toks"))
+    actual = tok.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("lang_toks"),
+    )
+    tot = actual.agg(F.sum("lang_toks").cast("long").alias("total_toks"))
+    target = spark.createDataFrame(_TARGET_MIX, "lang string, share double")
+    return (
+        actual.join(broadcast(target), "lang")
+        .join(broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "lang_toks",
+            (F.col("lang_toks") / F.col("total_toks")).alias("actual_share"),
+            F.col("share").alias("target_share"),
+            ((F.col("share") * F.col("total_toks")) / F.col("lang_toks")).alias(
+                "weight"
+            ),
+        )
+    )
