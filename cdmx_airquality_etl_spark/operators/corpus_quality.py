@@ -288,11 +288,16 @@ _TARGET_MIX_SQL = ", ".join(f"('{lang}', {w})" for lang, w in _TARGET_MIX)
     tot AS (SELECT CAST(SUM(lang_toks) AS BIGINT) AS total_toks FROM actual)
     SELECT a.lang, a.n_docs, a.lang_toks,
            a.lang_toks / total_toks AS actual_share,
-           t.share AS target_share,
-           (t.share * total_toks) / a.lang_toks AS weight
+           CAST(t.share AS DOUBLE) AS target_share,
+           (CAST(t.share AS DOUBLE) * total_toks) / a.lang_toks AS weight
     FROM actual a
     JOIN (VALUES {_TARGET_MIX_SQL}) AS t(lang, share) USING (lang),
          tot
+    -- share is CAST to DOUBLE before the arithmetic: DuckDB's 0.15 literal
+    -- is DECIMAL(3,2), and DECIMAL×BIGINT is EXACT (4190.70) where Spark's
+    -- double 0.15×total is already rounded — a 1-ulp weight divergence
+    -- (observed at sf0.001). Casting first makes both engines multiply the
+    -- same binary double.
     """,
 )
 def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
