@@ -10,6 +10,14 @@ monetary/double column is summed through ``DECIMAL(18,2|4)`` (exact,
 order-independent in both engines) and only then cast back to double, so the
 Spark and DuckDB values are bitwise identical regardless of partial-aggregation
 order. Per-row double arithmetic is IEEE-deterministic and needs no such care.
+
+Numeric-literal rule for oracle SQL: DuckDB parses ``0.15`` as DECIMAL, and
+DECIMAL×BIGINT stays EXACT — one rounding *fewer* than Spark's double×long,
+which diverges in the last ulp (bit q_mixing_weights at sf0.001). A float
+literal in oracle arithmetic must either be multiplied against something
+already DOUBLE (DECIMAL promotes to double, matching Spark) or be wrapped
+``CAST(lit AS DOUBLE)`` first. Division by a power of two (``/ 32.0``,
+``/ 64.0``) is exact in both engines and exempt.
 """
 
 from __future__ import annotations
