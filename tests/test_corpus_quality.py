@@ -122,3 +122,32 @@ def test_knn_graph_rank_laws(spark, sf_dir):
         ordered = sorted(nbrs, key=lambda n: n.nn_rank)
         cosines = [n.cosine_sim for n in ordered]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_mixing_weights_reconstruct_target(spark, sf_dir):
+    from cdmx_airquality_etl_spark.operators.corpus_quality import (
+        _TARGET_MIX,
+        q_mixing_weights,
+    )
+
+    rows = q_mixing_weights(spark, sf_dir).collect()
+    assert {r.lang for r in rows} == {lang for lang, _ in _TARGET_MIX}
+    total = sum(r.lang_toks for r in rows)
+    for r in rows:
+        assert math.isclose(r.actual_share, r.lang_toks / total, rel_tol=1e-12)
+        assert r.weight > 0
+        # applying the weight to the language's tokens yields exactly the
+        # target share of the corpus
+        assert math.isclose(
+            r.weight * r.lang_toks / total, r.target_share, rel_tol=1e-12
+        )
+    assert math.isclose(sum(r.actual_share for r in rows), 1.0, rel_tol=1e-12)
+
+
+def test_modal_join_partitions_corpus(spark, sf_dir):
+    from cdmx_airquality_etl_spark.operators.corpus_quality import q_modal_join
+
+    rows = q_modal_join(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs  # join is 1:1 on the key
+    assert all(r.total_chars > 0 for r in rows)
