@@ -55,3 +55,35 @@ def test_report_ts_pack_roundtrip(dt):
     assert (year, month, day, hour) == (dt.year, dt.month, dt.day, dt.hour)
     # packing is strictly monotone in time → usable as an ordered key
     assert 1970010100 <= packed <= 2099123123
+
+
+# ---------------------------------------------------------------------------
+# q_gopher_rules' sorted-run top-count fold: for ANY token multiset, the
+# longest equal run of the sorted array equals the max occurrence count —
+# the law the 3×-faster formulation rests on (operators/corpus_quality.py).
+# Checked via one Spark expression evaluation over a literal array per case.
+# ---------------------------------------------------------------------------
+def _spark_top_count(spark, tokens):
+    from pyspark.sql import functions as F
+
+    from cdmx_airquality_etl_spark.operators.corpus_quality import _top_count
+
+    df = spark.createDataFrame([(tokens,)], "toks array<string>")
+    return df.select(_top_count(F.col("toks")).alias("x")).collect()[0]["x"]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_top_count_equals_max_occurrence(spark, tokens):
+    want = max(tokens.count(t) for t in set(tokens))
+    assert _spark_top_count(spark, tokens) == want
