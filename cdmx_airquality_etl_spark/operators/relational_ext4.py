@@ -284,3 +284,51 @@ def q_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "o_totalprice",
     )
+
+
+# ---------------------------------------------------------------------------
+# q_recursive_cte — WITH RECURSIVE date spine (Spark 4 recursive CTE)
+# ---------------------------------------------------------------------------
+@register(
+    "q_recursive_cte",
+    oracle="""
+    WITH RECURSIVE days(d, dmax) AS (
+      SELECT CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE) FROM events
+      UNION ALL
+      SELECT d + INTERVAL 1 DAY, dmax FROM days WHERE d < dmax
+    ),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n FROM events GROUP BY 1
+    )
+    SELECT CAST(days.d AS VARCHAR) AS day,
+           CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_events
+    FROM days LEFT JOIN daily ON days.d = daily.d
+    """,
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE``): build the dense calendar
+    spine between the corpus's first and last event day, zero-filling days
+    with no events — the reporting pattern q_dense_grid solves with a cross
+    join, expressed through the new recursion surface instead. The anchor
+    carries (min_day, max_day) so the recursive step needs no subquery;
+    depth = calendar span in days, each step a constant-size row — the
+    corpus itself is aggregated ONCE and joined to the spine, so recursion
+    cost is independent of data volume. Day emitted as an ISO string per
+    the temporal-output policy."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_rcte")
+    return spark.sql(
+        """
+        WITH RECURSIVE days(d, dmax) AS (
+          SELECT CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE) FROM events_rcte
+          UNION ALL
+          SELECT date_add(d, 1), dmax FROM days WHERE d < dmax
+        ),
+        daily AS (
+          SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+          FROM events_rcte GROUP BY CAST(ts AS DATE)
+        )
+        SELECT CAST(days.d AS STRING) AS day,
+               CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_events
+        FROM days LEFT JOIN daily ON days.d = daily.d
+        """
+    )
