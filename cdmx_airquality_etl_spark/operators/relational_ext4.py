@@ -332,3 +332,38 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM days LEFT JOIN daily ON days.d = daily.d
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q_variant_extract — Spark 4 VARIANT path for semi-structured fields
+# ---------------------------------------------------------------------------
+@register(
+    "q_variant_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           COUNT(*) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through Spark 4's VARIANT type:
+    ``parse_json`` once into the binary variant encoding, then typed path
+    access with ``variant_get`` — the scale path for heterogeneous JSON
+    (variant decodes the document once and supports columnar shredding,
+    where per-path ``get_json_object`` re-parses the string per extraction;
+    q_json_extract keeps the classic path for comparison). The oracle is
+    the PLAIN JSON extraction — value equality proves the variant path
+    computes the same answer, the same oracle-as-equivalence-proof pattern
+    as q_group_salted."""
+    events = load_table(spark, sf_dir, "events")
+    k_int = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        events.select(k_int.alias("k_int"), "event_id")
+        .groupBy("k_int")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("event_id").cast("long").alias("sum_event_id"),
+        )
+    )
