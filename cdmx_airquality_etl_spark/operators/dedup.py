@@ -665,3 +665,61 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= _SH_HAMMING_MAX)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dup_source_matrix — which sources copy from which (near-dup cross table)
+# ---------------------------------------------------------------------------
+@register(
+    "q_dup_source_matrix",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                                          i -> array_to_string(w[i:i+2], ' '))) AS shs
+      FROM tok
+    ),
+    e AS (
+      SELECT doc_id, source, len(shs) AS n_sh, unnest(shs) AS shingle FROM sh
+    ),
+    pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             a.source AS sa, b.source AS sb,
+             a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS shared
+      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4, 5, 6
+    )
+    SELECT LEAST(sa, sb) AS source_a, GREATEST(sa, sb) AS source_b,
+           COUNT(*) AS n_dup_pairs
+    FROM pairs
+    WHERE CAST(shared AS DOUBLE) / (n_a + n_b - shared) >= {_JACCARD_THRESHOLD}
+    GROUP BY 1, 2
+    """,
+)
+def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-duplicate pairs (the same
+    3-shingle Jaccard basis as q_dedup_fuzzy) counted per unordered source
+    pair — the diagnostic that finds mirror sites and re-crawled feeds
+    before they skew the training mix (the per-source face of
+    q_duplicate_stats' corpus totals). Same capped inverted-index plan as
+    the fuzzy op plus one broadcast-scale join back to (doc_id, source)
+    and a 20x20-cell aggregate; the matrix is tiny at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _jaccard_pairs(_doc_shingles(docs), _JACCARD_THRESHOLD)
+    src = docs.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("doc_id_a"), F.col("source").alias("src_a"))
+    b = src.select(F.col("doc_id").alias("doc_id_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(a, "doc_id_a")
+        .join(b, "doc_id_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    )
