@@ -151,3 +151,16 @@ def test_modal_join_partitions_corpus(spark, sf_dir):
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert sum(r.n_docs for r in rows) == n_docs  # join is 1:1 on the key
     assert all(r.total_chars > 0 for r in rows)
+
+
+def test_dup_source_matrix_totals_match_fuzzy_pairs(spark, sf_dir):
+    from cdmx_airquality_etl_spark.operators.dedup import (
+        q_dedup_fuzzy,
+        q_dup_source_matrix,
+    )
+
+    n_pairs = q_dedup_fuzzy(spark, sf_dir).count()
+    rows = q_dup_source_matrix(spark, sf_dir).collect()
+    assert sum(r.n_dup_pairs for r in rows) == n_pairs
+    for r in rows:
+        assert r.source_a <= r.source_b  # unordered pair canonicalization
