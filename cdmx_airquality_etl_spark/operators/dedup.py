@@ -441,6 +441,64 @@ _MH_BANDS_SQL = "\n      UNION ALL\n".join(
 )
 
 
+
+def _mh_sigs(shingled: DataFrame) -> DataFrame:
+    """MinHash signatures (doc_id, mh0..mh11) from distinct-shingle docs.
+
+    h0 materializes as a COLUMN in the projection under the aggregate so
+    the md5 decode runs once per shingle row; putting the h0 expression
+    inside each of the 12 MIN aggregates would inline 12 copies into the
+    aggregate expressions (one md5 per permutation per row + a 12x larger
+    codegen unit — measured ~4x slower cold)."""
+    eh = shingled.select("doc_id", F.explode("sh").alias("shingle")).select(
+        "doc_id",
+        F.pmod(_md5_int(F.col("shingle"), 8), F.lit(_MH_PRIME)).alias("h0"),
+    )
+    mins = [
+        F.min(F.pmod(F.lit(a) * F.col("h0") + F.lit(b), F.lit(_MH_PRIME))).alias(
+            f"mh{i}"
+        )
+        for i, (a, b) in enumerate(_MH_PERMS)
+    ]
+    return eh.groupBy("doc_id").agg(*mins)
+
+
+def _mh_bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) — one pass over the signatures: bands as an
+    exploded literal array (a unionByName-per-band would recompute the
+    signature aggregation once per band and again per self-join side)."""
+    n_bands = len(_MH_PERMS) // _MH_BAND_SIZE
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.concat_ws(
+                ":",
+                *[F.col(f"mh{band * _MH_BAND_SIZE + j}") for j in range(_MH_BAND_SIZE)],
+            ).alias("band_key"),
+        )
+        for band in range(n_bands)
+    ]
+    return (
+        sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("bk"))
+        .select("doc_id", "bk.band", "bk.band_key")
+    )
+
+
+def _mh_candidates(bands: DataFrame) -> DataFrame:
+    """Distinct (doc_id_a < doc_id_b) pairs sharing any band bucket."""
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .distinct()
+    )
+
+
 @register(
     "q_dedup_minhash",
     oracle=rf"""
@@ -487,55 +545,8 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verify-b) consume it; released by Spark's ContextCleaner once the
     # returned frame is dropped by the caller
     shingled = _doc_shingles(docs).cache()
-
-    # h0 materializes as a COLUMN in the projection under the aggregate so
-    # the md5 decode runs once per shingle row; putting the h0 expression
-    # inside each of the 12 MIN aggregates would inline 12 copies into the
-    # aggregate expressions (one md5 per permutation per row + a 12× larger
-    # codegen unit — measured ~4× slower cold)
-    eh = shingled.select("doc_id", F.explode("sh").alias("shingle")).select(
-        "doc_id",
-        F.pmod(_md5_int(F.col("shingle"), 8), F.lit(_MH_PRIME)).alias("h0"),
-    )
-    mins = [
-        F.min(F.pmod(F.lit(a) * F.col("h0") + F.lit(b), F.lit(_MH_PRIME))).alias(
-            f"mh{i}"
-        )
-        for i, (a, b) in enumerate(_MH_PERMS)
-    ]
-    sigs = eh.groupBy("doc_id").agg(*mins)
-
-    # one pass over the signatures: bands as an exploded literal array, cached
-    # (a unionByName-per-band would recompute the signature aggregation once
-    # per band and again per self-join side)
-    n_bands = len(_MH_PERMS) // _MH_BAND_SIZE
-    band_structs = [
-        F.struct(
-            F.lit(band).alias("band"),
-            F.concat_ws(
-                ":",
-                *[F.col(f"mh{band * _MH_BAND_SIZE + j}") for j in range(_MH_BAND_SIZE)],
-            ).alias("band_key"),
-        )
-        for band in range(n_bands)
-    ]
-    bands = (
-        sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("bk"))
-        .select("doc_id", "bk.band", "bk.band_key")
-        .cache()
-    )
-
-    a, b = bands.alias("a"), bands.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
-        .distinct()
-    )
+    bands = _mh_bands(_mh_sigs(shingled)).cache()
+    candidates = _mh_candidates(bands)
 
     # exact verification restricted to candidates
     sh_a = shingled.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"),
@@ -552,6 +563,93 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return verified
 
+
+
+# ---------------------------------------------------------------------------
+# q_minhash_estimate — estimator calibration: signature agreement vs exact
+# ---------------------------------------------------------------------------
+@register(
+    "q_minhash_estimate",
+    oracle=rf"""
+    WITH {_MH_SHINGLE_CTES},
+    sigs AS (
+      SELECT doc_id, {_MH_SIG_SQL} FROM h GROUP BY doc_id
+    ),
+    bands AS (
+{_MH_BANDS_SQL}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_id_a, c.doc_id_b,
+           CAST(CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END + CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END + CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END + CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END + CASE WHEN sa.mh4 = sb.mh4 THEN 1 ELSE 0 END + CASE WHEN sa.mh5 = sb.mh5 THEN 1 ELSE 0 END + CASE WHEN sa.mh6 = sb.mh6 THEN 1 ELSE 0 END + CASE WHEN sa.mh7 = sb.mh7 THEN 1 ELSE 0 END + CASE WHEN sa.mh8 = sb.mh8 THEN 1 ELSE 0 END + CASE WHEN sa.mh9 = sb.mh9 THEN 1 ELSE 0 END + CASE WHEN sa.mh10 = sb.mh10 THEN 1 ELSE 0 END + CASE WHEN sa.mh11 = sb.mh11 THEN 1 ELSE 0 END AS BIGINT) AS n_agree,
+           (CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END + CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END + CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END + CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END + CASE WHEN sa.mh4 = sb.mh4 THEN 1 ELSE 0 END + CASE WHEN sa.mh5 = sb.mh5 THEN 1 ELSE 0 END + CASE WHEN sa.mh6 = sb.mh6 THEN 1 ELSE 0 END + CASE WHEN sa.mh7 = sb.mh7 THEN 1 ELSE 0 END + CASE WHEN sa.mh8 = sb.mh8 THEN 1 ELSE 0 END + CASE WHEN sa.mh9 = sb.mh9 THEN 1 ELSE 0 END + CASE WHEN sa.mh10 = sb.mh10 THEN 1 ELSE 0 END + CASE WHEN sa.mh11 = sb.mh11 THEN 1 ELSE 0 END) / {len(_MH_PERMS)} AS est_jaccard,
+           CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
+             / (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs)))
+             AS jaccard,
+           ABS((CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END + CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END + CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END + CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END + CASE WHEN sa.mh4 = sb.mh4 THEN 1 ELSE 0 END + CASE WHEN sa.mh5 = sb.mh5 THEN 1 ELSE 0 END + CASE WHEN sa.mh6 = sb.mh6 THEN 1 ELSE 0 END + CASE WHEN sa.mh7 = sb.mh7 THEN 1 ELSE 0 END + CASE WHEN sa.mh8 = sb.mh8 THEN 1 ELSE 0 END + CASE WHEN sa.mh9 = sb.mh9 THEN 1 ELSE 0 END + CASE WHEN sa.mh10 = sb.mh10 THEN 1 ELSE 0 END + CASE WHEN sa.mh11 = sb.mh11 THEN 1 ELSE 0 END) / {len(_MH_PERMS)}
+               - CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
+                 / (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))))
+             AS abs_err
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.doc_id_a
+    JOIN sigs sb ON sb.doc_id = c.doc_id_b
+    JOIN sh x ON x.doc_id = c.doc_id_a
+    JOIN sh y ON y.doc_id = c.doc_id_b
+    """,
+)
+def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration — the index-quality evaluation for the
+    signature side (q_ann_recall's sibling for set similarity): for every
+    LSH candidate pair, the signature-agreement estimate
+    (matching components / k) next to the exact Jaccard and their absolute
+    error. This is the table that tells you whether k=12 hashes suffice
+    for your threshold before you trust the estimate at 100 TB (where the
+    exact verify is the expensive part you want to skim). All arithmetic is
+    exact ints plus single correctly-rounded divisions/subtraction, so the
+    calibration hashes bitwise across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = _doc_shingles(docs).cache()
+    sigs = _mh_sigs(shingled).cache()
+    candidates = _mh_candidates(_mh_bands(sigs))
+
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(len(_MH_PERMS))],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(len(_MH_PERMS))],
+    )
+    n_agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(len(_MH_PERMS))
+    )
+    sh_a = shingled.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sh_b = shingled.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    shared = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        candidates.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .join(sh_a, "doc_id_a")
+        .join(sh_b, "doc_id_b")
+        .withColumn("n_agree", n_agree.cast("long"))
+        .withColumn("est_jaccard", F.col("n_agree") / len(_MH_PERMS))
+        .withColumn(
+            "jaccard", shared / (F.col("n_a") + F.col("n_b") - shared)
+        )
+        .withColumn("abs_err", F.abs(F.col("est_jaccard") - F.col("jaccard")))
+        .select("doc_id_a", "doc_id_b", "n_agree", "est_jaccard", "jaccard", "abs_err")
+    )
 
 # ---------------------------------------------------------------------------
 # q_dedup_simhash — 64-bit SimHash + banded Hamming search
