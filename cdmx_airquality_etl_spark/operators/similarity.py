@@ -89,16 +89,33 @@ def _sql_cos(a: str, b: str) -> str:
     )
 
 
+# Zero-norm guard, both engines: cosine is undefined for the zero vector and
+# Spark's ANSI division turns it into a job-killing DIVIDE_BY_ZERO (one bad
+# embedding in a 100 TB corpus aborts the query; DuckDB would instead emit
+# inf/NaN rows). Every cosine operator therefore reads the corpus through
+# this filter — dot(e,e) > 0 — on BOTH sides, so the two engines agree on
+# degenerate inputs too (the driver corpus has no zero vectors, so results
+# on real data are unchanged; pinned by tests/test_corpus_robustness.py).
+_SQL_NZ_CTE = (
+    f"nz AS (SELECT * FROM embeddings WHERE {_sql_dot('embedding', 'embedding')} > 0)"
+)
+
+
+def _nonzero(emb: DataFrame) -> DataFrame:
+    return emb.filter(_dot("embedding", "embedding") > 0)
+
+
 # ---------------------------------------------------------------------------
 # q_similarity_topk — brute-force cosine top-k for the query vector (vec_id 0)
 # ---------------------------------------------------------------------------
 @register(
     "q_similarity_topk",
     oracle=f"""
-    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    WITH {_SQL_NZ_CTE},
+    q AS (SELECT embedding AS qe FROM nz WHERE vec_id = 0)
     SELECT e.vec_id, e.label,
            {_sql_cos('e.embedding', 'q.qe')} AS cosine_sim
-    FROM embeddings e, q
+    FROM nz e, q
     WHERE e.vec_id <> 0
     ORDER BY cosine_sim DESC, vec_id ASC
     LIMIT {_TOPK}
@@ -108,7 +125,7 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ||q|| is folded once on the broadcast side, not once per corpus row;
     # sqrt(dot(q,q)) is the same double either way, so the oracle's
     # per-pair formulation hashes identically.
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _nonzero(load_table(spark, sf_dir, "embeddings"))
     query = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_emb"), _norm("embedding").alias("q_nrm")
     )
@@ -193,10 +210,11 @@ def lsh_bits_df(df: DataFrame) -> DataFrame:
 @register(
     "q_dedup_embedding",
     oracle=f"""
-    WITH nb AS (SELECT {_LSH_BITS_SQL} AS bits FROM embeddings),
+    WITH {_SQL_NZ_CTE},
+    nb AS (SELECT {_LSH_BITS_SQL} AS bits FROM nz),
     e AS (
       SELECT vec_id, embedding, {_SIGN_BUCKET_SQL} AS bucket
-      FROM embeddings, nb
+      FROM nz, nb
     ),
     pairs AS (
       SELECT a.vec_id AS va, b.vec_id AS vb,
@@ -209,7 +227,7 @@ def lsh_bits_df(df: DataFrame) -> DataFrame:
     """,
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _nonzero(load_table(spark, sf_dir, "embeddings"))
     # fold each vector's norm ONCE scan-side and carry it through the
     # bucket join: the per-pair cosine then needs one fold (the dot), not
     # three. sqrt(dot(x,x)) is the same double whether computed per vector
@@ -253,10 +271,11 @@ _LSH_PROBE_HAMMING = 2
 @register(
     "q_similarity_ann_lsh",
     oracle=f"""
-    WITH nb AS (SELECT {_LSH_BITS_SQL} AS bits FROM embeddings),
+    WITH {_SQL_NZ_CTE},
+    nb AS (SELECT {_LSH_BITS_SQL} AS bits FROM nz),
     e AS (
       SELECT vec_id, label, embedding, {_SIGN_BUCKET_SQL} AS bucket
-      FROM embeddings, nb
+      FROM nz, nb
     ),
     q AS (SELECT embedding AS qe, bucket AS qb FROM e WHERE vec_id = 0)
     SELECT e.vec_id, e.label,
@@ -282,7 +301,7 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rerank is a broadcast of the 1-row query + scan-side cosine +
     TakeOrderedAndProject. The probe test is one portable expression:
     bit_count(bucket XOR query_bucket) ≤ r."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _nonzero(load_table(spark, sf_dir, "embeddings"))
     e = emb.join(broadcast(lsh_bits_df(emb))).select(
         "vec_id",
         "label",
@@ -366,11 +385,12 @@ _BANDED_CAND_SQL = "\n      UNION\n".join(
 @register(
     "q_dedup_embedding_banded",
     oracle=f"""
-    WITH nb AS (SELECT {_BAND_BITS_SQL} AS bits FROM embeddings),
+    WITH {_SQL_NZ_CTE},
+    nb AS (SELECT {_BAND_BITS_SQL} AS bits FROM nz),
     e AS (
       SELECT vec_id, embedding,
              {', '.join(f'{_band_key_sql(b, "nb.bits")} AS bk{b}' for b in range(_EMB_BANDS))}
-      FROM embeddings, nb
+      FROM nz, nb
     ),
     c AS (
 {_BANDED_CAND_SQL}
@@ -384,7 +404,7 @@ _BANDED_CAND_SQL = "\n      UNION\n".join(
     """,
 )
 def q_dedup_embedding_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _nonzero(load_table(spark, sf_dir, "embeddings"))
     bits = emb.agg(
         F.least(
             F.lit(_EMB_MAX_BAND_BITS),
@@ -514,7 +534,7 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _nonzero(load_table(spark, sf_dir, "embeddings"))
     cents = train_ivf_centroids(emb)  # unit-norm centroids
     C = np.asarray([c for _, c in cents])
 
@@ -579,10 +599,11 @@ _SEM_DUP_COS = 0.35
 @register(
     "q_dedup_semantic",
     oracle=f"""
-    WITH nb AS (SELECT {_LSH_BITS_SQL} AS bits FROM embeddings),
+    WITH {_SQL_NZ_CTE},
+    nb AS (SELECT {_LSH_BITS_SQL} AS bits FROM nz),
     e AS (
       SELECT vec_id, embedding, {_SIGN_BUCKET_SQL} AS bucket
-      FROM embeddings, nb
+      FROM nz, nb
     ),
     anch AS (
       SELECT bucket, MIN(vec_id) AS anchor_id,
@@ -614,7 +635,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket (~n/32): Spark broadcasts them when small, SMJ otherwise — left
     to AQE. Cosines are sequential folds (_dot), bitwise equal to the
     oracle's list_reduce."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _nonzero(load_table(spark, sf_dir, "embeddings"))
     e = emb.join(broadcast(lsh_bits_df(emb))).select(
         "vec_id",
         "embedding",
@@ -661,10 +682,11 @@ _KNN_K = 3
 @register(
     "q_knn_graph",
     oracle=f"""
-    WITH nb AS (SELECT {_LSH_BITS_SQL} AS bits FROM embeddings),
+    WITH {_SQL_NZ_CTE},
+    nb AS (SELECT {_LSH_BITS_SQL} AS bits FROM nz),
     e AS (
       SELECT vec_id, embedding, {_SIGN_BUCKET_SQL} AS bucket
-      FROM embeddings, nb
+      FROM nz, nb
     ),
     pairs AS (
       SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
@@ -691,7 +713,7 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the oracle's per-pair form, see q_dedup_embedding). Ties broken by
     neighbor_id so row_number is total-ordered and reproducible.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _nonzero(load_table(spark, sf_dir, "embeddings"))
     e = emb.join(broadcast(lsh_bits_df(emb))).select(
         "vec_id",
         "embedding",
@@ -737,15 +759,16 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_ann_recall",
     oracle=f"""
-    WITH nb AS (SELECT {_LSH_BITS_SQL} AS bits FROM embeddings),
+    WITH {_SQL_NZ_CTE},
+    nb AS (SELECT {_LSH_BITS_SQL} AS bits FROM nz),
     e AS (
       SELECT vec_id, embedding, {_SIGN_BUCKET_SQL} AS bucket
-      FROM embeddings, nb
+      FROM nz, nb
     ),
     q AS (SELECT embedding AS qe, bucket AS qb FROM e WHERE vec_id = 0),
     exact AS (
       SELECT x.vec_id
-      FROM embeddings x, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) qq
+      FROM nz x, (SELECT embedding AS qe FROM nz WHERE vec_id = 0) qq
       WHERE x.vec_id <> 0
       ORDER BY {_sql_cos('x.embedding', 'qq.qe')} DESC, x.vec_id ASC
       LIMIT {_TOPK}
@@ -798,14 +821,15 @@ _BATCH_QUERIES = 5
 @register(
     "q_topk_batch",
     oracle=f"""
-    WITH qs AS (
+    WITH {_SQL_NZ_CTE},
+    qs AS (
       SELECT vec_id AS query_id, embedding AS qe
-      FROM embeddings WHERE vec_id < {_BATCH_QUERIES}
+      FROM nz WHERE vec_id < {_BATCH_QUERIES}
     ),
     scored AS (
       SELECT qs.query_id, e.vec_id,
              {_sql_cos('e.embedding', 'qs.qe')} AS cosine_sim
-      FROM embeddings e, qs
+      FROM nz e, qs
       WHERE e.vec_id >= {_BATCH_QUERIES}
     ),
     ranked AS (
@@ -823,7 +847,7 @@ def q_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k for {_BATCH_QUERIES} query vectors in one corpus scan:
     broadcast query set, per-pair cosine (per-vector norms folded once
     scan-side), per-query row_number ≤ k with vec_id tie-break."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _nonzero(load_table(spark, sf_dir, "embeddings"))
     qs = emb.filter(F.col("vec_id") < _BATCH_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
