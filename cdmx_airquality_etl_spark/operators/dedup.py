@@ -39,7 +39,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import word_shingles
-from ..registry import register
+from ..registry import QUERIES, register
 from ..sources.parquet import load_table
 
 _JACCARD_THRESHOLD = 0.5
@@ -764,6 +764,56 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _SH_HAMMING_MAX)
     )
 
+
+
+# ---------------------------------------------------------------------------
+# q_simhash_calibration — Hamming distance vs exact Jaccard on candidates
+# ---------------------------------------------------------------------------
+from ..registry import ORACLES as _ORACLES  # noqa: E402  (self-composition)
+
+
+@register(
+    "q_simhash_calibration",
+    oracle=rf"""
+    WITH cand AS ({_ORACLES["q_dedup_simhash"]}),
+    {_MH_SHINGLE_CTES}
+    SELECT c.doc_id_a, c.doc_id_b, c.hamming,
+           CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
+             / (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs)))
+             AS jaccard
+    FROM cand c
+    JOIN sh x ON x.doc_id = c.doc_id_a
+    JOIN sh y ON y.doc_id = c.doc_id_b
+    """,
+)
+def q_simhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash calibration — the third estimator-quality table (with
+    q_ann_recall for the vector index and q_minhash_estimate for MinHash):
+    every banded-SimHash candidate pair with its signature Hamming distance
+    NEXT TO the exact shingle Jaccard, so the Hamming threshold can be
+    tuned against what it actually admits. Deliberately no cos(pi*h/k)
+    angle estimate in the output: transcendentals are not correctly
+    rounded cross-engine (registry.py policy) and the monotone mapping
+    from hamming is tunable downstream. Composes the registered simhash
+    search with the shingle machinery - one extra join pair over the
+    candidate set, still never all-pairs."""
+    pairs = QUERIES["q_dedup_simhash"](spark, sf_dir)
+    shingled = _doc_shingles(load_table(spark, sf_dir, "documents"))
+    sh_a = shingled.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sh_b = shingled.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    shared = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        pairs.join(sh_a, "doc_id_a")
+        .join(sh_b, "doc_id_b")
+        .withColumn("jaccard", shared / (F.col("n_a") + F.col("n_b") - shared))
+        .select("doc_id_a", "doc_id_b", "hamming", "jaccard")
+    )
 
 # ---------------------------------------------------------------------------
 # q_dup_source_matrix — which sources copy from which (near-dup cross table)
