@@ -9,13 +9,19 @@ DuckDB oracle SQL).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from cdmx_airquality_etl_spark import ORACLES, QUERIES
+from cdmx_airquality_etl_spark import QUERIES
+from cdmx_airquality_etl_spark.registry import resolve_oracles
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
+# The driver compares Spark vs DuckDB at sf0.01; data-derived oracles (IVF
+# centroids) must be rendered for the SAME tables the oracle will scan.
+# tools/check_oracle.py overrides this when sweeping other scale factors.
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -30,5 +36,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL per query; keys missing here (vs queries())
-    are the genuinely non-SQL-expressible ops → driver's rows-only check."""
-    return dict(ORACLES)
+    are the genuinely non-SQL-expressible ops → driver's rows-only check.
+    Data-derived oracles are rendered for $SPARK_GRAFT_ORACLE_SF_DIR
+    (default: the driver's sf0.01 correctness tables)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", ORACLE_SF_DIR)
+    return resolve_oracles(sf_dir)

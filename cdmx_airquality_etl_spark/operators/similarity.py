@@ -89,20 +89,31 @@ def _sql_cos(a: str, b: str) -> str:
     )
 
 
-# Zero-norm guard, both engines: cosine is undefined for the zero vector and
-# Spark's ANSI division turns it into a job-killing DIVIDE_BY_ZERO (one bad
-# embedding in a 100 TB corpus aborts the query; DuckDB would instead emit
-# inf/NaN rows). Every cosine operator therefore reads the corpus through
-# this filter — dot(e,e) > 0 — on BOTH sides, so the two engines agree on
-# degenerate inputs too (the driver corpus has no zero vectors, so results
-# on real data are unchanged; pinned by tests/test_corpus_robustness.py).
-_SQL_NZ_CTE = (
-    f"nz AS (SELECT * FROM embeddings WHERE {_sql_dot('embedding', 'embedding')} > 0)"
+# Degenerate-vector guard, both engines: cosine is undefined for the zero
+# vector and Spark's ANSI division turns it into a job-killing
+# DIVIDE_BY_ZERO (one bad embedding in a 100 TB corpus aborts the query;
+# DuckDB would instead emit inf/NaN rows). A NaN or Inf component is just as
+# poisonous but SURVIVES a bare ``dot > 0`` filter (NaN compares
+# greater-than in BOTH engines), then breaks ORDER BY/row_number agreement
+# between them in top-k queries. Every cosine operator therefore reads the
+# corpus through this filter — isfinite(dot(e,e)) AND dot(e,e) > 0 — on
+# BOTH sides, so the two engines agree on degenerate inputs too (the driver
+# corpus has no such vectors, so results on real data are unchanged; pinned
+# by tests/test_corpus_robustness.py, including a NaN-component row).
+_SQL_NZ_PRED = (
+    f"isfinite({_sql_dot('embedding', 'embedding')}) "
+    f"AND {_sql_dot('embedding', 'embedding')} > 0"
 )
+_SQL_NZ_CTE = f"nz AS (SELECT * FROM embeddings WHERE {_SQL_NZ_PRED})"
 
 
 def _nonzero(emb: DataFrame) -> DataFrame:
-    return emb.filter(_dot("embedding", "embedding") > 0)
+    d = _dot("embedding", "embedding")
+    # Spark has no isfinite(); NaN fails isnan's negation, +Inf fails the
+    # strict upper bound (dot of squares can never be -Inf).
+    return emb.filter(
+        (~F.isnan(d)) & (d > 0) & (d < F.lit(float("inf")))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -461,9 +472,45 @@ def q_dedup_embedding_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q_similarity_ann_ivf — IVF-bucketed ANN (rows-only: the probe semantics are
-# an approximation strategy, not a fixed SQL answer)
+# q_similarity_ann_ivf — IVF-bucketed ANN. Training is fully deterministic
+# (hash-stride sample, strided init, fixed iterations, no RNG), so the
+# trained centroids are a pure function of the corpus — which makes the
+# whole approximate search ORACLE-CHECKABLE: ivf_oracle_sql() retrains the
+# identical index from the parquet (no Spark) and emits the same literal
+# centroids into DuckDB SQL.
 # ---------------------------------------------------------------------------
+def _ivf_plan(n: int, k: int | None) -> tuple[int, int]:
+    """(k, stride) for a corpus of n surviving vectors — shared by the Spark
+    query and the oracle generator so both train on the same sample."""
+    import math
+
+    if k is None:
+        k = max(4, math.ceil(math.sqrt(n)))  # classic IVF nlist heuristic
+    return k, max(1, n // _IVF_SAMPLE_CAP)
+
+
+def _kmeans_unit(embeddings, k: int, iters: int):
+    """Spherical k-means core: unit-normalize, strided deterministic init,
+    fixed iteration count. ``embeddings`` is any sequence of float vectors
+    (Arrow float32 arrays from either Spark's toPandas or DuckDB's df() —
+    identical values, identical float64 upcast ⇒ bitwise-identical
+    centroids)."""
+    import numpy as np
+
+    X = np.asarray([list(e) for e in embeddings], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    k = min(k, len(X))
+    C = X[:: max(1, len(X) // k)][:k].copy()  # strided deterministic init
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)  # cosine == dot on unit vectors
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-12)
+    return C
+
+
 def train_ivf_centroids(
     emb: DataFrame, k: int | None = None, iters: int = 8
 ) -> list[tuple[int, list[float]]]:
@@ -475,32 +522,50 @@ def train_ivf_centroids(
     distributed (broadcast join in the caller). Deterministic: stride
     sampling + strided init + fixed iteration count → identical centroids
     every run, no RNG."""
-    import math
-
-    import numpy as np
-
     n = emb.count()
-    if k is None:
-        k = max(4, math.ceil(math.sqrt(n)))  # classic IVF nlist heuristic
-    stride = max(1, n // _IVF_SAMPLE_CAP)
+    if n == 0:
+        raise ValueError("IVF training: no usable embeddings after the "
+                         "degenerate-vector guard")
+    k, stride = _ivf_plan(n, k)
     sample = (
         emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(stride)) == 0)
         .select("vec_id", "embedding")
         .toPandas()  # Arrow batch transfer — never row-at-a-time py4j
         .sort_values("vec_id")
     )
-    X = np.asarray([list(e) for e in sample["embedding"]], dtype=np.float64)
-    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    k = min(k, len(X))
-    C = X[:: max(1, len(X) // k)][:k].copy()  # strided deterministic init
-    for _ in range(iters):
-        assign = np.argmax(X @ C.T, axis=1)  # cosine == dot on unit vectors
-        for j in range(k):
-            members = X[assign == j]
-            if len(members):
-                c = members.sum(axis=0)
-                C[j] = c / max(np.linalg.norm(c), 1e-12)
-    return [(j, C[j].tolist()) for j in range(k)]
+    C = _kmeans_unit(sample["embedding"], k, iters)
+    return [(j, C[j].tolist()) for j in range(len(C))]
+
+
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+_U64 = (1 << 64) - 1
+
+
+def xxhash64_long(value: int, seed: int = 42) -> int:
+    """Pure-Python twin of Spark's ``xxhash64(BIGINT)`` (XXH64 over the
+    8-byte long, Spark's default seed 42), returned as Spark's SIGNED long.
+    Lets the Spark-free oracle generator reproduce the hash-stride IVF
+    training sample exactly when the corpus exceeds _IVF_SAMPLE_CAP (DuckDB
+    has no Spark-compatible xxhash64). Bit-for-bit parity with F.xxhash64
+    is pinned by tests/test_similarity.py::test_xxhash64_long_parity."""
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (64 - r))) & _U64
+
+    h = (seed + _XXH_P5 + 8) & _U64
+    k1 = rotl((value & _U64) * _XXH_P2 & _U64, 31) * _XXH_P1 & _U64
+    h ^= k1
+    h = (rotl(h, 27) * _XXH_P1 + _XXH_P4) & _U64
+    h ^= h >> 33
+    h = h * _XXH_P2 & _U64
+    h ^= h >> 29
+    h = h * _XXH_P3 & _U64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
 
 
 def _lit_array(values: list[float]) -> Column:
@@ -515,7 +580,99 @@ def _lit_array_sql(values: list[float]) -> str:
     return "array(" + ",".join(f"{float(v)!r}D" for v in values) + ")"
 
 
-@register("q_similarity_ann_ivf")
+def _duck_lit_array(values: list[float]) -> str:
+    """DuckDB twin of _lit_array_sql: same repr-rendered doubles."""
+    return "CAST([" + ",".join(repr(float(v)) for v in values) + "] AS DOUBLE[])"
+
+
+def _ivf_probe_cells(C, q_emb) -> list[int]:
+    """Driver-side probe-cell resolution, shared verbatim by the Spark query
+    and the oracle generator: rank centroids by cosine with the query
+    vector (centroids are unit-norm so raw dot ranks identically after the
+    common positive 1/||q|| factor), ties to the lowest centroid id."""
+    import numpy as np
+
+    q = np.asarray(list(q_emb), dtype=np.float64)
+    q_cos = (np.asarray(C) @ q) / max(np.linalg.norm(q), 1e-12)
+    order = sorted(range(len(C)), key=lambda j: (-q_cos[j], j))
+    return order[:_IVF_NPROBE]
+
+
+def ivf_oracle_sql(sf_dir: str, iters: int = 8) -> str:
+    """Full DuckDB oracle for q_similarity_ann_ivf, rendered per sf_dir.
+
+    Because training is deterministic (stride sample → strided init → fixed
+    iterations, no RNG), the index is a pure function of the corpus: this
+    generator retrains it straight from the parquet — DuckDB applies the
+    SAME degenerate-vector guard with the same sequential-fold dot, the
+    stride sample is reproduced via the pure-Python xxhash64 twin, and
+    _kmeans_unit yields bitwise-identical centroids (same Arrow float32 →
+    float64 upcast, same numpy ops). The rendered SQL then mirrors the
+    Spark plan: literal-centroid argmax assignment (ties → lowest id) →
+    nprobe cell filter → exact cosine → ORDER BY/LIMIT."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    con = duckdb.connect()
+    try:
+        con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{path}'")
+        rows = con.sql(
+            f"SELECT vec_id, embedding FROM embeddings WHERE {_SQL_NZ_PRED} "
+            "ORDER BY vec_id"
+        ).df()
+    finally:
+        con.close()
+    n = len(rows)
+    if n == 0:
+        raise ValueError("IVF oracle: no usable embeddings after the guard")
+    k, stride = _ivf_plan(n, None)
+    embs = rows["embedding"]
+    if stride > 1:
+        mask = [
+            xxhash64_long(int(v)) % stride == 0 for v in rows["vec_id"]
+        ]
+        embs = embs[mask]
+    C = _kmeans_unit(embs, k, iters)
+    cents = [(j, C[j].tolist()) for j in range(len(C))]
+    C = np.asarray([c for _, c in cents])
+
+    qsel = rows[rows["vec_id"] == 0]
+    if len(qsel) == 0:
+        raise ValueError("IVF oracle: query vector vec_id=0 absent")
+    probe = _ivf_probe_cells(C, qsel["embedding"].iloc[0])
+
+    cent_rows = ",\n      ".join(
+        f"({j}, {_duck_lit_array(c)})" for j, c in cents
+    )
+    probe_list = ",".join(str(p) for p in probe)
+    return f"""
+    WITH {_SQL_NZ_CTE},
+    cent(j, c) AS (VALUES {cent_rows}),
+    scored AS (
+      SELECT e.vec_id, e.label, e.embedding, c.j,
+             {_sql_dot('e.embedding', 'c.c')} AS s
+      FROM nz e CROSS JOIN cent c
+    ),
+    assigned AS (
+      SELECT vec_id, label, embedding, j AS cell
+      FROM (SELECT *, row_number() OVER
+              (PARTITION BY vec_id ORDER BY s DESC, j ASC) AS rn
+            FROM scored)
+      WHERE rn = 1
+    ),
+    q AS (SELECT embedding AS qe FROM nz WHERE vec_id = 0)
+    SELECT a.vec_id, a.label, {_sql_cos('a.embedding', 'q.qe')} AS cosine_sim
+    FROM assigned a, q
+    WHERE a.cell IN ({probe_list}) AND a.vec_id <> 0
+    ORDER BY cosine_sim DESC, vec_id ASC
+    LIMIT {_TOPK}
+    """
+
+
+@register("q_similarity_ann_ivf", oracle_factory=ivf_oracle_sql)
 def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: k-means centroids (trained on a bounded sample, see
     train_ivf_centroids) become LITERAL arrays in the plan — the truest form
@@ -531,19 +688,24 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     model. Multi-probe buys recall at linear probe cost. For very large k
     (literal expressions grow O(k·dim)) the same plan swaps in a broadcast
     join + max_by aggregate.
-    """
-    import numpy as np
 
+    Oracle-checked end to end: deterministic training makes the centroids a
+    pure function of the corpus, so ivf_oracle_sql() re-derives them
+    Spark-free and the driver hash-compares the full approximate search.
+    """
     emb = _nonzero(load_table(spark, sf_dir, "embeddings"))
     cents = train_ivf_centroids(emb)  # unit-norm centroids
-    C = np.asarray([c for _, c in cents])
+    C = [c for _, c in cents]
 
-    # driver-side probe-cell resolution for the query vector
-    q_emb = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    q = np.asarray(q_emb, dtype=np.float64)
-    q_cos = (C @ q) / max(np.linalg.norm(q), 1e-12)  # centroids unit-norm
-    order = sorted(range(len(C)), key=lambda j: (-q_cos[j], j))
-    probe_cells = order[:_IVF_NPROBE]
+    # driver-side probe-cell resolution for the query vector (one row)
+    q_rows = emb.filter(F.col("vec_id") == 0).select("embedding").take(1)
+    if not q_rows:
+        raise ValueError(
+            "IVF query: vec_id=0 is absent or failed the degenerate-vector "
+            "guard — no query vector to probe with"
+        )
+    q_emb = q_rows[0][0]
+    probe_cells = _ivf_probe_cells(C, q_emb)
 
     # scan-side argmax over literal centroids: array_max on (dot, -j)
     # structs = highest dot, ties to the lowest centroid id. Centroids are
@@ -558,7 +720,7 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     cell_scores_sql = ",".join(
-        f"struct({_dot_sql('embedding', _lit_array_sql(C[j].tolist()))} AS c, "
+        f"struct({_dot_sql('embedding', _lit_array_sql(C[j]))} AS c, "
         f"{-j} AS nj)"
         for j in range(len(C))
     )

@@ -59,6 +59,11 @@ def edge_dir(spark, tmp_path_factory):
     ]
     # one zero vector: cosine against it divides by a zero norm
     emb[9] = (9, [0.0] * 64, 0)
+    # NaN / Inf components: dot(e,e) is NaN/Inf, which passes a bare > 0
+    # filter in BOTH engines (NaN compares greater-than) and poisons top-k
+    # ordering — the degenerate-vector guard must drop these rows
+    emb[7] = (7, [float("nan")] + [0.5] * 63, 1)
+    emb[8] = (8, [float("inf")] + [0.5] * 63, 2)
     spark.createDataFrame(
         emb, "vec_id long, embedding array<float>, label int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")

@@ -2,27 +2,29 @@
 DuckDB oracle or be on the declared rows-only list with a reason — a query
 can never silently lose its correctness check."""
 
-from cdmx_airquality_etl_spark.registry import ORACLES, QUERIES
+from cdmx_airquality_etl_spark.registry import ORACLE_FACTORIES, ORACLES, QUERIES
 
 # The exhaustive rows-only allowlist. Adding a query without an oracle fails
 # this test until it is justified here (SURVEY.md §7: only genuinely
 # non-SQL-expressible ops qualify).
 ROWS_ONLY = {
-    "q_udf_normalize": "exact NFKD fold — DuckDB has no NFKD normalize",
     "q_group_approx": "HLL estimator — sketch values are engine-specific",
-    "q_similarity_ann_ivf": "probe strategy is an approximation, not a fixed answer",
-    "q_multimodal_meta": "stubbed binary decode — no SQL equivalent",
     "q_compression_ratio": "zlib DEFLATE — no compression fn in DuckDB SQL",
+    "q_multimodal_decode": "stubbed binary decode (build contract) — the "
+    "float feature stream has no SQL equivalent; the metadata path is "
+    "oracle-checked as q_multimodal_meta",
 }
+
+CHECKED = set(ORACLES) | set(ORACLE_FACTORIES)
 
 
 def test_every_query_is_checked():
-    missing = set(QUERIES) - set(ORACLES) - set(ROWS_ONLY)
+    missing = set(QUERIES) - CHECKED - set(ROWS_ONLY)
     assert not missing, f"queries with neither oracle nor rows-only reason: {missing}"
 
 
 def test_rows_only_list_is_tight():
-    stale = set(ROWS_ONLY) & set(ORACLES)
+    stale = set(ROWS_ONLY) & CHECKED
     assert not stale, f"rows-only entries that now have oracles: {stale}"
     unknown = set(ROWS_ONLY) - set(QUERIES)
     assert not unknown, f"rows-only entries for unregistered queries: {unknown}"

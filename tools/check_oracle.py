@@ -96,6 +96,8 @@ def approx_equal(a, b) -> bool:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # data-derived oracles (IVF centroids) must be rendered for THIS sf_dir
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
