@@ -30,29 +30,31 @@ from cdmx_airquality_etl_spark.session import get_spark  # noqa: E402
 from cdmx_airquality_etl_spark.sources.parquet import load_table  # noqa: E402
 
 # Representative subset reported inline (the full dict goes to
-# BENCH_DETAIL.json): the flagship query, one of each join/agg/window
-# shape, and the historically expensive dedup/similarity/skew family.
+# BENCH_DETAIL.json): ordered MOST-IMPORTANT-FIRST — the length guard pops
+# entries from the END of the dict, so the historically expensive
+# dedup/similarity/skew family (the point of the headline set) leads and
+# the cheap generic shapes are the expendable tail.
 HEADLINE = [
+    "q_dedup_fuzzy",
+    "q_dedup_minhash",
+    "q_dedup_clusters",
+    "q_dedup_embedding",
+    "q_similarity_ann_lsh",
+    "q_join_skew_salted",
+    "q_dedup_exact",
+    "q_similarity_topk",
+    "q_curation_pipeline",
+    "q_text_stats",
+    "q_quality_score",
+    "q_range_join",
+    "q_asof_join",
+    "q_sessionize",
+    "q_corr_manual",
     "q_group_agg",
     "q_dim_join_broadcast",
     "q_merge_fullouter",
     "q_window_rank",
     "q_pivot",
-    "q_dedup_exact",
-    "q_dedup_minhash",
-    "q_dedup_fuzzy",
-    "q_dedup_clusters",
-    "q_dedup_embedding",
-    "q_similarity_topk",
-    "q_similarity_ann_lsh",
-    "q_text_stats",
-    "q_quality_score",
-    "q_curation_pipeline",
-    "q_range_join",
-    "q_asof_join",
-    "q_sessionize",
-    "q_join_skew_salted",
-    "q_corr_manual",
 ]
 
 # The recording harness keeps the last 2000 chars of stdout; leave slack
@@ -92,6 +94,30 @@ def main() -> int:
         spark.catalog.clearCache()
 
     ok = {k: v for k, v in timings.items() if v >= 0}
+
+    # Warm steady-state pass over the HEADLINE set: the first execution of a
+    # hash-heavy plan is dominated by whole-stage-codegen JIT (measured this
+    # round: q_quality_classifier 3.3 s cold → 0.6 s by run 3), and a sweep
+    # that runs every query exactly once charges that compile cost to the
+    # operator. A second timed run per headline query records what a
+    # production cluster — where plans run repeatedly — actually pays. The
+    # aggregate `value` stays the cold sum (comparable across rounds);
+    # disable with SPARK_GRAFT_BENCH_WARM=0 for a fast cold-only sweep.
+    warm: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") != "0":
+        for name in HEADLINE:
+            if timings.get(name, -1.0) < 0:
+                continue
+            t0 = time.time()
+            try:
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                warm[name] = round(time.time() - t0, 3)
+            except Exception as e:  # noqa: BLE001
+                print(f"bench warm error in {name}: {e}", file=sys.stderr)
+            spark.catalog.clearCache()
+
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
         json.dump(
@@ -100,6 +126,9 @@ def main() -> int:
                 "value": round(sum(ok.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "warm_queries": warm,
+                "warm_note": "second timed run of each HEADLINE query; "
+                "cold-vs-warm gap is first-run codegen JIT",
                 "sf": sf,
                 "n_queries": len(timings),
                 "n_failed": len(timings) - len(ok),
@@ -123,9 +152,18 @@ def main() -> int:
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(result, separators=(",", ":"))
+    dropped = []
     while len(line) > _MAX_LINE and result["queries"]:
-        result["queries"].popitem()
+        # HEADLINE is ordered most-important-first, so popitem() (LIFO)
+        # sheds the expendable tail, never the expensive dedup family
+        dropped.append(result["queries"].popitem()[0])
         line = json.dumps(result, separators=(",", ":"))
+    if dropped:
+        print(
+            f"bench line over {_MAX_LINE} chars: dropped {dropped} "
+            "(full dict in BENCH_DETAIL.json)",
+            file=sys.stderr,
+        )
     print(line)
     return 0 if len(ok) == len(timings) else 1
 

@@ -64,11 +64,16 @@ def connected_components(
             sym.join(labels, sym["b"] == labels["node"])
             .select(F.col("a").alias("node"), "label")
         )
+        # LAZY checkpoint: the label_sum aggregate below is the round's ONE
+        # driver action — it materializes the checkpoint (cutting lineage
+        # exactly as the eager form did) and returns the convergence stat
+        # in the same job, instead of paying a separate materialization job
+        # per round.
         new_labels = (
             labels.unionByName(nbr_min)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_sum = label_sum(new_labels)
         labels = new_labels
@@ -112,9 +117,12 @@ def connected_components_star(
     loop (connected_components) stays the simple path for shallow graphs.
 
     Each round is two rounds of: per-node min-neighbor aggregate → join →
-    re-canonicalize, with ``localCheckpoint`` lineage cuts. Convergence =
-    stable (count, xxhash-sum) checksum of the edge set — one tiny action
-    per round (production could track a changed-edge count instead).
+    re-canonicalize, with LAZY ``localCheckpoint`` lineage cuts.
+    Convergence = stable (count, xor-hash) checksum of the edge set, and
+    that checksum aggregate is the round's ONLY driver action: it
+    materializes both of the round's checkpoints in the same job (an
+    unchanged checksum over the canonical deduped edge set ⟺ zero changed
+    edges — the changed-edge-count check, folded into one aggregate).
 
     Returns (labels, rounds): labels = (node, label=component min), nodes
     with no edge absent, same contract as connected_components.
@@ -145,7 +153,8 @@ def connected_components_star(
                 F.col("b").alias("x"), F.least("a", "mb").alias("y")
             )
         )
-        E = _canon(large).localCheckpoint(eager=True)
+        # lazy: materialized (and lineage-cut) by this round's checksum job
+        E = _canon(large).localCheckpoint(eager=False)
 
         # small-star: neighbors v < u (and u itself) attach to min(N⁻(u)∪{u})
         sym = _sym(E)
@@ -158,8 +167,10 @@ def connected_components_star(
                 minsn.select(F.col("a").alias("x"), F.col("mb").alias("y"))
             )
         )
-        E = _canon(small).localCheckpoint(eager=True)
+        E = _canon(small).localCheckpoint(eager=False)
 
+        # the round's ONE action: materializes both lazy checkpoints above
+        # and returns the convergence stat from the same job
         cur = checksum(E)
         if cur == prev:
             break

@@ -314,7 +314,12 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     depth = calendar span in days, each step a constant-size row — the
     corpus itself is aggregated ONCE and joined to the spine, so recursion
     cost is independent of data volume. Day emitted as an ISO string per
-    the temporal-output policy."""
+    the temporal-output policy.
+
+    Depth bound: Spark enforces spark.sql.cteRecursionLevelLimit on the
+    spine (one level per day), where DuckDB does not — the session factory
+    raises the limit to 1M levels (session.py) so any realistic calendar
+    span fits; a corpus wider than that should step the spine in chunks."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events_rcte")
     return spark.sql(
         """

@@ -551,7 +551,7 @@ def xxhash64_long(value: int, seed: int = 42) -> int:
     Lets the Spark-free oracle generator reproduce the hash-stride IVF
     training sample exactly when the corpus exceeds _IVF_SAMPLE_CAP (DuckDB
     has no Spark-compatible xxhash64). Bit-for-bit parity with F.xxhash64
-    is pinned by tests/test_similarity.py::test_xxhash64_long_parity."""
+    is pinned by tests/test_ivf_oracle.py::test_xxhash64_long_parity."""
 
     def rotl(x: int, r: int) -> int:
         return ((x << r) | (x >> (64 - r))) & _U64

@@ -58,6 +58,13 @@ def get_spark(
         # loader (sources/parquet.py) probes the footer and converts only
         # when the file really is NANOS. Harmless for MICROS files.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Spark 4 caps WITH RECURSIVE depth (default 100 levels). The date
+        # spine in q_recursive_cte advances one level per calendar day, so
+        # the default fails on any corpus spanning >100 days while the
+        # DuckDB oracle (no such cap) succeeds. 1M levels ≈ a 2,700-year
+        # spine: effectively unlimited for calendar recursion while still
+        # terminating a genuinely runaway CTE.
+        .config("spark.sql.cteRecursionLevelLimit", "1000000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -12,20 +12,36 @@ from pyspark.sql.types import LongType, StructField, StructType
 
 from ..schemas import TESTDATA_SCHEMAS, TESTDATA_TABLES
 
-# (sf_dir) -> True if events.ts is stored as TIMESTAMP(NANOS); probed once
-# per path from the parquet footer (driver-side, one footer read).
-_EVENTS_TS_IS_NANOS: dict[str, bool] = {}
+# cache key -> True if events.ts is stored as TIMESTAMP(NANOS); probed from
+# the parquet footer (driver-side, one footer read). Keyed on
+# (path, mtime_ns, size), NOT path alone: the testdata generator has
+# regenerated the same path with the OTHER timestamp encoding between
+# rounds (ns→µs in round 3), and a path-keyed cache would then silently
+# misread ts by 1000x for the rest of the process lifetime.
+_EVENTS_TS_IS_NANOS: dict[tuple, bool] = {}
+
+
+def _footer_cache_key(path: str) -> tuple:
+    import os
+
+    try:
+        st = os.stat(path)
+        return (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        # non-local / unstat-able path: fall back to path-only keying
+        return (path, None, None)
 
 
 def _events_ts_is_nanos(spark: SparkSession, path: str) -> bool:
-    if path not in _EVENTS_TS_IS_NANOS:
+    key = _footer_cache_key(path)
+    if key not in _EVENTS_TS_IS_NANOS:
         # with spark.sql.legacy.parquet.nanosAsLong set, schema inference
         # surfaces TIMESTAMP(NANOS) as LongType and TIMESTAMP(MICROS) as
         # TimestampType — the distinction load_table must adapt to, since
         # the testdata generator has shipped both encodings across rounds
         inferred = spark.read.parquet(path).schema["ts"].dataType
-        _EVENTS_TS_IS_NANOS[path] = isinstance(inferred, LongType)
-    return _EVENTS_TS_IS_NANOS[path]
+        _EVENTS_TS_IS_NANOS[key] = isinstance(inferred, LongType)
+    return _EVENTS_TS_IS_NANOS[key]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
