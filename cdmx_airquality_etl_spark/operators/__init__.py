@@ -4,11 +4,15 @@ import; importing this package loads the full surface."""
 from . import (  # noqa: F401
     clustering,
     corpus_quality,
+    corpus_stats,
     dedup,
+    entity,
     flagship,
+    incremental,
     llm_ops,
     pipeline_ops,
     relational,
+    robust,
     relational_ext,
     relational_ext2,
     relational_ext3,

@@ -1,0 +1,228 @@
+"""Robust-statistics / series-repair operators.
+
+- q_outlier_mad  — per-group robust outlier detection via median/MAD
+                   (median absolute deviation), the estimator that survives
+                   the contaminated data a quality gate exists to catch
+                   (mean/stddev are dragged by the very outliers being
+                   hunted). Generalizes the reference's V-GATE quality
+                   checks (``scrapper.py:53-55,139-144``) from
+                   missing-value gating to distributional gating.
+- q_interpolate  — linear interpolation of a gappy series between known
+                   observations, the continuous twin of q_forward_fill's
+                   LOCF (``relational_ext4.py``). The reference's hourly
+                   snapshot model (``scrapper.py:44-52``) produces exactly
+                   such gappy series when runs are missed.
+
+Exactness policy: medians are POSITIONAL (the lower-median element at rank
+``(n+1) DIV 2`` in (value, key) order) on both engines — never interpolated
+percentiles — so every emitted number is either an actual data element or a
+fixed-order IEEE expression over them; the driver's hash compare then holds
+bitwise. Interpolation arithmetic is written with the identical expression
+shape on both sides (same casts, same operation order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..sources.parquet import load_table
+
+_MAD_K = 3  # flag |x - med| > K * MAD
+
+
+@register(
+    "q_outlier_mad",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_nationkey, c_custkey, c_acctbal FROM customer
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal, c_custkey) AS rn,
+             COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+      FROM c
+    ),
+    med AS (
+      SELECT c_nationkey, c_acctbal AS med_acctbal
+      FROM r WHERE rn = (n + 1) // 2
+    ),
+    d AS (
+      SELECT c.c_nationkey, c.c_custkey, c.c_acctbal, m.med_acctbal,
+             abs(c.c_acctbal - m.med_acctbal) AS dev
+      FROM c JOIN med m USING (c_nationkey)
+    ),
+    r2 AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY dev, c_custkey) AS rn,
+             COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+      FROM d
+    ),
+    mad AS (
+      SELECT c_nationkey, dev AS mad FROM r2 WHERE rn = (n + 1) // 2
+    )
+    SELECT d.c_nationkey,
+           d.med_acctbal,
+           m.mad,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CASE WHEN d.dev > {_MAD_K} * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM d JOIN mad m USING (c_nationkey)
+    GROUP BY d.c_nationkey, d.med_acctbal, m.mad
+    """,
+)
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation robust outlier report: positional lower median of acctbal,
+    MAD around it, and the count of customers beyond {_MAD_K}×MAD.
+
+    Two ranked passes (value, then absolute deviation), each one shuffle on
+    the group key; the medians broadcast back as a 25-row dim. At 100 TB
+    the groups are nation-sized — the window never sees more than one
+    group's rows per partition, and a skew-prone grouping would swap the
+    positional rank for the same two-pass selection on pre-aggregated
+    (value, count) runs. Every emitted number is a data element or a count;
+    the only arithmetic (dev, the K×MAD bound) is fixed-order IEEE on both
+    engines."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_custkey", "c_acctbal"
+    )
+    wn = Window.partitionBy("c_nationkey")
+    w1 = wn.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    r = cust.withColumn("rn", F.row_number().over(w1)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    med = r.filter(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
+        "c_nationkey", F.col("c_acctbal").alias("med_acctbal")
+    )
+    d = cust.join(F.broadcast(med), "c_nationkey").withColumn(
+        "dev", F.abs(F.col("c_acctbal") - F.col("med_acctbal"))
+    )
+    w2 = wn.orderBy(F.col("dev").asc(), F.col("c_custkey").asc())
+    r2 = d.withColumn("rn", F.row_number().over(w2)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    mad = r2.filter(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
+        "c_nationkey", F.col("dev").alias("mad")
+    )
+    return (
+        d.join(F.broadcast(mad), "c_nationkey")
+        .groupBy("c_nationkey", "med_acctbal", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(
+                F.when(F.col("dev") > _MAD_K * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "c_nationkey", "med_acctbal", "mad", "n_customers", "n_outliers"
+        )
+    )
+
+
+@register(
+    "q_interpolate",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id, ts, epoch_us(ts) AS ts_us, event_type,
+             "value",
+             CASE WHEN event_type = 'click' THEN "value" END AS cv,
+             CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS cts
+      FROM events
+      WHERE event_type IN ('click', 'error')
+    ),
+    carried AS (
+      SELECT *,
+             last_value(cv IGNORE NULLS) OVER wp AS pv,
+             last_value(cts IGNORE NULLS) OVER wp AS pts,
+             first_value(cv IGNORE NULLS) OVER wf AS nv,
+             first_value(cts IGNORE NULLS) OVER wf AS nts
+      FROM base
+      WINDOW
+        wp AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        wf AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id, "value" AS actual_value,
+           CASE
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               pv + (nv - pv) * (CAST(ts_us - pts AS DOUBLE)
+                                 / CAST(nts - pts AS DOUBLE))
+             WHEN pv IS NOT NULL THEN pv
+             ELSE nv
+           END AS est_value
+    FROM carried
+    WHERE event_type = 'error'
+    """,
+)
+def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate each 'error' event's value by LINEAR interpolation between
+    the user's surrounding 'click' observations (time-weighted in event-time
+    microseconds); one-sided gaps degrade to carry-forward/backward fill,
+    interior-only gaps to NULL.
+
+    One shuffle on user_id serves both window frames (preceding carry +
+    following carry share the sort); no self-join against the known points
+    — the O(gaps × knowns) banded-join formulation this replaces is the
+    plan that dies at scale. Interpolation arithmetic is the identical
+    expression tree on both engines (long µs deltas cast to double at the
+    division, then one multiply-add), so estimates agree bitwise."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "error")
+    )
+    is_click = F.col("event_type") == "click"
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        "value",
+        F.when(is_click, F.col("value")).alias("cv"),
+        F.when(is_click, F.unix_micros("ts")).alias("cts"),
+    )
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    carried = base.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "ts_us",
+        F.last("cv", ignorenulls=True).over(wp).alias("pv"),
+        F.last("cts", ignorenulls=True).over(wp).alias("pts"),
+        F.first("cv", ignorenulls=True).over(wf).alias("nv"),
+        F.first("cts", ignorenulls=True).over(wf).alias("nts"),
+    )
+    frac = (F.col("ts_us") - F.col("pts")).cast("double") / (
+        F.col("nts") - F.col("pts")
+    ).cast("double")
+    est = (
+        F.when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv") + (F.col("nv") - F.col("pv")) * frac,
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+    )
+    return carried.filter(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        F.col("value").alias("actual_value"),
+        est.alias("est_value"),
+    )

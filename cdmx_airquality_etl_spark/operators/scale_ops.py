@@ -295,3 +295,90 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_bloom_prune — runtime-filter pattern: a fixed-size hash-bucket bitmap of
+# the dim keys prunes the fact scan BEFORE the exact join
+# ---------------------------------------------------------------------------
+_BLOOM_BITS = 8192  # bitmap size (bits); driver state is bounded by this
+
+
+@register(
+    "q_bloom_prune",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders o
+    WHERE o.o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join with an explicit bloom-style scan prune: hash every build-
+    side key into a {_BLOOM_BITS}-bit bitmap (xxhash64 mod m), ship the
+    bitmap as a literal array of longs, and reject fact rows whose key
+    bucket is unset BEFORE the exact broadcast semi-join verifies the
+    survivors. The bitmap has no false negatives, so the result is provably
+    identical to the plain semi-join — which is exactly what the oracle
+    runs.
+
+    Scale rationale: this is the hand-rolled form of Spark's runtime
+    bloom-filter join pruning (spark.sql.optimizer.runtime.bloomFilter.*) —
+    at 100 TB the fact scan discards non-matching rows at the scan/codegen
+    stage for the cost of 128 longs of broadcast state (bounded regardless
+    of dim cardinality; the driver collect is the bucket set, capped at
+    _BLOOM_BITS values). The exact semi-join then touches only survivors:
+    with a selective dim, shuffle/probe volume drops by the filter's true
+    positive rate. The bit test compiles to an array index + shift — pure
+    codegen, no join, no UDF."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim_keys = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+
+    # Build the bitmap driver-side from the dim's DISTINCT hash buckets —
+    # at most _BLOOM_BITS ints cross the driver no matter how large the dim.
+    buckets = [
+        r[0]
+        for r in dim_keys.select(
+            F.pmod(F.xxhash64("c_custkey"), F.lit(_BLOOM_BITS)).alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    words = [0] * (_BLOOM_BITS // 64)
+    for b in buckets:
+        words[b // 64] |= 1 << (b % 64)
+    # render as ONE parsed literal expression (single py4j call), signed longs
+    words_sql = "array(" + ",".join(
+        f"{w - (1 << 64) if w >= (1 << 63) else w}L" for w in words
+    ) + ")"
+
+    # one parsed expression: bucket → word index + bit shift + mask. The
+    # arithmetic >> sign-extends only bits above the one being tested, so
+    # (word >> bit) & 1 is exact for all 64 positions.
+    bit_sql = (
+        f"(shiftright(element_at({words_sql}, "
+        f"CAST(pmod(xxhash64(o_custkey), {_BLOOM_BITS}) DIV 64 AS INT) + 1), "
+        f"CAST(pmod(xxhash64(o_custkey), {_BLOOM_BITS}) % 64 AS INT)) "
+        f"& 1) = 1"
+    )
+    pruned = orders.filter(F.expr(bit_sql))
+    return (
+        pruned.join(F.broadcast(dim_keys),
+                    pruned["o_custkey"] == dim_keys["c_custkey"],
+                    "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

@@ -1,0 +1,219 @@
+"""Semantics + plan-shape tests for the round-4 operator batch:
+entity resolution, robust outliers, interpolation, incremental aggregate
+maintenance, bloom-pruned semi-join, and PMI co-occurrence."""
+
+from pyspark.sql import functions as F
+
+from cdmx_airquality_etl_spark.registry import QUERIES
+from cdmx_airquality_etl_spark.sources.parquet import load_table
+
+
+def _plan(spark, sf_dir, name, mode="formatted"):
+    df = QUERIES[name](spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_entity_resolution
+# ---------------------------------------------------------------------------
+def test_entity_resolution_blocking_and_threshold(spark, sf_dir):
+    rows = QUERIES["q_entity_resolution"](spark, sf_dir).collect()
+    assert rows, "expected at least one linked pair"
+    seen = set()
+    for r in rows:
+        assert r["name_a"] < r["name_b"]
+        assert r["name_a"].split(" ")[0] == r["name_b"].split(" ")[0], (
+            "pair crosses a block boundary"
+        )
+        assert 1 <= r["edit_dist"] <= 3
+        assert r["n_rows_a"] > 0 and r["n_rows_b"] > 0
+        assert (r["name_a"], r["name_b"]) not in seen
+        seen.add((r["name_a"], r["name_b"]))
+
+
+def test_entity_resolution_candidates_are_value_domain(spark, sf_dir):
+    # the pairwise stage must run on the distinct-name aggregate, not raw
+    # rows: the plan joins two HashAggregate outputs
+    plan = _plan(spark, sf_dir, "q_entity_resolution")
+    assert "HashAggregate" in plan
+
+
+# ---------------------------------------------------------------------------
+# q_outlier_mad
+# ---------------------------------------------------------------------------
+def test_outlier_mad_against_manual(spark, sf_dir):
+    rows = {r["c_nationkey"]: r for r in QUERIES["q_outlier_mad"](spark, sf_dir).collect()}
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_custkey", "c_acctbal")
+        .collect()
+    )
+    by_nation: dict[int, list[float]] = {}
+    for r in cust:
+        by_nation.setdefault(r["c_nationkey"], []).append(r["c_acctbal"])
+    assert set(rows) == set(by_nation)
+    for nk, vals in by_nation.items():
+        vals.sort()
+        med = vals[(len(vals) + 1) // 2 - 1]  # lower median, 1-based rank
+        devs = sorted(abs(v - med) for v in vals)
+        mad = devs[(len(devs) + 1) // 2 - 1]
+        n_out = sum(1 for v in vals if abs(v - med) > 3 * mad)
+        r = rows[nk]
+        assert r["med_acctbal"] == med
+        assert r["mad"] == mad
+        assert r["n_customers"] == len(vals)
+        assert r["n_outliers"] == n_out
+
+
+# ---------------------------------------------------------------------------
+# q_interpolate
+# ---------------------------------------------------------------------------
+def test_interpolate_bounds_and_coverage(spark, sf_dir):
+    df = QUERIES["q_interpolate"](spark, sf_dir)
+    n_errors = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .count()
+    )
+    rows = df.collect()
+    assert len(rows) == n_errors
+    # est_value may be NULL only for users with no clicks at all
+    ev = load_table(spark, sf_dir, "events")
+    users_with_clicks = {
+        r["user_id"]
+        for r in ev.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    for r in rows:
+        if r["user_id"] in users_with_clicks:
+            assert r["est_value"] is not None
+        else:
+            assert r["est_value"] is None
+
+
+def test_interpolate_is_convex_combination(spark, sf_dir):
+    # recompute neighbors independently: est must lie within [pv, nv]
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "error")
+    ).collect()
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r)
+    bounds = {}
+    for u, rs in by_user.items():
+        rs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        for i, r in enumerate(rs):
+            if r["event_type"] != "error":
+                continue
+            pv = next(
+                (x["value"] for x in reversed(rs[:i]) if x["event_type"] == "click"),
+                None,
+            )
+            nv = next(
+                (x["value"] for x in rs[i + 1 :] if x["event_type"] == "click"),
+                None,
+            )
+            bounds[r["event_id"]] = (pv, nv)
+    out = QUERIES["q_interpolate"](spark, sf_dir).collect()
+    for r in out:
+        pv, nv = bounds[r["event_id"]]
+        if pv is not None and nv is not None:
+            lo, hi = min(pv, nv), max(pv, nv)
+            assert lo - 1e-9 <= r["est_value"] <= hi + 1e-9
+        elif pv is not None:
+            assert r["est_value"] == pv
+        elif nv is not None:
+            assert r["est_value"] == nv
+
+
+# ---------------------------------------------------------------------------
+# q_incremental_agg
+# ---------------------------------------------------------------------------
+def test_incremental_agg_equals_full_recompute(spark, sf_dir):
+    inc = {
+        r["o_custkey"]: r
+        for r in QUERIES["q_incremental_agg"](spark, sf_dir).collect()
+    }
+    full = {
+        r["o_custkey"]: r
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spend"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias(
+                "last_order_date"
+            ),
+        )
+        .collect()
+    }
+    assert set(inc) == set(full)
+    for k, r in inc.items():
+        f = full[k]
+        assert r["order_cnt"] == f["order_cnt"]
+        assert r["total_spend"] == f["total_spend"]  # DECIMAL combine: exact
+        assert r["last_order_date"] == f["last_order_date"]
+
+
+# ---------------------------------------------------------------------------
+# q_bloom_prune
+# ---------------------------------------------------------------------------
+def test_bloom_prune_equals_plain_semijoin(spark, sf_dir):
+    got = {
+        r["o_orderpriority"]: r
+        for r in QUERIES["q_bloom_prune"](spark, sf_dir).collect()
+    }
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    want = {
+        r["o_orderpriority"]: r
+        for r in orders.join(
+            dim, orders["o_custkey"] == dim["c_custkey"], "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .collect()
+    }
+    assert got.keys() == want.keys()
+    for k in got:
+        assert got[k]["n_orders"] == want[k]["n_orders"]
+        assert got[k]["revenue"] == want[k]["revenue"]
+
+
+def test_bloom_prune_plan_shape(spark, sf_dir):
+    # prune must sit scan-side (a Filter with shiftright on xxhash64), and
+    # the verify join must be a broadcast semi-join — no shuffle of orders
+    plan = _plan(spark, sf_dir, "q_bloom_prune")
+    assert "shiftright" in plan
+    simple = _plan(spark, sf_dir, "q_bloom_prune", "simple")
+    semi = [l for l in simple.splitlines() if "LeftSemi" in l]
+    assert semi and all("Broadcast" in l for l in semi)
+
+
+# ---------------------------------------------------------------------------
+# q_cooccur_pmi
+# ---------------------------------------------------------------------------
+def test_cooccur_pmi_invariants(spark, sf_dir):
+    rows = QUERIES["q_cooccur_pmi"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    lifts = [r["lift"] for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    for r in rows:
+        assert r["token_a"] < r["token_b"]
+        assert r["pair_docs"] >= 25
+        assert r["pair_docs"] <= min(r["docs_a"], r["docs_b"])
+        assert r["lift"] > 0
