@@ -580,9 +580,25 @@ def _lit_array_sql(values: list[float]) -> str:
     return "array(" + ",".join(f"{float(v)!r}D" for v in values) + ")"
 
 
+def _duck_double_lit(v: float) -> str:
+    """Exact DOUBLE literal for DuckDB. A bare decimal literal
+    (``0.0491791405884425…``) parses as DECIMAL first and the DECIMAL →
+    DOUBLE cast double-rounds — off by an ulp from Python's float (the
+    registry.py numeric-literal rule, caught by q_similarity_ann_pq's ADC
+    sums). Scientific notation types directly as DOUBLE with one correct
+    rounding, so append ``e0`` unless repr already carries an exponent."""
+    r = repr(float(v))
+    return r if ("e" in r or "E" in r) else r + "e0"
+
+
 def _duck_lit_array(values: list[float]) -> str:
-    """DuckDB twin of _lit_array_sql: same repr-rendered doubles."""
-    return "CAST([" + ",".join(repr(float(v)) for v in values) + "] AS DOUBLE[])"
+    """DuckDB twin of _lit_array_sql: same repr-rendered doubles, each
+    element typed DOUBLE at parse time (see _duck_double_lit)."""
+    return (
+        "CAST(["
+        + ",".join(_duck_double_lit(v) for v in values)
+        + "] AS DOUBLE[])"
+    )
 
 
 def _ivf_probe_cells(C, q_emb) -> list[int]:
@@ -1028,4 +1044,247 @@ def q_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nn_rank", F.row_number().over(w))
         .filter(F.col("nn_rank") <= _TOPK)
         .select("query_id", "vec_id", "nn_rank", "cosine_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_similarity_ann_pq — product-quantization ANN (ADC shortlist + exact
+# re-rank). Like IVF, training is fully deterministic, so the codebooks are
+# a pure function of the corpus and the whole approximate search carries a
+# full DuckDB oracle.
+# ---------------------------------------------------------------------------
+_PQ_M = 4  # subspaces (64-dim embedding → 4 × 16-dim subvectors)
+_PQ_K = 16  # codewords per subspace → a 4-byte code per vector
+_PQ_SHORTLIST = 50  # ADC candidates re-ranked by exact cosine
+_PQ_ITERS = 8
+
+
+def _pq_subdim(dim: int) -> int:
+    if dim % _PQ_M:
+        raise ValueError(f"PQ: dim {dim} not divisible by M={_PQ_M}")
+    return dim // _PQ_M
+
+
+def _pq_train(embeddings) -> list:
+    """Per-subspace L2 k-means codebooks from a deterministic sample.
+    ``embeddings`` is any sequence of float vectors (Arrow float32 from
+    either engine's pandas bridge — identical float64 upcast ⇒ bitwise-
+    identical codebooks). Strided init, argmin assignment with ties to the
+    lowest codeword, centroid = member mean, fixed iteration count, no RNG
+    — the same determinism contract as _kmeans_unit, but UN-normalized L2
+    per subspace (the standard PQ objective, Jégou et al. 2011, TPAMI —
+    public paper)."""
+    import numpy as np
+
+    X = np.asarray([list(e) for e in embeddings], dtype=np.float64)
+    sub = _pq_subdim(X.shape[1])
+    books = []
+    for m in range(_PQ_M):
+        Xm = X[:, m * sub : (m + 1) * sub]
+        k = min(_PQ_K, len(Xm))
+        C = Xm[:: max(1, len(Xm) // k)][:k].copy()
+        for _ in range(_PQ_ITERS):
+            d2 = ((Xm[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)  # ties → lowest codeword
+            for j in range(len(C)):
+                members = Xm[assign == j]
+                if len(members):
+                    C[j] = members.sum(axis=0) / len(members)
+        books.append(C)
+    return books
+
+
+def _pq_lut(books, q_emb) -> list:
+    """ADC lookup table: lut[m][j] = <q_m, c_mj>. Computed driver-side by
+    THIS shared helper in both the Spark query and the oracle generator,
+    then rendered as literals — no engine arithmetic involved, so the
+    tables are identical by construction."""
+    import numpy as np
+
+    q = np.asarray(list(q_emb), dtype=np.float64)
+    sub = _pq_subdim(len(q))
+    return [
+        (books[m] @ q[m * sub : (m + 1) * sub]).tolist()
+        for m in range(_PQ_M)
+    ]
+
+
+def _pq_spark_dist(m: int, sub: int, centroid: list) -> str:
+    """Squared L2 between subvector m and a literal codeword, as the same
+    sequential fold both engines run (see _pq_duck_dist)."""
+    return (
+        f"aggregate(zip_with(slice(embedding, {m * sub + 1}, {sub}), "
+        f"{_lit_array_sql(centroid)}, "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def pq_oracle_sql(sf_dir: str) -> str:
+    """Full DuckDB oracle for q_similarity_ann_pq: retrains the identical
+    codebooks straight from the parquet (stride sample via the pure-Python
+    xxhash64 twin, shared _pq_train), then mirrors the Spark plan — literal-
+    codeword argmin assignment per subspace (ties → lowest code), literal-
+    LUT ADC sum in fixed subspace order, ADC shortlist, exact-cosine
+    re-rank."""
+    import os
+
+    import duckdb
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    con = duckdb.connect()
+    try:
+        con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{path}'")
+        rows = con.sql(
+            f"SELECT vec_id, embedding FROM embeddings WHERE {_SQL_NZ_PRED} "
+            "ORDER BY vec_id"
+        ).df()
+    finally:
+        con.close()
+    n = len(rows)
+    if n == 0:
+        raise ValueError("PQ oracle: no usable embeddings after the guard")
+    stride = max(1, n // _IVF_SAMPLE_CAP)
+    embs = rows["embedding"]
+    if stride > 1:
+        mask = [xxhash64_long(int(v)) % stride == 0 for v in rows["vec_id"]]
+        embs = embs[mask]
+    books = _pq_train(embs)
+    qsel = rows[rows["vec_id"] == 0]
+    if len(qsel) == 0:
+        raise ValueError("PQ oracle: query vector vec_id=0 absent")
+    q_emb = qsel["embedding"].iloc[0]
+    lut = _pq_lut(books, q_emb)
+    sub = _pq_subdim(len(list(q_emb)))
+
+    cent_rows = ",\n      ".join(
+        f"({m}, {j}, {m * sub}, {_duck_lit_array(books[m][j].tolist())})"
+        for m in range(_PQ_M)
+        for j in range(len(books[m]))
+    )
+    adc = " + ".join(
+        f"{_duck_lit_array(lut[m])}[c{m} + 1]" for m in range(_PQ_M)
+    )
+    code_cols = ", ".join(
+        f"MAX(CASE WHEN m = {m} THEN code END) AS c{m}" for m in range(_PQ_M)
+    )
+    return f"""
+    WITH {_SQL_NZ_CTE},
+    cent(m, j, off, c) AS (VALUES {cent_rows}),
+    dists AS (
+      SELECT e.vec_id, e.label, e.embedding, c.m, c.j,
+             list_reduce(list_transform(range(1, {sub} + 1),
+               i -> (CAST(e.embedding[i + c.off] AS DOUBLE) - c.c[i])
+                    * (CAST(e.embedding[i + c.off] AS DOUBLE) - c.c[i])),
+               (acc, x) -> acc + x) AS d
+      FROM nz e CROSS JOIN cent c
+    ),
+    codes AS (
+      SELECT vec_id, m, j AS code
+      FROM (SELECT *, row_number() OVER
+              (PARTITION BY vec_id, m ORDER BY d ASC, j ASC) AS rn
+            FROM dists)
+      WHERE rn = 1
+    ),
+    coded AS (
+      SELECT vec_id, {code_cols}
+      FROM codes GROUP BY vec_id
+    ),
+    shortlist AS (
+      SELECT e.vec_id, e.label, e.embedding, {adc} AS adc_dot
+      FROM coded JOIN nz e USING (vec_id)
+      WHERE e.vec_id <> 0
+      ORDER BY adc_dot DESC, vec_id ASC
+      LIMIT {_PQ_SHORTLIST}
+    ),
+    q AS (SELECT embedding AS qe FROM nz WHERE vec_id = 0)
+    SELECT s.vec_id, s.label, s.adc_dot,
+           {_sql_cos('s.embedding', 'q.qe')} AS cosine_sim
+    FROM shortlist s, q
+    ORDER BY cosine_sim DESC, vec_id ASC
+    LIMIT {_TOPK}
+    """
+
+
+@register("q_similarity_ann_pq", oracle_factory=pq_oracle_sql)
+def q_similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ (product-quantization) ANN: per-subspace k-means codebooks become
+    LITERAL arrays in the plan; encoding is a scan-side argmin projection
+    per subspace (no join, no shuffle), and query scoring is pure table
+    lookup — the ADC sum indexes four 16-double literal LUTs by the
+    vector's codes. An ADC shortlist of {_PQ_SHORTLIST} then gets exactly
+    one exact-cosine pass (asymmetric re-rank).
+
+    At 100 TB: this is the memory-scale path IVF alone doesn't give — each
+    vector compresses 64 floats → 4 bytes of codes, so the scored
+    representation of a 10⁹-vector corpus fits in executor memory, and the
+    scan does 4 array lookups + 3 adds per vector instead of 64 multiplies.
+    Codes would be precomputed once at ingest (a materialized column),
+    re-ranking reads full vectors for only the shortlist. Composes with
+    IVF (IVF-PQ) by running the same encoding inside probed cells.
+
+    Training/determinism contract is IVF's: bounded stride sample, strided
+    init, fixed iterations, no RNG (similarity.py:train_ivf_centroids) —
+    which is what lets pq_oracle_sql() re-derive identical codebooks
+    Spark-free and the driver hash-compare the full approximate search."""
+    emb = _nonzero(load_table(spark, sf_dir, "embeddings"))
+    n = emb.count()
+    stride = max(1, n // _IVF_SAMPLE_CAP)
+    sample = (
+        emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(stride)) == 0)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    books = _pq_train(sample["embedding"])
+
+    q_rows = emb.filter(F.col("vec_id") == 0).select("embedding").take(1)
+    if not q_rows:
+        raise ValueError(
+            "PQ query: vec_id=0 is absent or failed the degenerate-vector "
+            "guard — no query vector to score with"
+        )
+    q_emb = q_rows[0][0]
+    lut = _pq_lut(books, q_emb)
+    sub = _pq_subdim(len(list(q_emb)))
+
+    # per-subspace argmin over literal codewords: min struct (d, j) → ties
+    # to the lowest code; ONE parsed expression per subspace
+    code_cols = [
+        F.expr(
+            "array_min(array("
+            + ",".join(
+                f"struct({_pq_spark_dist(m, sub, books[m][j].tolist())} "
+                f"AS d, {j} AS j)"
+                for j in range(len(books[m]))
+            )
+            + "))"
+        )
+        .getField("j")
+        .alias(f"c{m}")
+        for m in range(_PQ_M)
+    ]
+    coded = emb.select("vec_id", "label", "embedding", *code_cols)
+
+    # ADC: fixed-order sum of literal-LUT lookups (left-assoc in both
+    # engines), then shortlist → exact re-rank
+    adc = F.expr(
+        " + ".join(
+            f"element_at({_lit_array_sql(lut[m])}, c{m} + 1)"
+            for m in range(_PQ_M)
+        )
+    )
+    shortlist = (
+        coded.filter(F.col("vec_id") != 0)
+        .select("vec_id", "label", "embedding", adc.alias("adc_dot"))
+        .orderBy(F.col("adc_dot").desc(), F.col("vec_id").asc())
+        .limit(_PQ_SHORTLIST)
+    )
+    q_lit = F.expr(_lit_array_sql(list(map(float, q_emb))))
+    cos = _dot("embedding", "__q") / (_norm("embedding") * _norm("__q"))
+    return (
+        shortlist.withColumn("__q", q_lit)
+        .select("vec_id", "label", "adc_dot", cos.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+        .limit(_TOPK)
     )
