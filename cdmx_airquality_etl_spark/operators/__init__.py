@@ -6,6 +6,7 @@ from . import (  # noqa: F401
     corpus_quality,
     corpus_stats,
     dedup,
+    diagnostics,
     entity,
     flagship,
     incremental,

@@ -217,3 +217,117 @@ def test_cooccur_pmi_invariants(spark, sf_dir):
         assert r["pair_docs"] >= 25
         assert r["pair_docs"] <= min(r["docs_a"], r["docs_b"])
         assert r["lift"] > 0
+
+
+# ---------------------------------------------------------------------------
+# q_skew_profile
+# ---------------------------------------------------------------------------
+def test_skew_profile_invariants(spark, sf_dir):
+    rows = {r["key_name"]: r for r in QUERIES["q_skew_profile"](spark, sf_dir).collect()}
+    assert set(rows) == {"orders.o_custkey", "lineitem.l_partkey", "events.user_id"}
+    for r in rows.values():
+        assert 1 <= r["p50_freq"] <= r["p90_freq"] <= r["p99_freq"] <= r["max_freq"]
+        assert r["n_keys"] <= r["n_rows"]
+        assert r["top_share"] == r["max_freq"] / r["n_rows"]
+
+
+def test_skew_profile_matches_manual(spark, sf_dir):
+    r = {x["key_name"]: x for x in QUERIES["q_skew_profile"](spark, sf_dir).collect()}[
+        "orders.o_custkey"
+    ]
+    freqs = sorted(
+        x["f"]
+        for x in load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("f"))
+        .collect()
+    )
+    n = len(freqs)
+    assert r["n_keys"] == n
+    assert r["n_rows"] == sum(freqs)
+    assert r["max_freq"] == freqs[-1]
+    assert r["p50_freq"] == freqs[(n + 1) // 2 - 1]
+    assert r["p90_freq"] == freqs[(n * 9 + 9) // 10 - 1]
+    assert r["p99_freq"] == freqs[(n * 99 + 99) // 100 - 1]
+
+
+# ---------------------------------------------------------------------------
+# q_zone_map
+# ---------------------------------------------------------------------------
+def test_zone_map_covers_table_and_prunes_correctly(spark, sf_dir):
+    rows = QUERIES["q_zone_map"](spark, sf_dir).collect()
+    li_count = load_table(spark, sf_dir, "lineitem").count()
+    assert sum(r["n_rows"] for r in rows) == li_count
+    for r in rows:
+        assert r["min_ship"] <= r["max_ship"]
+        assert r["min_price"] <= r["max_price"]
+        want_prune = r["max_ship"] < "1997-01-01" or r["min_ship"] >= "1998-01-01"
+        assert r["pruned"] == want_prune
+
+
+# ---------------------------------------------------------------------------
+# q_heavy_hitters
+# ---------------------------------------------------------------------------
+def test_heavy_hitters_exact_vs_plain_groupby(spark, sf_dir):
+    got = {r["token"]: r["cnt"] for r in QUERIES["q_heavy_hitters"](spark, sf_dir).collect()}
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("t"))
+        .filter(F.col("t") != "")
+    )
+    counts = {
+        r["t"]: r["c"]
+        for r in tok.groupBy("t").agg(F.count("*").alias("c")).collect()
+    }
+    total = sum(counts.values())
+    want = {t: c for t, c in counts.items() if c * 100 > total * 3}
+    assert got == want, "sketch-then-verify must equal the exact answer"
+
+
+def test_misra_gries_superset_guarantee():
+    """Any token with frequency > N/k must survive the sketch (the property
+    the two-pass plan's exactness rests on)."""
+    import pandas as pd
+
+    from cdmx_airquality_etl_spark.operators.corpus_stats import (
+        _MG_COUNTERS,
+        _mg_candidates,
+    )
+
+    # adversarial stream: one hot token drowned in k*8 distinct cold ones
+    stream = (["hot"] * 300) + [f"cold{i}" for i in range(_MG_COUNTERS * 8)]
+    stream = stream[::2] + stream[1::2]  # interleave
+    out = list(_mg_candidates(iter([pd.DataFrame({"token": stream})])))[0]
+    n = len(stream)
+    assert 300 > n / _MG_COUNTERS  # hot qualifies for the guarantee
+    assert "hot" in set(out["token"])
+    assert len(out) <= _MG_COUNTERS
+
+
+# ---------------------------------------------------------------------------
+# q_bigram_lm
+# ---------------------------------------------------------------------------
+def test_bigram_lm_matches_manual(spark, sf_dir):
+    out = {r["doc_id"]: r for r in QUERIES["q_bigram_lm"](spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").collect()
+    from collections import Counter
+
+    bgs_per_doc = {}
+    vocab = set()
+    for d in docs:
+        if d["text"] is None:
+            continue
+        ts = [t for t in d["text"].strip().lower().split()]
+        vocab.update(ts)
+        if len(ts) >= 2:
+            bgs_per_doc[d["doc_id"]] = [
+                f"{a} {b}" for a, b in zip(ts, ts[1:])
+            ]
+    counts = Counter(b for bgs in bgs_per_doc.values() for b in bgs)
+    n2, v = sum(counts.values()), len(vocab)
+    assert set(out) == set(bgs_per_doc)
+    for doc_id, bgs in bgs_per_doc.items():
+        r = out[doc_id]
+        assert r["n_bg"] == len(bgs)
+        s = sum(counts[b] + 1 for b in bgs)
+        assert r["avg_prob"] == s / (len(bgs) * (n2 + v * v))
