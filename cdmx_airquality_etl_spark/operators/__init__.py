@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     diagnostics,
     entity,
     flagship,
+    graph,
     incremental,
     llm_ops,
     pipeline_ops,

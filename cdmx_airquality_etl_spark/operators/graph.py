@@ -1,0 +1,156 @@
+"""Iterative graph analytics: PageRank over the customer–supplier trade
+graph, in EXACT integer fixed-point so the whole iteration is
+oracle-checkable.
+
+Complements clustering.py's connected components (the other iterative
+graph operator): CC propagates min-labels to convergence; PageRank
+propagates weighted mass a fixed number of rounds. Floating-point PageRank
+is NOT engine-reproducible (per-node in-edge sums have no defined order),
+so ranks here live in BIGINT micro-units: every step is integer multiply /
+floor-divide / integer sum — associative, order-free, bitwise-identical in
+any engine. The same trick production systems use to make iterative jobs
+restart-deterministic.
+
+Lineage: generalizes the reference's star-ish FK structure
+(sql_config.yaml:6,38 — fact tables keyed to a shared dimension) into the
+graph the keys span.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.parquet import load_table
+
+_PR_SCALE = 10**12  # rank mass fixed-point scale (micro-units of SCALE)
+_PR_ITERS = 4
+_PR_TOP = 20
+# damping 0.85 as the exact rational 85/100 (multiply-then-floor-divide)
+_PR_D_NUM, _PR_D_DEN = 85, 100
+
+
+def _pr_oracle_sql() -> str:
+    """Unrolled fixed-iteration PageRank as one DuckDB CTE chain — the
+    integer arithmetic makes each unrolled step equal Spark's loop step."""
+    teleport = (
+        f"(({_PR_D_DEN - _PR_D_NUM} * ({_PR_SCALE} // n.n_nodes)) "
+        f"// {_PR_D_DEN})"
+    )
+    its = []
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        its.append(f"""
+    r{i} AS (
+      SELECT d.node, d.d,
+             CAST({teleport}
+                  + (({_PR_D_NUM} * CAST(SUM({prev}.r // {prev}.d) AS BIGINT))
+                     // {_PR_D_DEN}) AS BIGINT) AS r
+      FROM bi
+      JOIN {prev} ON bi.src = {prev}.node
+      JOIN deg d ON bi.dst = d.node
+      CROSS JOIN n
+      GROUP BY d.node, d.d, n.n_nodes
+    )""")
+        prev = f"r{i}"
+    iters_sql = ",".join(its)
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    bi AS (
+      SELECT src, dst FROM pairs
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM pairs
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS d FROM bi GROUP BY src),
+    n AS (SELECT COUNT(*) AS n_nodes FROM deg),
+    r0 AS (
+      SELECT node, d, ({_PR_SCALE} // n.n_nodes) AS r FROM deg CROSS JOIN n
+    ),
+    {iters_sql}
+    SELECT node AS node_id,
+           CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           r AS rank_fp
+    FROM {prev}
+    ORDER BY rank_fp DESC, node_id ASC
+    LIMIT {_PR_TOP}
+    """
+
+
+@register("q_pagerank", oracle=_pr_oracle_sql())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_PR_ITERS}-round PageRank (damping 0.85) over the undirected
+    customer↔supplier graph induced by lineitem×orders, in BIGINT
+    fixed-point: r₀ = SCALE/N (floor); each round every node sends
+    floor(r/deg) along its edges and receives teleport +
+    floor(0.85 · Σ incoming). Top-{_PR_TOP} nodes by final mass.
+
+    Plan shape per round: edges ⋈ ranks on src (shuffle on node id) →
+    hash-agg sum by dst → join back degrees — the Pregel superstep
+    expressed as joins, with a FIXED round count so the lazy plan is one
+    static DAG (no driver-side convergence action at all, unlike CC's
+    per-round scalar; fixed-round + residual-check-at-the-end is the
+    production trade for rank-style algorithms). At 100 TB the edge list
+    is pre-partitioned by src once and every superstep reuses that
+    partitioning; ranks (|V| rows) are the only iterating state. Integer
+    fixed-point makes the result independent of partitioning, join order,
+    and engine — the property the oracle proves."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    bi = pairs.unionAll(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = bi.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    n = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+
+    teleport = F.expr(
+        f"({_PR_D_DEN - _PR_D_NUM} * ({_PR_SCALE} DIV n_nodes)) "
+        f"DIV {_PR_D_DEN}"
+    )
+    ranks = deg.crossJoin(F.broadcast(n)).select(
+        "node", "d", F.expr(f"{_PR_SCALE} DIV n_nodes").alias("r")
+    )
+    for _ in range(_PR_ITERS):
+        contribs = bi.join(ranks, bi["src"] == ranks["node"]).select(
+            F.col("dst"), F.expr("r DIV d").alias("c")
+        )
+        summed = contribs.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            deg.join(summed, deg["node"] == summed["dst"])
+            .crossJoin(F.broadcast(n))
+            .select(
+                "node",
+                "d",
+                (
+                    teleport
+                    + F.expr(f"({_PR_D_NUM} * s) DIV {_PR_D_DEN}")
+                ).alias("r"),
+            )
+        )
+    return (
+        ranks.select(
+            F.col("node").alias("node_id"),
+            F.when(F.col("node") % 2 == 0, "customer")
+            .otherwise("supplier")
+            .alias("node_type"),
+            F.col("r").alias("rank_fp"),
+        )
+        .orderBy(F.col("rank_fp").desc(), F.col("node_id").asc())
+        .limit(_PR_TOP)
+    )

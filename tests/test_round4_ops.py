@@ -331,3 +331,30 @@ def test_bigram_lm_matches_manual(spark, sf_dir):
         assert r["n_bg"] == len(bgs)
         s = sum(counts[b] + 1 for b in bgs)
         assert r["avg_prob"] == s / (len(bgs) * (n2 + v * v))
+
+
+# ---------------------------------------------------------------------------
+# q_pagerank
+# ---------------------------------------------------------------------------
+def test_pagerank_invariants(spark, sf_dir):
+    rows = QUERIES["q_pagerank"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    ranks = [r["rank_fp"] for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    for r in rows:
+        assert r["rank_fp"] > 0
+        assert r["node_type"] == (
+            "customer" if r["node_id"] % 2 == 0 else "supplier"
+        )
+
+
+def test_pagerank_deterministic_across_runs(spark, sf_dir):
+    a = [tuple(r) for r in QUERIES["q_pagerank"](spark, sf_dir).collect()]
+    b = [
+        tuple(r)
+        for r in QUERIES["q_pagerank"](spark, sf_dir)
+        .repartition(7)
+        .orderBy(F.col("rank_fp").desc(), F.col("node_id").asc())
+        .collect()
+    ]
+    assert a == b  # integer fixed-point: partitioning cannot change ranks
