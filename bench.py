@@ -40,6 +40,8 @@ HEADLINE = [
     "q_dedup_clusters",
     "q_dedup_embedding",
     "q_similarity_ann_lsh",
+    "q_similarity_ann_pq",
+    "q_pagerank",
     "q_join_skew_salted",
     "q_dedup_exact",
     "q_similarity_topk",

@@ -2,6 +2,7 @@
 import; importing this package loads the full surface."""
 
 from . import (  # noqa: F401
+    analytics,
     clustering,
     corpus_quality,
     corpus_stats,

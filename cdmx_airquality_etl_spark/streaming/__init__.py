@@ -1,4 +1,5 @@
 from .corpus_ingest import corpus_ingest_stream, dedup_batch_against_corpus
+from .dedup import content_fingerprint, dedup_stream_within_watermark
 from .hygiene import decontaminate_batch, decontaminate_stream
 from .ingest import ingest_stream
 from .joins import dedup_within_watermark, interval_join
@@ -6,8 +7,10 @@ from .stateful import run_windowed_counts_stream, session_counts, windowed_count
 from .stateful_custom import run_running_totals_stream, running_totals
 
 __all__ = [
+    "content_fingerprint",
     "corpus_ingest_stream",
     "dedup_batch_against_corpus",
+    "dedup_stream_within_watermark",
     "decontaminate_batch",
     "decontaminate_stream",
     "dedup_within_watermark",

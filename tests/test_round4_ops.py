@@ -358,3 +358,75 @@ def test_pagerank_deterministic_across_runs(spark, sf_dir):
         .collect()
     ]
     assert a == b  # integer fixed-point: partitioning cannot change ranks
+
+
+# ---------------------------------------------------------------------------
+# q_funnel / q_retention / q_percentile_cont
+# ---------------------------------------------------------------------------
+def test_funnel_monotone_and_manual(spark, sf_dir):
+    r = QUERIES["q_funnel"](spark, sf_dir).collect()[0]
+    assert r["n_signup"] >= r["n_click"] >= r["n_purchase"] >= 0
+    assert r["click_rate"] == r["n_click"] / r["n_signup"]
+    assert r["purchase_rate"] == r["n_purchase"] / r["n_signup"]
+    # independent recompute of the ordering constraint
+    ev = load_table(spark, sf_dir, "events").collect()
+    by_user: dict[int, list] = {}
+    for e in ev:
+        by_user.setdefault(e["user_id"], []).append(e)
+    n1 = n2 = n3 = 0
+    for rs in by_user.values():
+        t1 = min((e["ts"] for e in rs if e["event_type"] == "signup"), default=None)
+        if t1 is None:
+            continue
+        n1 += 1
+        t2 = min(
+            (e["ts"] for e in rs if e["event_type"] == "click" and e["ts"] >= t1),
+            default=None,
+        )
+        if t2 is None:
+            continue
+        n2 += 1
+        if any(e["event_type"] == "purchase" and e["ts"] >= t2 for e in rs):
+            n3 += 1
+    assert (r["n_signup"], r["n_click"], r["n_purchase"]) == (n1, n2, n3)
+
+
+def test_retention_week0_is_full_cohort(spark, sf_dir):
+    rows = QUERIES["q_retention"](spark, sf_dir).collect()
+    assert rows
+    total_cohort_users = {r["cohort"]: r["cohort_size"] for r in rows}
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert sum(total_cohort_users.values()) == n_users
+    for r in rows:
+        assert 0 < r["n_active"] <= r["cohort_size"]
+        assert r["retention_rate"] == r["n_active"] / r["cohort_size"]
+        if r["week_offset"] == 0:
+            assert r["n_active"] == r["cohort_size"], (
+                "every user is active in their own first week"
+            )
+
+
+def test_percentile_cont_matches_numpy_definition(spark, sf_dir):
+    rows = {
+        r["o_orderpriority"]: r
+        for r in QUERIES["q_percentile_cont"](spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders").collect()
+    by_prio: dict[str, list[float]] = {}
+    for o in orders:
+        by_prio.setdefault(o["o_orderpriority"], []).append(o["o_totalprice"])
+    assert set(rows) == set(by_prio)
+    for prio, vals in by_prio.items():
+        vals.sort()
+        n = len(vals)
+        r = rows[prio]
+        assert r["n_orders"] == n
+        for q_num, q_den, col in [(1, 2, "p50_price"), (9, 10, "p90_price")]:
+            pos_num = (n - 1) * q_num
+            lo = pos_num // q_den
+            rem = pos_num % q_den
+            hi = lo if rem == 0 else lo + 1
+            want = vals[lo] + (vals[hi] - vals[lo]) * (rem / q_den)
+            assert r[col] == want

@@ -1,0 +1,120 @@
+"""dropDuplicatesWithinWatermark streaming dedup (streaming/dedup.py):
+exactness inside the watermark window, bounded state, and batch-twin
+equivalence — streaming rows are test-verified per the SURVEY §2B
+contract (no DuckDB oracle for streams)."""
+
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType, TimestampType
+
+from cdmx_airquality_etl_spark.streaming.dedup import (
+    content_fingerprint,
+    dedup_stream_within_watermark,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("ts", TimestampType(), True),
+        StructField("doc_id", StringType(), True),
+        StructField("text", StringType(), True),
+    ]
+)
+
+
+def _run_files_through(spark, tmp_path, batches, delay="10 minutes"):
+    """Write each batch as one parquet file, run the dedup stream with
+    AvailableNow, return the collected sink rows."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(batches):
+        spark.createDataFrame([Row(**r) for r in rows], SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    deduped = dedup_stream_within_watermark(stream, delay=delay)
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(out).collect()
+
+
+def _ts(minute):
+    import datetime
+
+    return datetime.datetime(2024, 1, 1, 12, minute, 0)
+
+
+def test_duplicates_within_watermark_collapse(spark, tmp_path):
+    rows = _run_files_through(
+        spark,
+        tmp_path,
+        [
+            [
+                {"ts": _ts(0), "doc_id": "a", "text": "hello world"},
+                {"ts": _ts(1), "doc_id": "b", "text": "  HELLO   world "},
+                {"ts": _ts(2), "doc_id": "c", "text": "distinct doc"},
+            ]
+        ],
+    )
+    texts = sorted(
+        set(r["text"].strip().lower().split()[0] for r in rows)
+    )
+    assert len(rows) == 2, "normalized duplicates must collapse to one row"
+    assert texts == ["distinct", "hello"]
+    assert all(r["fingerprint"] is not None for r in rows)
+
+
+def test_state_is_keyed_on_fingerprint_not_doc_id(spark, tmp_path):
+    rows = _run_files_through(
+        spark,
+        tmp_path,
+        [
+            [
+                {"ts": _ts(0), "doc_id": "a", "text": "same content"},
+                {"ts": _ts(0), "doc_id": "z", "text": "same content"},
+            ]
+        ],
+    )
+    assert len(rows) == 1
+
+
+def test_batch_twin_equivalence(spark, tmp_path):
+    """The streaming result equals the batch dropDuplicates on the same
+    fingerprint for a duplicate set inside the watermark window."""
+    data = [
+        {"ts": _ts(i % 5), "doc_id": f"d{i}", "text": f"doc {i % 4}"}
+        for i in range(20)
+    ]
+    rows = _run_files_through(spark, tmp_path, [data])
+    batch = (
+        spark.createDataFrame([Row(**r) for r in data], SCHEMA)
+        .withColumn("fingerprint", content_fingerprint(F.col("text")))
+        .dropDuplicates(["fingerprint"])
+    )
+    assert len(rows) == batch.count() == 4
+
+
+def test_fingerprint_matches_corpus_ingest_identity(spark):
+    """streaming/dedup.py and streaming/corpus_ingest.py must share one
+    content identity, or a document deduped in-stream could still be
+    dropped/kept inconsistently by the corpus anti-join."""
+    from cdmx_airquality_etl_spark.streaming.corpus_ingest import _fingerprint
+
+    df = spark.createDataFrame(
+        [("  Foo   BAR ",), ("foo bar",), ("unrelated",)], "text string"
+    )
+    a = [r[0] for r in df.select(content_fingerprint(F.col("text"))).collect()]
+    b = [r[0] for r in df.select(_fingerprint(F.col("text"))).collect()]
+    assert a == b
+    assert a[0] == a[1] != a[2]
