@@ -185,3 +185,84 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         score,
         "doc_id long, lang string, n_bytes long, n_compressed long, ratio double",
     )
+
+
+# ---------------------------------------------------------------------------
+# q_multimodal_frames — frame-sampling plumbing, fully native + oracle-checked
+# ---------------------------------------------------------------------------
+_FRAME_BYTES = 64  # bytes per sampled frame
+_MAX_FRAMES = 8  # per-media frame cap
+
+
+@register(
+    "q_multimodal_frames",
+    oracle=f"""
+    -- DuckDB has no BLOB substring/sha256, so the oracle slices the text
+    -- by CHARACTER; on the pure-ASCII driver corpus chars == bytes, so
+    -- this equals Spark's byte slicing exactly (same ASCII-domain
+    -- precedent as q_udf_normalize; pinned by
+    -- tests/test_round4_ops.py::test_multimodal_frames_reassembles)
+    WITH media AS (
+      SELECT doc_id AS media_id, text
+      FROM documents
+      WHERE octet_length(encode(text)) > 0
+    ),
+    frames AS (
+      SELECT media_id, text,
+             unnest(range(0, LEAST({_MAX_FRAMES},
+               (octet_length(encode(text)) + {_FRAME_BYTES - 1})
+                 // {_FRAME_BYTES}
+             ))) AS frame_idx
+      FROM media
+    )
+    SELECT media_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           octet_length(encode(substr(text,
+             CAST(frame_idx * {_FRAME_BYTES} + 1 AS BIGINT),
+             {_FRAME_BYTES}))) AS frame_len,
+           substr(sha256(substr(text,
+             CAST(frame_idx * {_FRAME_BYTES} + 1 AS BIGINT),
+             {_FRAME_BYTES})), 1, 16) AS frame_digest
+    FROM frames
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: each media payload expands to up to
+    {_MAX_FRAMES} fixed-size byte frames (explode over a length-derived
+    sequence), each frame sliced with a native binary substring and
+    digested — the schema/partition/fan-out shape of real video
+    frame-sampling, with the actual pixel decode living behind the stubbed
+    q_multimodal_decode per the build contract.
+
+    Everything here is JVM-native (binary substring + sha2 — no Python, no
+    UDF), so unlike the decode stub this path carries a full DuckDB blob
+    oracle. At 100 TB the explode fans out ≤ {_MAX_FRAMES}× bounded by the
+    cap (never by payload size), frames inherit the media row's partition
+    (no shuffle), and downstream per-frame feature extraction becomes the
+    mapInPandas stage over exactly this layout."""
+    from ..multimodal import attach_binary
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary(docs, "doc_id", "text", mime="text/plain").filter(
+        F.expr("octet_length(payload)") > 0
+    )
+    n_frames = F.least(
+        F.lit(_MAX_FRAMES),
+        F.expr(f"(octet_length(payload) + {_FRAME_BYTES - 1}) DIV {_FRAME_BYTES}"),
+    )
+    frames = media.select(
+        "media_id",
+        "payload",
+        F.explode(F.sequence(F.lit(0), (n_frames - 1).cast("int"))).alias(
+            "frame_idx"
+        ),
+    )
+    fslice = F.expr(
+        f"substring(payload, frame_idx * {_FRAME_BYTES} + 1, {_FRAME_BYTES})"
+    )
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.octet_length(fslice).alias("frame_len"),
+        F.substring(F.sha2(fslice, 256), 1, 16).alias("frame_digest"),
+    )

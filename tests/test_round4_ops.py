@@ -430,3 +430,34 @@ def test_percentile_cont_matches_numpy_definition(spark, sf_dir):
             hi = lo if rem == 0 else lo + 1
             want = vals[lo] + (vals[hi] - vals[lo]) * (rem / q_den)
             assert r[col] == want
+
+
+# ---------------------------------------------------------------------------
+# q_multimodal_frames
+# ---------------------------------------------------------------------------
+def test_multimodal_frames_reassembles(spark, sf_dir):
+    """Frame slicing must tile the payload byte stream: per media, frame
+    lengths are full except possibly the last, digests match hashing the
+    actual byte slices, and the char-sliced oracle domain (ASCII corpus)
+    holds."""
+    import hashlib
+
+    rows = QUERIES["q_multimodal_frames"](spark, sf_dir).collect()
+    docs = {
+        d["doc_id"]: d["text"]
+        for d in load_table(spark, sf_dir, "documents").collect()
+    }
+    # corpus must stay ASCII or the char-sliced oracle stops matching
+    assert all(t is None or t.isascii() for t in docs.values())
+    by_media: dict[int, list] = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for media_id, frames in by_media.items():
+        payload = docs[media_id].encode()
+        frames.sort(key=lambda r: r["frame_idx"])
+        assert [f["frame_idx"] for f in frames] == list(range(len(frames)))
+        assert len(frames) == min(8, (len(payload) + 63) // 64)
+        for f in frames:
+            chunk = payload[f["frame_idx"] * 64 : f["frame_idx"] * 64 + 64]
+            assert f["frame_len"] == len(chunk)
+            assert f["frame_digest"] == hashlib.sha256(chunk).hexdigest()[:16]
