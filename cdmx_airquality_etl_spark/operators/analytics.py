@@ -243,3 +243,64 @@ def q_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
         pctl(1, 2, "p50_price"),
         pctl(9, 10, "p90_price"),
     )
+
+
+@register(
+    "q_scd2",
+    oracle="""
+    WITH src AS (
+      SELECT user_id, ts, "value" FROM events WHERE event_type = 'signup'
+    ),
+    v AS (
+      SELECT user_id, ts, "value",
+             row_number() OVER w AS version_n,
+             lead(ts) OVER w AS next_ts
+      FROM src
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, "value")
+    )
+    SELECT user_id, version_n,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           strftime(next_ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+           (next_ts IS NULL) AS is_current,
+           "value" AS attr_value
+    FROM v
+    """,
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: each user's signup
+    events become versioned rows with [valid_from, valid_to) intervals —
+    valid_to is the NEXT version's start (lead over the user's timeline),
+    NULL marks the current version. The temporal-table pattern every
+    warehouse uses to answer "what was this attribute worth at time T"
+    with a plain BETWEEN predicate.
+
+    One shuffle on the dimension key; row_number and lead share the single
+    window sort. In a deployment this feeds the keyed merge
+    (plans/merge.py): new versions close the previous row's valid_to and
+    insert themselves — the reference's nupdates counter
+    (scrapper.py:197-199) is the degenerate one-column form of exactly
+    this history. Interval bounds are emitted as zero-padded µs strings
+    per the temporal-output policy."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "signup"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("value").asc()
+    )
+    v = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.row_number().over(w).alias("version_n"),
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    return v.select(
+        "user_id",
+        "version_n",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_from"),
+        F.date_format("next_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "valid_to"
+        ),
+        F.col("next_ts").isNull().alias("is_current"),
+        F.col("value").alias("attr_value"),
+    )

@@ -461,3 +461,32 @@ def test_multimodal_frames_reassembles(spark, sf_dir):
             chunk = payload[f["frame_idx"] * 64 : f["frame_idx"] * 64 + 64]
             assert f["frame_len"] == len(chunk)
             assert f["frame_digest"] == hashlib.sha256(chunk).hexdigest()[:16]
+
+
+# ---------------------------------------------------------------------------
+# q_scd2
+# ---------------------------------------------------------------------------
+def test_scd2_intervals_tile_the_timeline(spark, sf_dir):
+    rows = QUERIES["q_scd2"](spark, sf_dir).collect()
+    n_signups = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .count()
+    )
+    assert len(rows) == n_signups
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user, versions in by_user.items():
+        versions.sort(key=lambda r: r["version_n"])
+        assert [v["version_n"] for v in versions] == list(
+            range(1, len(versions) + 1)
+        )
+        # exactly one current version, and it is the last
+        currents = [v for v in versions if v["is_current"]]
+        assert len(currents) == 1 and currents[0] is versions[-1]
+        assert versions[-1]["valid_to"] is None
+        # intervals chain: each version's valid_to == next valid_from
+        for a, b in zip(versions, versions[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["valid_from"] <= a["valid_to"]
