@@ -42,7 +42,7 @@ def _pr_oracle_sql() -> str:
     prev = "r0"
     for i in range(1, _PR_ITERS + 1):
         its.append(f"""
-    r{i} AS (
+    r{i} AS MATERIALIZED (
       SELECT d.node, d.d,
              CAST({teleport}
                   + (({_PR_D_NUM} * CAST(SUM({prev}.r // {prev}.d) AS BIGINT))
@@ -56,18 +56,22 @@ def _pr_oracle_sql() -> str:
         prev = f"r{i}"
     iters_sql = ",".join(its)
     return f"""
-    WITH pairs AS (
+    -- MATERIALIZED: DuckDB inlines plain CTEs, so the unrolled iteration
+    -- chain would re-derive the edge list once per level (456 s at sf0.1;
+    -- 3 s materialized) — the oracle-side twin of the Spark plan's
+    -- localCheckpoint lineage cuts. Results are identical either way.
+    WITH pairs AS MATERIALIZED (
       SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     ),
-    bi AS (
+    bi AS MATERIALIZED (
       SELECT src, dst FROM pairs
       UNION ALL
       SELECT dst AS src, src AS dst FROM pairs
     ),
-    deg AS (SELECT src AS node, COUNT(*) AS d FROM bi GROUP BY src),
-    n AS (SELECT COUNT(*) AS n_nodes FROM deg),
-    r0 AS (
+    deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS d FROM bi GROUP BY src),
+    n AS MATERIALIZED (SELECT COUNT(*) AS n_nodes FROM deg),
+    r0 AS MATERIALIZED (
       SELECT node, d, ({_PR_SCALE} // n.n_nodes) AS r FROM deg CROSS JOIN n
     ),
     {iters_sql}
