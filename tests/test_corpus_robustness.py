@@ -16,6 +16,7 @@ CORPUS_MODULES = {
     "textstats",
     "llm_ops",
     "corpus_quality",
+    "corpus_stats",
     "dedup",
     "similarity",
     "pipeline_ops",
