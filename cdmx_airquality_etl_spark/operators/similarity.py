@@ -1288,3 +1288,209 @@ def q_similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
         .limit(_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_similarity_ann_ivfpq — the production index shape: IVF cell pruning +
+# PQ-ADC scoring + exact re-rank, fully oracle-checked like its two parts
+# ---------------------------------------------------------------------------
+def ivfpq_oracle_sql(sf_dir: str) -> str:
+    """Oracle for the composed index: retrain the SAME deterministic IVF
+    centroids and PQ codebooks the Spark query trains (shared helpers, no
+    RNG anywhere), then mirror the plan — literal-centroid cell argmax →
+    nprobe filter → literal-codeword argmin codes → literal-LUT ADC →
+    shortlist → exact-cosine re-rank. Everything the index 'knows' enters
+    both plans as identical rendered literals."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    con = duckdb.connect()
+    try:
+        con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{path}'")
+        rows = con.sql(
+            f"SELECT vec_id, embedding FROM embeddings WHERE {_SQL_NZ_PRED} "
+            "ORDER BY vec_id"
+        ).df()
+    finally:
+        con.close()
+    n = len(rows)
+    if n == 0:
+        raise ValueError("IVFPQ oracle: no usable embeddings after the guard")
+    k, stride = _ivf_plan(n, None)
+    embs = rows["embedding"]
+    if stride > 1:
+        mask = [xxhash64_long(int(v)) % stride == 0 for v in rows["vec_id"]]
+        embs = embs[mask]
+    C = _kmeans_unit(embs, k, 8)
+    books = _pq_train(embs)
+    qsel = rows[rows["vec_id"] == 0]
+    if len(qsel) == 0:
+        raise ValueError("IVFPQ oracle: query vector vec_id=0 absent")
+    q_emb = qsel["embedding"].iloc[0]
+    probe = _ivf_probe_cells(np.asarray(C), q_emb)
+    lut = _pq_lut(books, q_emb)
+    sub = _pq_subdim(len(list(q_emb)))
+
+    cell_rows = ",\n      ".join(
+        f"({j}, {_duck_lit_array(C[j].tolist())})" for j in range(len(C))
+    )
+    cent_rows = ",\n      ".join(
+        f"({m}, {j}, {m * sub}, {_duck_lit_array(books[m][j].tolist())})"
+        for m in range(_PQ_M)
+        for j in range(len(books[m]))
+    )
+    adc = " + ".join(
+        f"{_duck_lit_array(lut[m])}[c{m} + 1]" for m in range(_PQ_M)
+    )
+    code_cols = ", ".join(
+        f"MAX(CASE WHEN m = {m} THEN code END) AS c{m}" for m in range(_PQ_M)
+    )
+    probe_list = ",".join(str(p) for p in probe)
+    return f"""
+    WITH {_SQL_NZ_CTE},
+    cell AS MATERIALIZED (VALUES {cell_rows}),
+    scored AS (
+      SELECT e.vec_id, e.label, e.embedding, c.col0 AS j,
+             {_sql_dot('e.embedding', 'c.col1')} AS s
+      FROM nz e CROSS JOIN cell c
+    ),
+    assigned AS MATERIALIZED (
+      SELECT vec_id, label, embedding
+      FROM (SELECT *, row_number() OVER
+              (PARTITION BY vec_id ORDER BY s DESC, j ASC) AS rn,
+              first_value(j) OVER
+              (PARTITION BY vec_id ORDER BY s DESC, j ASC) AS cell_id
+            FROM scored)
+      WHERE rn = 1 AND cell_id IN ({probe_list}) AND vec_id <> 0
+    ),
+    cent(m, j, off, c) AS (VALUES {cent_rows}),
+    dists AS (
+      SELECT a.vec_id, c.m, c.j,
+             list_reduce(list_transform(range(1, {sub} + 1),
+               i -> (CAST(a.embedding[i + c.off] AS DOUBLE) - c.c[i])
+                    * (CAST(a.embedding[i + c.off] AS DOUBLE) - c.c[i])),
+               (acc, x) -> acc + x) AS d
+      FROM assigned a CROSS JOIN cent c
+    ),
+    codes AS (
+      SELECT vec_id, m, j AS code
+      FROM (SELECT *, row_number() OVER
+              (PARTITION BY vec_id, m ORDER BY d ASC, j ASC) AS rn
+            FROM dists)
+      WHERE rn = 1
+    ),
+    coded AS (SELECT vec_id, {code_cols} FROM codes GROUP BY vec_id),
+    shortlist AS (
+      SELECT a.vec_id, a.label, a.embedding, {adc} AS adc_dot
+      FROM coded JOIN assigned a USING (vec_id)
+      ORDER BY adc_dot DESC, vec_id ASC
+      LIMIT {_PQ_SHORTLIST}
+    ),
+    q AS (SELECT embedding AS qe FROM nz WHERE vec_id = 0)
+    SELECT s.vec_id, s.label, s.adc_dot,
+           {_sql_cos('s.embedding', 'q.qe')} AS cosine_sim
+    FROM shortlist s, q
+    ORDER BY cosine_sim DESC, vec_id ASC
+    LIMIT {_TOPK}
+    """
+
+
+@register("q_similarity_ann_ivfpq", oracle_factory=ivfpq_oracle_sql)
+def q_similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ, the index structure production vector stores actually ship
+    (FAISS IVFPQ with by_residual=false): IVF centroids prune the corpus
+    to the query's nprobe cells, PQ codes score ONLY the survivors by
+    table lookup, and an exact-cosine pass re-ranks the ADC shortlist.
+    Composes q_similarity_ann_ivf's literal-centroid cell argmax with
+    q_similarity_ann_pq's literal-codeword encoding — same deterministic
+    bounded-sample training, so the composition stays fully
+    oracle-checkable.
+
+    The 100 TB accounting: cells cut the scored fraction to ~nprobe/k of
+    the corpus, PQ cuts per-vector scoring to 4 lookups + 3 adds over
+    4-byte codes, and full 256-byte vectors are read only for the
+    {_PQ_SHORTLIST}-row shortlist — each multiplier independent, all
+    scan-side projections with zero shuffles before the final top-k."""
+    import numpy as np
+
+    emb = _nonzero(load_table(spark, sf_dir, "embeddings"))
+    n = emb.count()
+    k, stride = _ivf_plan(n, None)
+    sample = (
+        emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(stride)) == 0)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    C = _kmeans_unit(sample["embedding"], k, 8)
+    books = _pq_train(sample["embedding"])
+
+    q_rows = emb.filter(F.col("vec_id") == 0).select("embedding").take(1)
+    if not q_rows:
+        raise ValueError(
+            "IVFPQ query: vec_id=0 is absent or failed the degenerate-vector "
+            "guard — no query vector to probe with"
+        )
+    q_emb = q_rows[0][0]
+    probe_cells = _ivf_probe_cells(np.asarray(C), q_emb)
+    lut = _pq_lut(books, q_emb)
+    sub = _pq_subdim(len(list(q_emb)))
+
+    def _dot_sql(a: str, b: str) -> str:
+        return (
+            f"aggregate(zip_with({a}, {b}, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+
+    cell_scores_sql = ",".join(
+        f"struct({_dot_sql('embedding', _lit_array_sql(C[j].tolist()))} AS c, "
+        f"{-j} AS nj)"
+        for j in range(len(C))
+    )
+    assigned = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        (-F.expr(f"array_max(array({cell_scores_sql}))").getField("nj")).alias(
+            "cell"
+        ),
+    ).filter(F.col("cell").isin(probe_cells) & (F.col("vec_id") != 0))
+
+    code_cols = [
+        F.expr(
+            "array_min(array("
+            + ",".join(
+                f"struct({_pq_spark_dist(m, sub, books[m][j].tolist())} "
+                f"AS d, {j} AS j)"
+                for j in range(len(books[m]))
+            )
+            + "))"
+        )
+        .getField("j")
+        .alias(f"c{m}")
+        for m in range(_PQ_M)
+    ]
+    coded = assigned.select("vec_id", "label", "embedding", *code_cols)
+    adc = F.expr(
+        " + ".join(
+            f"element_at({_lit_array_sql(lut[m])}, c{m} + 1)"
+            for m in range(_PQ_M)
+        )
+    )
+    shortlist = (
+        coded.select("vec_id", "label", "embedding", adc.alias("adc_dot"))
+        .orderBy(F.col("adc_dot").desc(), F.col("vec_id").asc())
+        .limit(_PQ_SHORTLIST)
+    )
+    q_lit = F.expr(_lit_array_sql(list(map(float, q_emb))))
+    cos = _dot("embedding", "__q") / (_norm("embedding") * _norm("__q"))
+    return (
+        shortlist.withColumn("__q", q_lit)
+        .select("vec_id", "label", "adc_dot", cos.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+        .limit(_TOPK)
+    )

@@ -98,3 +98,38 @@ def test_pq_query_vector_guard(spark, sf_dir, tmp_path):
     emb.write.parquet(f"{out}/embeddings.parquet")
     with pytest.raises(ValueError, match="vec_id=0"):
         QUERIES["q_similarity_ann_pq"](spark, out)
+
+
+def test_ivfpq_shortlist_recall_vs_exact(spark, sf_dir):
+    """The composed index must still recover a useful fraction of the
+    exact top-10 — both pruning stages (cells, codes) lose recall, so the
+    floor is lower than PQ-alone but must stay material."""
+    approx = {
+        r["vec_id"]
+        for r in QUERIES["q_similarity_ann_ivfpq"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["vec_id"]
+        for r in QUERIES["q_similarity_topk"](spark, sf_dir).collect()
+    }
+    assert len(approx) == 10
+    assert len(approx & exact) >= 3
+
+
+def test_ivfpq_oracle_matches_spark(spark, sf_dir):
+    import duckdb
+
+    from cdmx_airquality_etl_spark.operators.similarity import ivfpq_oracle_sql
+
+    sdf = QUERIES["q_similarity_ann_ivfpq"](spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    ddf = con.sql(ivfpq_oracle_sql(sf_dir)).df()
+    assert list(sdf.columns) == list(ddf.columns)
+    assert len(sdf) == len(ddf)
+    for (_, a), (_, b) in zip(sdf.iterrows(), ddf.iterrows()):
+        assert int(a["vec_id"]) == int(b["vec_id"])
+        assert float(a["adc_dot"]) == float(b["adc_dot"])
+        assert float(a["cosine_sim"]) == float(b["cosine_sim"])
