@@ -327,3 +327,146 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.length("c_name")).cast("long").alias("name_len_max"),
         F.countDistinct("c_mktsegment").alias("n_segments"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dataset_card — the one-row corpus summary a curation run publishes
+# ---------------------------------------------------------------------------
+@register(
+    "q_dataset_card",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, lang, source, n_chars,
+             CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END
+               AS is_empty,
+             CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\s+')) END
+               AS n_toks,
+             md5(regexp_replace(trim(lower(coalesce(text, ''))),
+                                '\s+', ' ', 'g')) AS fp
+      FROM documents
+    ),
+    core AS (
+      SELECT COUNT(*) AS n_docs,
+             COUNT(DISTINCT source) AS n_sources,
+             COUNT(DISTINCT lang) AS n_langs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+             CAST(SUM(is_empty) AS BIGINT) AS n_empty,
+             COUNT(DISTINCT fp) AS n_distinct_contents
+      FROM base
+    ),
+    med AS (
+      SELECT n_toks AS median_tokens
+      FROM (SELECT n_toks,
+                   row_number() OVER (ORDER BY n_toks, doc_id) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM base)
+      WHERE rn = (n + 1) // 2
+    ),
+    top_lang AS (
+      SELECT lang AS top_lang, COUNT(*) AS top_lang_docs
+      FROM base GROUP BY lang
+      ORDER BY COUNT(*) DESC, lang ASC LIMIT 1
+    )
+    SELECT c.n_docs, c.n_sources, c.n_langs, c.total_chars, c.total_tokens,
+           c.n_empty, c.n_distinct_contents,
+           CAST(c.n_docs - c.n_distinct_contents AS DOUBLE)
+             / CAST(c.n_docs AS DOUBLE) AS dup_rate,
+           CAST(c.total_tokens AS DOUBLE) / CAST(c.n_docs AS DOUBLE)
+             AS mean_tokens,
+           m.median_tokens,
+           t.top_lang,
+           CAST(t.top_lang_docs AS DOUBLE) / CAST(c.n_docs AS DOUBLE)
+             AS top_lang_share
+    FROM core c, med m, top_lang t
+    """,
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card in one row: corpus size (docs/sources/langs/chars/
+    tokens), hygiene (empty docs, exact-duplicate rate via the content
+    fingerprint), central tendency (mean + positional median tokens) and
+    language concentration (top language and its share) — the summary
+    block every published training corpus ships, composed from the same
+    primitives the detailed operators use (q_duplicate_stats' fingerprint,
+    q_text_stats' tokenization, q_outlier_mad's positional median).
+
+    One scan computes every per-doc feature; the card is then three tiny
+    aggregates (global, median-rank, lang-mode) cross-joined — at 100 TB
+    the scan dominates and everything after it is measured in kilobytes.
+    Every emitted number is an exact integer, a data element, or one
+    double division of exact integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_empty = (
+        F.col("text").isNull() | (F.trim(F.col("text")) == "")
+    ).cast("int")
+    n_toks = F.when(
+        F.col("text").isNull() | (F.trim(F.col("text")) == ""), F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")))
+    fp = F.md5(
+        F.regexp_replace(
+            F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+", " "
+        )
+    )
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        is_empty.alias("is_empty"),
+        n_toks.alias("n_toks"),
+        fp.alias("fp"),
+    )
+    core = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.sum("is_empty").cast("long").alias("n_empty"),
+        F.countDistinct("fp").alias("n_distinct_contents"),
+    )
+    w = Window.orderBy(F.col("n_toks").asc(), F.col("doc_id").asc())
+    med = (
+        base.select(
+            "n_toks",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select(F.col("n_toks").alias("median_tokens"))
+    )
+    top_lang = (
+        base.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("top_lang_docs"))
+        .orderBy(F.col("top_lang_docs").desc(), F.col("lang").asc())
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"), "top_lang_docs")
+    )
+    return (
+        core.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(top_lang))
+        .select(
+            "n_docs",
+            "n_sources",
+            "n_langs",
+            "total_chars",
+            "total_tokens",
+            "n_empty",
+            "n_distinct_contents",
+            (
+                (F.col("n_docs") - F.col("n_distinct_contents")).cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("dup_rate"),
+            (
+                F.col("total_tokens").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("mean_tokens"),
+            "median_tokens",
+            "top_lang",
+            (
+                F.col("top_lang_docs").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("top_lang_share"),
+        )
+    )

@@ -601,6 +601,30 @@ def _duck_lit_array(values: list[float]) -> str:
     )
 
 
+def ivf_cell_col(C, emb_col: str = "embedding") -> Column:
+    """Scan-side IVF cell assignment: argmax over literal centroids via
+    array_max on (dot, -j) structs — highest dot, ties to the lowest
+    centroid id. Centroids are unit-norm and ||embedding|| is a common
+    positive factor across cells, so argmax over raw dots == argmax over
+    cosines (no per-cell norm). The whole assignment is ONE parsed
+    expression (single py4j call); shared by the IVF/IVF-PQ queries and
+    the streaming index-maintenance path."""
+
+    def dot_sql(a: str, b: str) -> str:
+        return (
+            f"aggregate(zip_with({a}, {b}, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+
+    cell_scores_sql = ",".join(
+        f"struct({dot_sql(emb_col, _lit_array_sql(list(C[j])))} AS c, "
+        f"{-j} AS nj)"
+        for j in range(len(C))
+    )
+    return -F.expr(f"array_max(array({cell_scores_sql}))").getField("nj")
+
+
 def _ivf_probe_cells(C, q_emb) -> list[int]:
     """Driver-side probe-cell resolution, shared verbatim by the Spark query
     and the oracle generator: rank centroids by cosine with the query
@@ -723,30 +747,8 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_emb = q_rows[0][0]
     probe_cells = _ivf_probe_cells(C, q_emb)
 
-    # scan-side argmax over literal centroids: array_max on (dot, -j)
-    # structs = highest dot, ties to the lowest centroid id. Centroids are
-    # unit-norm and ||embedding|| is a common positive factor across cells,
-    # so argmax over raw dots == argmax over cosines — no per-cell norm.
-    # The whole assignment is ONE parsed expression (single py4j call).
-    def _dot_sql(a: str, b: str) -> str:
-        return (
-            f"aggregate(zip_with({a}, {b}, "
-            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
-
-    cell_scores_sql = ",".join(
-        f"struct({_dot_sql('embedding', _lit_array_sql(C[j]))} AS c, "
-        f"{-j} AS nj)"
-        for j in range(len(C))
-    )
     assigned = emb.select(
-        "vec_id",
-        "label",
-        "embedding",
-        (-F.expr(f"array_max(array({cell_scores_sql}))").getField("nj")).alias(
-            "cell"
-        ),
+        "vec_id", "label", "embedding", ivf_cell_col(C).alias("cell")
     )
 
     q_lit = F.expr(_lit_array_sql(list(map(float, q_emb))))
@@ -1439,25 +1441,11 @@ def q_similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     lut = _pq_lut(books, q_emb)
     sub = _pq_subdim(len(list(q_emb)))
 
-    def _dot_sql(a: str, b: str) -> str:
-        return (
-            f"aggregate(zip_with({a}, {b}, "
-            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
-
-    cell_scores_sql = ",".join(
-        f"struct({_dot_sql('embedding', _lit_array_sql(C[j].tolist()))} AS c, "
-        f"{-j} AS nj)"
-        for j in range(len(C))
-    )
     assigned = emb.select(
         "vec_id",
         "label",
         "embedding",
-        (-F.expr(f"array_max(array({cell_scores_sql}))").getField("nj")).alias(
-            "cell"
-        ),
+        ivf_cell_col([C[j].tolist() for j in range(len(C))]).alias("cell"),
     ).filter(F.col("cell").isin(probe_cells) & (F.col("vec_id") != 0))
 
     code_cols = [

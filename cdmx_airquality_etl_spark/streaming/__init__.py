@@ -1,6 +1,7 @@
 from .corpus_ingest import corpus_ingest_stream, dedup_batch_against_corpus
 from .dedup import content_fingerprint, dedup_stream_within_watermark
 from .hygiene import decontaminate_batch, decontaminate_stream
+from .index_maintenance import assign_cells, ivf_ingest_stream
 from .ingest import ingest_stream
 from .joins import dedup_within_watermark, interval_join
 from .stateful import run_windowed_counts_stream, session_counts, windowed_counts
@@ -14,7 +15,9 @@ __all__ = [
     "decontaminate_batch",
     "decontaminate_stream",
     "dedup_within_watermark",
+    "assign_cells",
     "ingest_stream",
+    "ivf_ingest_stream",
     "interval_join",
     "run_running_totals_stream",
     "run_windowed_counts_stream",

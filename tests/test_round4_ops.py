@@ -490,3 +490,38 @@ def test_scd2_intervals_tile_the_timeline(spark, sf_dir):
         for a, b in zip(versions, versions[1:]):
             assert a["valid_to"] == b["valid_from"]
             assert a["valid_from"] <= a["valid_to"]
+
+
+# ---------------------------------------------------------------------------
+# q_dataset_card
+# ---------------------------------------------------------------------------
+def test_dataset_card_matches_manual(spark, sf_dir):
+    r = QUERIES["q_dataset_card"](spark, sf_dir).collect()[0]
+    docs = load_table(spark, sf_dir, "documents").collect()
+    import hashlib
+    import re as _re
+
+    n_docs = len(docs)
+    toks = []
+    fps = set()
+    n_empty = 0
+    langs = {}
+    for d in docs:
+        t = d["text"]
+        if t is None or t.strip() == "":
+            n_empty += 1
+            toks.append(0)
+        else:
+            toks.append(len(t.strip().lower().split()))
+        norm = _re.sub(r"\s+", " ", (t or "").strip().lower())
+        fps.add(hashlib.md5(norm.encode()).hexdigest())
+        langs[d["lang"]] = langs.get(d["lang"], 0) + 1
+    assert r["n_docs"] == n_docs
+    assert r["n_empty"] == n_empty
+    assert r["n_distinct_contents"] == len(fps)
+    assert r["total_tokens"] == sum(toks)
+    assert r["dup_rate"] == (n_docs - len(fps)) / n_docs
+    assert r["median_tokens"] == sorted(toks)[(n_docs + 1) // 2 - 1]
+    top = max(sorted(langs), key=lambda k: langs[k])
+    assert r["top_lang"] == top
+    assert r["top_lang_share"] == langs[top] / n_docs
