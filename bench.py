@@ -41,6 +41,7 @@ HEADLINE = [
     "q_dedup_embedding",
     "q_similarity_ann_lsh",
     "q_similarity_ann_pq",
+    "q_similarity_ann_ivfpq",
     "q_pagerank",
     "q_join_skew_salted",
     "q_dedup_exact",
