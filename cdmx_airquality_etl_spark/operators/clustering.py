@@ -230,3 +230,60 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cluster_id"),
         (F.col("label") == F.col("node")).alias("is_representative"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_text_clusters — the TEXT twin of q_dedup_clusters: verified
+# shingle-Jaccard pairs → transitive closure → keep-one flag
+# ---------------------------------------------------------------------------
+def _text_clusters_oracle() -> str:
+    from .dedup import (
+        _JACCARD_THRESHOLD,
+        _SQL_FUZZY_JACCARD,
+        _SQL_SHINGLE_PAIR_CTES,
+    )
+
+    return f"""
+    WITH RECURSIVE {_SQL_SHINGLE_PAIR_CTES},
+    p AS (
+      SELECT doc_id_a AS va, doc_id_b AS vb
+      FROM pairs
+      WHERE {_SQL_FUZZY_JACCARD} >= {_JACCARD_THRESHOLD}
+    ),
+    edges AS (SELECT va AS a, vb AS b FROM p UNION SELECT vb, va FROM p),
+    reach(node, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT edges.a, reach.r FROM edges JOIN reach ON edges.b = reach.node
+    )
+    SELECT node AS doc_id, MIN(r) AS cluster_id,
+           (MIN(r) = node) AS is_representative
+    FROM reach GROUP BY node
+    """
+
+
+@register("q_dedup_text_clusters", oracle=_text_clusters_oracle())
+def q_dedup_text_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text near-dup pairs (exact shingle-Jaccard ≥ threshold, the
+    q_dedup_fuzzy verification) → connected components → one
+    representative per cluster — the end-to-end KEEP/DROP decision for
+    textual duplicates, mirroring q_dedup_clusters' embedding-space form
+    so a curation run can diff the two dedup modalities' verdicts
+    (documents the embedding pass groups but the text pass doesn't are
+    paraphrases, the interesting band).
+
+    Same scale shape as its parts: capped inverted-index candidate
+    generation (dedup._shared_shingle_pairs), then the O(diameter)
+    min-label propagation with per-round lineage cuts
+    (connected_components above). The pair CTE text is SHARED with the
+    fuzzy oracle (dedup._SQL_SHINGLE_PAIR_CTES), so the two stages can
+    never disagree about what a duplicate pair is."""
+    from ..registry import QUERIES
+
+    pairs = QUERIES["q_dedup_fuzzy"](spark, sf_dir)
+    labels = connected_components(pairs, "doc_id_a", "doc_id_b")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("label") == F.col("node")).alias("is_representative"),
+    )

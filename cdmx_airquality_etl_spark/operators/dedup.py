@@ -222,10 +222,10 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q_dedup_fuzzy — shingle-Jaccard near-duplicate pairs (oracle-checked)
 # ---------------------------------------------------------------------------
-@register(
-    "q_dedup_fuzzy",
-    oracle=rf"""
-    WITH tok AS (
+# Shared shingle-pair CTE chain (tok → sh → e → pairs), reused verbatim by
+# the fuzzy/containment oracles and the text-cluster closure oracle so the
+# pair semantics can never drift between them.
+_SQL_SHINGLE_PAIR_CTES = r"""tok AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
       FROM documents
     ),
@@ -243,11 +243,19 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
              a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS shared
       FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2, 3, 4
-    )
+    )"""
+
+_SQL_FUZZY_JACCARD = "CAST(shared AS DOUBLE) / (n_a + n_b - shared)"
+
+
+@register(
+    "q_dedup_fuzzy",
+    oracle=f"""
+    WITH {_SQL_SHINGLE_PAIR_CTES}
     SELECT doc_id_a, doc_id_b,
-           CAST(shared AS DOUBLE) / (n_a + n_b - shared) AS jaccard
+           {_SQL_FUZZY_JACCARD} AS jaccard
     FROM pairs
-    WHERE CAST(shared AS DOUBLE) / (n_a + n_b - shared) >= {_JACCARD_THRESHOLD}
+    WHERE {_SQL_FUZZY_JACCARD} >= {_JACCARD_THRESHOLD}
     """,
 )
 def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:

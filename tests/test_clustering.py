@@ -72,3 +72,25 @@ def test_star_hub_graph_single_round_body(spark):
     labels, rounds = _labels_star(spark, [(100, i) for i in range(1, 40)])
     assert labels == {**{i: 1 for i in range(1, 40)}, 100: 1}
     assert rounds <= 3
+
+
+def test_text_clusters_match_pairs(spark, sf_dir):
+    """Every doc in a cluster must be reachable from its representative
+    through the verified fuzzy-pair graph; singletons never appear."""
+    from cdmx_airquality_etl_spark.registry import QUERIES
+
+    pairs = [
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in QUERIES["q_dedup_fuzzy"](spark, sf_dir).collect()
+    ]
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in QUERIES["q_dedup_text_clusters"](spark, sf_dir).collect()
+    }
+    nodes = {a for a, _ in pairs} | {b for _, b in pairs}
+    assert set(labels) == nodes, "cluster nodes = docs with ≥1 verified pair"
+    for a, b in pairs:
+        assert labels[a] == labels[b], "paired docs must share a cluster"
+    for node, lab in labels.items():
+        assert lab <= node
+        assert lab in labels and labels[lab] == lab, "label is its own root"
