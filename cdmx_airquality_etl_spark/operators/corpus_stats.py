@@ -315,3 +315,137 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_prob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_bm25 — canonical IR ranking over the corpus for a fixed term query
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ["table", "spark", "merge"]  # corpus-vocabulary query
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOP = 20
+
+
+def _bm25_idf(n_docs: int, df: int) -> float:
+    """Robertson-Sparck Jones idf with the +1 floor (Lucene's form). Driver-
+    side math.log — the ONLY log in the operator — so its float64 value is
+    rendered as an identical literal into both engines' plans (the same
+    escape hatch as the PQ LUTs: JVM Math.log and DuckDB's libm log differ
+    in the last ulp, so neither engine ever computes it)."""
+    import math
+
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def _bm25_stats(sf_dir: str) -> tuple[int, dict[str, int]]:
+    """(n_docs, df per query term) read via DuckDB — shared by the Spark
+    query and the oracle factory so both render identical idf literals."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        con.sql(
+            "CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        n_docs = con.sql("SELECT COUNT(*) FROM documents").fetchone()[0]
+        dfs = {}
+        for t in _BM25_TERMS:
+            dfs[t] = con.sql(
+                "SELECT COUNT(*) FROM documents "
+                f"WHERE list_contains({_TOKS}, '{t}')"
+            ).fetchone()[0]
+        return n_docs, dfs
+    finally:
+        con.close()
+
+
+def bm25_oracle_sql(sf_dir: str) -> str:
+    n_docs, dfs = _bm25_stats(sf_dir)
+    terms_list = ",".join(f"'{t}'" for t in _BM25_TERMS)
+    # fixed-order sum: one conditional-aggregate part per term, added
+    # left-to-right — never a float SUM over rows
+    parts = " + ".join(
+        f"""coalesce(MAX(CASE WHEN term = '{t}' THEN
+          {_bm25_idf(n_docs, dfs[t])!r}e0 * (tf * {1.0 + _BM25_K1!r}e0)
+          / (tf + {_BM25_K1!r}e0 * (1.0e0 - {_BM25_B!r}e0
+             + {_BM25_B!r}e0 * (CAST(dl AS DOUBLE) / avgdl)))
+        END), 0.0e0)"""
+        for t in _BM25_TERMS
+    )
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents WHERE text IS NOT NULL
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM docs),
+    avg_dl AS (
+      SELECT CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, t AS term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS t FROM docs)
+      WHERE t IN ({terms_list})
+      GROUP BY doc_id, t
+    )
+    SELECT d.doc_id AS doc_id, d.dl AS dl, {parts} AS bm25
+    FROM dl d LEFT JOIN tf ON d.doc_id = tf.doc_id
+    CROSS JOIN avg_dl
+    GROUP BY d.doc_id, d.dl, avgdl
+    ORDER BY bm25 DESC, d.doc_id ASC
+    LIMIT {_BM25_TOP}
+    """
+
+
+@register("q_bm25", oracle_factory=bm25_oracle_sql)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking (k1=1.2, b=0.75) of the corpus against a fixed
+    3-term query — the canonical lexical retrieval scorer, the
+    sparse-retrieval complement to the dense ANN family.
+
+    Exactness recipe: idf is the only logarithm, computed ONCE driver-side
+    by a helper both plans share and rendered as a literal (engine libm
+    logs differ in the last ulp — the PQ-LUT escape hatch). The per-doc
+    score is a FIXED-ORDER sum of per-term conditional aggregates, never
+    a float SUM over rows; every other number is an exact count or an
+    identically-shaped IEEE expression. Plan: scan-side token counts, one
+    (doc × matched-term) aggregate over terms pre-filtered to the query
+    (the inverted-index discipline: non-query terms never leave the
+    scan), broadcast scalar avgdl, TakeOrderedAndProject. At 100 TB df/N
+    statistics come from the corpus-stats table a real index maintains —
+    here the driver reads them with the same bounded cost as the ANN
+    query-vector fetch."""
+    n_docs, dfs = _bm25_stats(sf_dir)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    dl = docs.select("doc_id", F.size(toks).alias("dl"))
+    avg_dl = dl.agg(
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl")
+    )
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("t"))
+        .filter(F.col("t").isin(_BM25_TERMS))
+        .groupBy("doc_id", F.col("t").alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    parts = " + ".join(
+        f"""coalesce(MAX(CASE WHEN term = '{t}' THEN
+          {_bm25_idf(n_docs, dfs[t])!r}D * (tf * {1.0 + _BM25_K1!r}D)
+          / (tf + {_BM25_K1!r}D * (CAST(1.0 AS DOUBLE) - {_BM25_B!r}D
+             + {_BM25_B!r}D * (CAST(dl AS DOUBLE) / avgdl)))
+        END), CAST(0.0 AS DOUBLE))"""
+        for t in _BM25_TERMS
+    )
+    return (
+        dl.join(tf, "doc_id", "left")
+        .crossJoin(F.broadcast(avg_dl))
+        .groupBy("doc_id", "dl", "avgdl")
+        .agg(F.expr(f"{parts}").alias("bm25"))
+        .select("doc_id", "dl", "bm25")
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(_BM25_TOP)
+    )

@@ -525,3 +525,40 @@ def test_dataset_card_matches_manual(spark, sf_dir):
     top = max(sorted(langs), key=lambda k: langs[k])
     assert r["top_lang"] == top
     assert r["top_lang_share"] == langs[top] / n_docs
+
+
+# ---------------------------------------------------------------------------
+# q_bm25
+# ---------------------------------------------------------------------------
+def test_bm25_matches_reference_formula(spark, sf_dir):
+    import math
+
+    rows = QUERIES["q_bm25"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    docs = load_table(spark, sf_dir, "documents").collect()
+    terms = ["table", "spark", "merge"]
+    k1, b = 1.2, 0.75
+    toks = {
+        d["doc_id"]: (d["text"] or "").strip().lower().split() for d in docs
+        if d["text"] is not None
+    }
+    n = len(toks)
+    df = {t: sum(1 for ts in toks.values() if t in ts) for t in terms}
+    dls = {i: len(ts) for i, ts in toks.items()}
+    avgdl = sum(dls.values()) / n
+    for r in rows:
+        ts = toks[r["doc_id"]]
+        want = 0.0
+        for t in terms:
+            tf = ts.count(t)
+            if tf == 0:
+                want += 0.0
+                continue
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            want += idf * (tf * (1.0 + k1)) / (
+                tf + k1 * (1.0 - b + b * (len(ts) / avgdl))
+            )
+        assert abs(r["bm25"] - want) < 1e-12
+        assert r["dl"] == len(ts)
