@@ -226,3 +226,81 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("actual_value"),
         est.alias("est_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_theil_sen — robust regression slope: the median of pairwise slopes
+# ---------------------------------------------------------------------------
+@register(
+    "q_theil_sen",
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey, c_custkey, c_acctbal FROM customer
+    ),
+    slopes AS (
+      SELECT a.c_nationkey,
+             a.c_custkey AS k1, b.c_custkey AS k2,
+             (b.c_acctbal - a.c_acctbal)
+               / CAST(b.c_custkey - a.c_custkey AS DOUBLE) AS slope
+      FROM c a JOIN c b
+        ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY slope, k1, k2) AS rn,
+             COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+      FROM slopes
+    )
+    SELECT c_nationkey,
+           MAX(n) AS n_pairs,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN slope END) AS ts_slope
+    FROM r
+    GROUP BY c_nationkey
+    """,
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen estimator per nation: the positional lower median of all
+    pairwise slopes (acctbal over custkey) — the robust regression line
+    that tolerates up to ~29% contamination, completing the robust family
+    with q_outlier_mad (location/scale) and contrasting with
+    q_corr_manual's least-squares slope, which a single outlier drags.
+
+    The pairwise stage is the honest cost: O(n²) slopes per group,
+    generated by a within-group self-join whose group sizes are
+    nation-bounded — the plan a production run keeps only when groups are
+    small, switching to the repeated-median or a sampled-pairs variant
+    beyond ~10⁴ rows per group (same candidate-bounding discipline as the
+    dedup caps, noted here rather than hidden). Every slope is one IEEE
+    division of a double difference by an exact integer difference —
+    identical in both engines — and the median is positional with a full
+    (slope, key-pair) tie order, so the selected element matches
+    bitwise."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_custkey", "c_acctbal"
+    )
+    a, b = cust.alias("a"), cust.alias("b")
+    slope = (F.col("b.c_acctbal") - F.col("a.c_acctbal")) / (
+        F.col("b.c_custkey") - F.col("a.c_custkey")
+    ).cast("double")
+    slopes = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        F.col("a.c_nationkey").alias("c_nationkey"),
+        F.col("a.c_custkey").alias("k1"),
+        F.col("b.c_custkey").alias("k2"),
+        slope.alias("slope"),
+    )
+    wn = Window.partitionBy("c_nationkey")
+    w = wn.orderBy(F.col("slope").asc(), F.col("k1").asc(), F.col("k2").asc())
+    r = slopes.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    return r.groupBy("c_nationkey").agg(
+        F.max("n").alias("n_pairs"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("slope"))
+        ).alias("ts_slope"),
+    )

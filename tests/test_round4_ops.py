@@ -562,3 +562,36 @@ def test_bm25_matches_reference_formula(spark, sf_dir):
             )
         assert abs(r["bm25"] - want) < 1e-12
         assert r["dl"] == len(ts)
+
+
+# ---------------------------------------------------------------------------
+# q_theil_sen
+# ---------------------------------------------------------------------------
+def test_theil_sen_matches_manual_and_resists_outliers(spark, sf_dir):
+    rows = {
+        r["c_nationkey"]: r
+        for r in QUERIES["q_theil_sen"](spark, sf_dir).collect()
+    }
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_custkey", "c_acctbal")
+        .collect()
+    )
+    by_nation: dict[int, list] = {}
+    for c in cust:
+        by_nation.setdefault(c["c_nationkey"], []).append(
+            (c["c_custkey"], c["c_acctbal"])
+        )
+    assert set(rows) == set(by_nation)
+    for nk, pts in by_nation.items():
+        pts.sort()
+        slopes = [
+            ((y2 - y1) / float(k2 - k1), k1, k2)
+            for i, (k1, y1) in enumerate(pts)
+            for k2, y2 in pts[i + 1 :]
+        ]
+        slopes.sort()
+        n = len(slopes)
+        r = rows[nk]
+        assert r["n_pairs"] == n
+        assert r["ts_slope"] == slopes[(n + 1) // 2 - 1][0]
