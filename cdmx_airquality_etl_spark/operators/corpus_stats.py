@@ -340,13 +340,19 @@ def _bm25_idf(n_docs: int, df: int) -> float:
 def _bm25_stats(sf_dir: str) -> tuple[int, dict[str, int]]:
     """(n_docs, df per query term) read via DuckDB — shared by the Spark
     query and the oracle factory so both render identical idf literals."""
+    import os
+
     import duckdb
 
+    path = os.path.join(sf_dir, "documents.parquet")
+    # Spark writes parquet as a DIRECTORY of part files; DuckDB needs the
+    # glob form for those (driver testdata ships single files — both work)
+    if os.path.isdir(path):
+        path = os.path.join(path, "*.parquet")
     con = duckdb.connect()
     try:
         con.sql(
-            "CREATE VIEW documents AS "
-            f"SELECT * FROM '{sf_dir}/documents.parquet'"
+            f"CREATE VIEW documents AS SELECT * FROM '{path}'"
         )
         n_docs = con.sql("SELECT COUNT(*) FROM documents").fetchone()[0]
         dfs = {}
