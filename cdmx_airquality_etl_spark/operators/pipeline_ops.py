@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
+from .dedup import _sql_md5_int
 from ..sources.parquet import load_table
 
 
@@ -468,5 +469,78 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("top_lang_docs").cast("double")
                 / F.col("n_docs").cast("double")
             ).alias("top_lang_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_weighted_sample — quality-weighted Bernoulli subsampling, deterministic
+# ---------------------------------------------------------------------------
+_WS_HEX_CHARS = 12  # 48 bits of md5 → the per-doc uniform draw
+
+
+@register(
+    "q_weighted_sample",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, source,
+             CASE WHEN text IS NULL THEN 0.0e0
+                  ELSE least(1.0e0, CAST(strlen(text) AS DOUBLE)
+                                    / 1000.0e0) END AS keep_p,
+             {_sql_md5_int("CAST(doc_id AS VARCHAR)", _WS_HEX_CHARS)} AS draw
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN CAST(draw AS DOUBLE)
+                              / {float(16 ** _WS_HEX_CHARS)!r}e0 < keep_p
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN CAST(draw AS DOUBLE)
+                              / {float(16 ** _WS_HEX_CHARS)!r}e0 < keep_p
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS kept_rate
+    FROM scored
+    GROUP BY lang
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted Bernoulli subsampling, fully deterministic: each
+    document's keep probability is a quality proxy (length-capped score,
+    the shape real pretraining mixes use after a model-based scorer), and
+    its uniform draw is 48 bits of md5(doc_id) scaled to [0,1) — the
+    content-hash discipline of q_train_test_split extended from fixed
+    splits to PER-ROW probabilities. Same sample under re-runs,
+    repartitions, and engines: no RNG anywhere, which is what makes a
+    sampling operator auditable (and oracle-checkable) at all.
+
+    Scan-side projection + one hash aggregate; no shuffle beyond the
+    per-language rollup. The 48-bit draw keeps the uniform exactly
+    representable in a double (< 2^53), so draw/16^12 < p is the same
+    comparison in both engines bitwise."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep_p = F.when(F.col("text").isNull(), F.lit(0.0)).otherwise(
+        F.least(
+            F.lit(1.0),
+            F.octet_length(F.col("text")).cast("double") / F.lit(1000.0),
+        )
+    )
+    draw = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, _WS_HEX_CHARS),
+        16,
+        10,
+    ).cast("long")
+    kept = (
+        draw.cast("double") / F.lit(float(16**_WS_HEX_CHARS)) < keep_p
+    ).cast("int")
+    return (
+        docs.select("lang", kept.alias("kept"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+            (
+                F.sum("kept").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("kept_rate"),
         )
     )

@@ -595,3 +595,22 @@ def test_theil_sen_matches_manual_and_resists_outliers(spark, sf_dir):
         r = rows[nk]
         assert r["n_pairs"] == n
         assert r["ts_slope"] == slopes[(n + 1) // 2 - 1][0]
+
+
+# ---------------------------------------------------------------------------
+# q_weighted_sample
+# ---------------------------------------------------------------------------
+def test_weighted_sample_deterministic_and_rate_tracks_p(spark, sf_dir):
+    a = {r["lang"]: r for r in QUERIES["q_weighted_sample"](spark, sf_dir).collect()}
+    b = {r["lang"]: r for r in QUERIES["q_weighted_sample"](spark, sf_dir).collect()}
+    assert {k: (v["n_docs"], v["n_kept"]) for k, v in a.items()} == {
+        k: (v["n_docs"], v["n_kept"]) for k, v in b.items()
+    }, "content-hash draws: identical sample on every run"
+    for r in a.values():
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        assert r["kept_rate"] == r["n_kept"] / r["n_docs"]
+    # draws are uniform; with length-capped keep_p mostly near 1 on this
+    # corpus, the aggregate rate must be substantially positive
+    total = sum(r["n_docs"] for r in a.values())
+    kept = sum(r["n_kept"] for r in a.values())
+    assert kept > total * 0.2
