@@ -304,3 +304,83 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("slope"))
         ).alias("ts_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_anomaly_days — volume-anomaly monitor: daily event counts vs median/MAD
+# ---------------------------------------------------------------------------
+_ANOM_K = 4  # flag days with |count - median| > K * MAD
+
+
+@register(
+    "q_anomaly_days",
+    oracle=f"""
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events
+      FROM events GROUP BY 1
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (ORDER BY n_events, day) AS rn,
+             COUNT(*) OVER () AS n
+      FROM daily
+    ),
+    med AS (SELECT n_events AS med FROM r WHERE rn = (n + 1) // 2),
+    d AS (
+      SELECT daily.day, daily.n_events, med.med,
+             abs(daily.n_events - med.med) AS dev
+      FROM daily, med
+    ),
+    r2 AS (
+      SELECT *,
+             row_number() OVER (ORDER BY dev, day) AS rn,
+             COUNT(*) OVER () AS n
+      FROM d
+    ),
+    mad AS (SELECT dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+    SELECT d.day, d.n_events, d.med AS median_events, mad.mad,
+           (d.dev > {_ANOM_K} * mad.mad) AS is_anomaly
+    FROM d, mad
+    """,
+)
+def q_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-volume anomaly monitor: bucket events by day, then flag days
+    whose count sits more than {_ANOM_K}×MAD from the positional median of
+    daily counts — the alert a scheduled pipeline (the reference's hourly
+    scrape model, launcher.bat:2) runs to notice a dead scraper or a
+    duplicate-storm before it poisons the corpus. Composes the time-bucket
+    rollup (q_time_bucket) with the median/MAD machinery (q_outlier_mad)
+    over the TINY aggregate — the robust pass costs O(days), not
+    O(events), which is why this monitor is free at 100 TB: one hash
+    aggregate over the stream, then statistics on a table with one row
+    per day. All integers and data elements; the flag is an integer
+    comparison."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.orderBy(F.col("n_events").asc(), F.col("day").asc())
+    wn = Window.partitionBy()
+    r = daily.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    med = r.filter(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
+        F.col("n_events").alias("med")
+    )
+    d = daily.crossJoin(F.broadcast(med)).withColumn(
+        "dev", F.abs(F.col("n_events") - F.col("med"))
+    )
+    w2 = Window.orderBy(F.col("dev").asc(), F.col("day").asc())
+    r2 = d.withColumn("rn", F.row_number().over(w2)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    mad = r2.filter(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
+        F.col("dev").alias("mad")
+    )
+    return d.crossJoin(F.broadcast(mad)).select(
+        "day",
+        "n_events",
+        F.col("med").alias("median_events"),
+        "mad",
+        (F.col("dev") > _ANOM_K * F.col("mad")).alias("is_anomaly"),
+    )

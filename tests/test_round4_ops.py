@@ -614,3 +614,24 @@ def test_weighted_sample_deterministic_and_rate_tracks_p(spark, sf_dir):
     total = sum(r["n_docs"] for r in a.values())
     kept = sum(r["n_kept"] for r in a.values())
     assert kept > total * 0.2
+
+
+# ---------------------------------------------------------------------------
+# q_anomaly_days
+# ---------------------------------------------------------------------------
+def test_anomaly_days_matches_manual(spark, sf_dir):
+    rows = {r["day"]: r for r in QUERIES["q_anomaly_days"](spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").collect()
+    from collections import Counter
+
+    daily = Counter(e["ts"].strftime("%Y-%m-%d") for e in ev)
+    assert set(rows) == set(daily)
+    counts = sorted(daily.values())
+    med = counts[(len(counts) + 1) // 2 - 1]
+    devs = sorted(abs(c - med) for c in counts)
+    mad = devs[(len(devs) + 1) // 2 - 1]
+    for day, r in rows.items():
+        assert r["n_events"] == daily[day]
+        assert r["median_events"] == med
+        assert r["mad"] == mad
+        assert r["is_anomaly"] == (abs(daily[day] - med) > 4 * mad)
