@@ -879,3 +879,118 @@ def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_weighted — rarity-weighted Jaccard near-dup pairs (exact integers)
+# ---------------------------------------------------------------------------
+_WEIGHTED_THRESHOLD = 0.5
+
+
+@register(
+    "q_dedup_weighted",
+    oracle=f"""
+    WITH {_SQL_SHINGLE_PAIR_CTES},
+    ndocs AS (SELECT COUNT(*) AS n_docs FROM documents),
+    df AS (SELECT shingle, COUNT(*) AS sdf FROM e GROUP BY shingle),
+    wtot AS (
+      SELECT e.doc_id,
+             CAST(SUM(n.n_docs - df.sdf) AS BIGINT) AS w_total
+      FROM e JOIN df USING (shingle) CROSS JOIN ndocs n
+      GROUP BY e.doc_id
+    ),
+    wshared AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             CAST(SUM(n.n_docs - df.sdf) AS BIGINT) AS w_shared
+      FROM e a
+      JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN df ON df.shingle = a.shingle
+      CROSS JOIN ndocs n
+      GROUP BY 1, 2
+    )
+    SELECT w.doc_id_a, w.doc_id_b,
+           CAST(w.w_shared AS DOUBLE)
+             / CAST(ta.w_total + tb.w_total - w.w_shared AS DOUBLE)
+             AS weighted_jaccard
+    FROM wshared w
+    JOIN wtot ta ON w.doc_id_a = ta.doc_id
+    JOIN wtot tb ON w.doc_id_b = tb.doc_id
+    WHERE CAST(w.w_shared AS DOUBLE)
+            / CAST(ta.w_total + tb.w_total - w.w_shared AS DOUBLE)
+          >= {_WEIGHTED_THRESHOLD}
+    """,
+)
+def q_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rarity-weighted Jaccard near-dup pairs: each shingle carries weight
+    (N_docs − df) — rare shingles dominate, corpus-wide boilerplate counts
+    for almost nothing — so two documents sharing distinctive content
+    score high even when wrapped in common template text, the failure mode
+    of unweighted Jaccard that q_boilerplate_ngrams otherwise has to
+    pre-strip. Weights are exact BIGINTs (the classic 1/df weighting would
+    be an order-sensitive float sum), shared/union masses are integer
+    sums, and the score is ONE double division — bitwise-identical across
+    engines.
+
+    Plan: the same inverted-index discipline as q_dedup_fuzzy (shared
+    shingle posting lists bound candidates; the df table is |vocabulary|
+    rows and joins broadcast), plus one integer aggregate per doc for
+    total mass. Nothing is all-pairs; weights change scoring, not the
+    candidate structure."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = _doc_shingles(docs)
+    e = shingled.select("doc_id", F.explode("sh").alias("shingle"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df = e.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    ew = (
+        e.join(df, "shingle")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "shingle",
+            "sdf",
+            (F.col("n_docs") - F.col("sdf")).alias("w"),
+        )
+    )
+    # per-doc total mass counts EVERY shingle (the denominator stays exact)
+    wtot = ew.groupBy("doc_id").agg(
+        F.sum("w").cast("long").alias("w_total")
+    )
+    # the PAIR join carries q_dedup_fuzzy's _MAX_POSTINGS cap (a stop-phrase
+    # shingle's pair fan-out is df², the quadratic failure mode); the oracle
+    # stays uncapped and the asymmetry is safe for the reason pinned by
+    # tests/test_postings_cap_domain.py — observed max df is far below the
+    # cap at every test SF, so the cap prunes nothing here. A capped
+    # high-df shingle also carries ~zero weight by construction (w = N − df),
+    # so even when the cap does engage, retained scores barely move and can
+    # only shrink — the cap never creates false positives.
+    capped = ew.filter(F.col("sdf") <= _MAX_POSTINGS)
+    a, b = capped.alias("a"), capped.alias("b")
+    wshared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .agg(F.sum(F.col("a.w")).cast("long").alias("w_shared"))
+    )
+    ta = wtot.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("w_total").alias("wt_a")
+    )
+    tb = wtot.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("w_total").alias("wt_b")
+    )
+    score = F.col("w_shared").cast("double") / (
+        F.col("wt_a") + F.col("wt_b") - F.col("w_shared")
+    ).cast("double")
+    return (
+        wshared.join(ta, "doc_id_a")
+        .join(tb, "doc_id_b")
+        .select(
+            "doc_id_a", "doc_id_b", score.alias("weighted_jaccard")
+        )
+        .filter(F.col("weighted_jaccard") >= _WEIGHTED_THRESHOLD)
+    )

@@ -635,3 +635,34 @@ def test_anomaly_days_matches_manual(spark, sf_dir):
         assert r["median_events"] == med
         assert r["mad"] == mad
         assert r["is_anomaly"] == (abs(daily[day] - med) > 4 * mad)
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_weighted
+# ---------------------------------------------------------------------------
+def test_weighted_jaccard_downweights_boilerplate(spark, sf_dir):
+    """Weighted pairs must satisfy the score definition recomputed from raw
+    shingles, and rare-shingle overlap must dominate: for every returned
+    pair the weighted score >= a manual recomputation with integer
+    weights, exactly."""
+    from cdmx_airquality_etl_spark.registry import QUERIES as Q
+
+    rows = Q["q_dedup_weighted"](spark, sf_dir).collect()
+    assert rows
+    docs = load_table(spark, sf_dir, "documents").collect()
+    sh = {}
+    for d in docs:
+        ws = (d["text"] or "").lower().split()
+        sh[d["doc_id"]] = set(
+            " ".join(ws[i : i + 3]) for i in range(max(len(ws) - 2, 1))
+        )
+    n = len(docs)
+    from collections import Counter
+
+    df = Counter(s for ss in sh.values() for s in ss)
+    for r in rows:
+        a, b = sh[r["doc_id_a"]], sh[r["doc_id_b"]]
+        w = lambda ss: sum(n - df[s] for s in ss)
+        want = w(a & b) / (w(a) + w(b) - w(a & b))
+        assert r["weighted_jaccard"] == want
+        assert want >= 0.5
