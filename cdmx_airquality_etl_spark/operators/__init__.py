@@ -24,6 +24,7 @@ from . import (  # noqa: F401
     similarity,
     textstats,
     udf_surface,
+    warehouse,
 )
 
 __all__ = [
