@@ -304,3 +304,169 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("next_ts").isNull().alias("is_current"),
         F.col("value").alias("attr_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_event_transitions — first-order Markov transition matrix over event types
+# ---------------------------------------------------------------------------
+@register(
+    "q_event_transitions",
+    oracle="""
+    SELECT from_type, to_type,
+           CAST(cnt AS BIGINT) AS n_transitions,
+           CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS p_transition
+    FROM (
+      SELECT from_type, to_type, cnt,
+             SUM(cnt) OVER (PARTITION BY from_type) AS total
+      FROM (
+        SELECT from_type, to_type, COUNT(*) AS cnt
+        FROM (
+          SELECT event_type AS from_type,
+                 LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS to_type
+          FROM events
+        )
+        WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+      )
+    )
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user journeys: per user,
+    events ordered by (ts, event_id) — event_id breaks timestamp ties so
+    the sequence is total-ordered and engine-independent — then counted by
+    (state, next-state) and normalized within each from-state.
+
+    Plan: ONE shuffle on user_id serves the LEAD window; the 5x5 matrix
+    aggregate and the row-normalizing window run on the tiny grouped
+    result. p is a ratio of two BIGINTs through IEEE division — correctly
+    rounded, so bit-identical in both engines. At 100 TB the sequence sort
+    is the cost; it rides the same user_id partitioning every other
+    per-user operator (sessionize, funnel, retention) reuses."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wt = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        F.col("cnt").cast("long").alias("n_transitions"),
+        (
+            F.col("cnt").cast("double") / F.sum("cnt").over(wt).cast("double")
+        ).alias("p_transition"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_ab_welch — Welch's t-test between two deterministic cohorts
+# ---------------------------------------------------------------------------
+@register(
+    "q_ab_welch",
+    oracle="""
+    WITH x AS (
+      SELECT o_custkey % 2 AS cohort,
+             CAST(FLOOR(o_totalprice) AS BIGINT) AS usd
+      FROM orders
+    ), m AS (
+      SELECT CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS na,
+             CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS nb,
+             CAST(CAST(SUM(CASE WHEN cohort = 0 THEN usd ELSE 0 END) AS BIGINT) AS DOUBLE) AS sa,
+             CAST(CAST(SUM(CASE WHEN cohort = 1 THEN usd ELSE 0 END) AS BIGINT) AS DOUBLE) AS sb,
+             CAST(CAST(SUM(CASE WHEN cohort = 0 THEN usd * usd ELSE 0 END) AS BIGINT) AS DOUBLE) AS qa,
+             CAST(CAST(SUM(CASE WHEN cohort = 1 THEN usd * usd ELSE 0 END) AS BIGINT) AS DOUBLE) AS qb
+      FROM x
+    )
+    SELECT CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           sa / na AS mean_a_usd,
+           sb / nb AS mean_b_usd,
+           (sa / na - sb / nb)
+             / sqrt((qa - sa * sa / na) / (na - 1.0) / na
+                    + (qb - sb * sb / nb) / (nb - 1.0) / nb) AS t_welch,
+           ((qa - sa * sa / na) / (na - 1.0) / na
+            + (qb - sb * sb / nb) / (nb - 1.0) / nb)
+           * ((qa - sa * sa / na) / (na - 1.0) / na
+              + (qb - sb * sb / nb) / (nb - 1.0) / nb)
+             / ((qa - sa * sa / na) / (na - 1.0) / na
+                * ((qa - sa * sa / na) / (na - 1.0) / na) / (na - 1.0)
+                + (qb - sb * sb / nb) / (nb - 1.0) / nb
+                  * ((qb - sb * sb / nb) / (nb - 1.0) / nb) / (nb - 1.0))
+             AS dof_satterthwaite
+    FROM m
+    """,
+)
+def q_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between cohorts A/B (o_custkey % 2 —
+    a deterministic hash split, the production A/B assignment pattern)
+    over order value in FLOOR-ed whole dollars (floor of a positive
+    2-decimal double is exact and identical in both engines, and keeps
+    the sum of squares inside BIGINT up to sf~10 — cents overflowed at
+    sf0.1 under ANSI mode).
+
+    Exactness: the five moments (n, Σx, Σx² per cohort) are BIGINT sums of
+    integer dollars — associative, order-free — folded into ONE conditional
+    hash aggregate (single scan, map-side combinable). The t statistic and
+    Welch–Satterthwaite dof are then closed-form doubles of those exact
+    moments, with the expression tree written identically on both engines
+    so every IEEE rounding step matches (same discipline as
+    q_corr_manual)."""
+    orders = load_table(spark, sf_dir, "orders")
+    x = orders.select(
+        (F.col("o_custkey") % 2).alias("cohort"),
+        F.floor("o_totalprice").cast("long").alias("usd"),
+    )
+    m = x.agg(
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0))
+        .cast("double")
+        .alias("na"),
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0))
+        .cast("double")
+        .alias("nb"),
+        F.sum(F.when(F.col("cohort") == 0, F.col("usd")).otherwise(0))
+        .cast("double")
+        .alias("sa"),
+        F.sum(F.when(F.col("cohort") == 1, F.col("usd")).otherwise(0))
+        .cast("double")
+        .alias("sb"),
+        F.sum(
+            F.when(F.col("cohort") == 0, F.col("usd") * F.col("usd")).otherwise(0)
+        )
+        .cast("double")
+        .alias("qa"),
+        F.sum(
+            F.when(F.col("cohort") == 1, F.col("usd") * F.col("usd")).otherwise(0)
+        )
+        .cast("double")
+        .alias("qb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    sa, sb = F.col("sa"), F.col("sb")
+    qa, qb = F.col("qa"), F.col("qb")
+    se2a = (qa - sa * sa / na) / (na - F.lit(1.0)) / na
+    se2b = (qb - sb * sb / nb) / (nb - F.lit(1.0)) / nb
+    return m.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        (sa / na).alias("mean_a_usd"),
+        (sb / nb).alias("mean_b_usd"),
+        ((sa / na - sb / nb) / F.sqrt(se2a + se2b)).alias("t_welch"),
+        (
+            (se2a + se2b)
+            * (se2a + se2b)
+            / (
+                se2a * se2a / (na - F.lit(1.0))
+                + se2b * se2b / (nb - F.lit(1.0))
+            )
+        ).alias("dof_satterthwaite"),
+    )

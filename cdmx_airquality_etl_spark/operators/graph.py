@@ -165,3 +165,128 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_fp").desc(), F.col("node_id").asc())
         .limit(_PR_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_label_propagation — frequency-based LPA communities, fixed rounds
+# ---------------------------------------------------------------------------
+_LPA_ITERS = 3
+_LPA_TOP = 20
+
+
+def _lpa_oracle_sql() -> str:
+    """Unrolled synchronous LPA as a DuckDB CTE chain. Each round every
+    node adopts the MOST FREQUENT label among its neighbors, ties broken by
+    smallest label — a total order, so the fixed-round result is a
+    deterministic function of the edge list (no RNG, unlike classic
+    asynchronous LPA)."""
+    its = []
+    prev = "l0"
+    for i in range(1, _LPA_ITERS + 1):
+        its.append(f"""
+    l{i} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+        FROM (
+          SELECT bi.dst AS node, p.label, COUNT(*) AS c
+          FROM bi JOIN {prev} p ON bi.src = p.node
+          GROUP BY bi.dst, p.label
+        )
+      ) WHERE rn = 1
+    )""")
+        prev = f"l{i}"
+    iters_sql = ",".join(its)
+    return f"""
+    WITH pairs AS MATERIALIZED (
+      -- repeat-trade edges only (>= 2 co-orders): the raw bipartite graph
+      -- is dense enough that LPA collapses to 2 giant labels; thresholding
+      -- on edge weight is the standard sparsification for community
+      -- structure (36 communities vs 2 at sf0.01)
+      SELECT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    bi AS MATERIALIZED (
+      SELECT src, dst FROM pairs
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM pairs
+    ),
+    l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM bi),
+    {iters_sql}
+    SELECT CAST(label AS BIGINT) AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM {prev}
+    GROUP BY label
+    ORDER BY n_members DESC, community
+    LIMIT {_LPA_TOP}
+    """
+
+
+@register("q_label_propagation", oracle=_lpa_oracle_sql())
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous frequency-LPA over the
+    customer↔supplier trade graph (q_pagerank's graph, thresholded to
+    repeat-trade edges), {_LPA_ITERS} fixed rounds, reporting the
+    top-{_LPA_TOP} communities by size.
+
+    Determinism: classic LPA is order-dependent (async updates, random
+    tie-breaks); this variant is synchronous (round i reads only round
+    i-1's labels) with (count DESC, label ASC) tie-breaks, so the result
+    is engine-independent — proven by the unrolled-CTE oracle.
+
+    Plan shape per round: edges ⋈ labels on src (one shuffle) → count by
+    (dst, label) hash-agg → per-dst argmax window. The window partitions
+    by dst — the SAME key the aggregate just shuffled on, so the sort is
+    within already-colocated partitions. Edge list is lineage-cut once and
+    reused by all rounds (the Pregel persist rule); labels (|V| rows) are
+    the only iterating state, exactly what survives a 100 TB edge list."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        # repeat-trade edges only (>= 2 co-orders) — see oracle comment:
+        # sparsification that preserves community structure
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("src", "dst")
+    )
+    bi = pairs.unionAll(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    labels = bi.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    from pyspark.sql.window import Window
+
+    for _ in range(_LPA_ITERS):
+        counted = (
+            bi.join(labels, bi["src"] == labels["node"])
+            .groupBy(F.col("dst"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("dst").orderBy(F.col("c").desc(), F.col("label"))
+        labels = (
+            counted.select(
+                F.col("dst").alias("node"),
+                "label",
+                F.row_number().over(w).alias("rn"),
+            )
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .select(
+            F.col("label").cast("long").alias("community"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+        .orderBy(F.col("n_members").desc(), "community")
+        .limit(_LPA_TOP)
+    )

@@ -437,3 +437,232 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_triangles").cast("long").alias("n_triangles"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_tpch_market_share — TPC-H Q8: one nation's share of regional volume
+# ---------------------------------------------------------------------------
+@register(
+    "q_tpch_market_share",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             n2.n_name AS supp_nation,
+             CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS vol
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN part     ON p_partkey = l_partkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT yr,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_9' THEN vol
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM(vol) AS DOUBLE) AS mkt_share,
+           CAST(SUM(vol) AS DOUBLE) AS total_volume
+    FROM v
+    GROUP BY yr
+    """,
+)
+def q_tpch_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 plan: the fact table joins two ROLES of the nation dimension
+    (customer's nation filtered through region, supplier's nation kept as
+    the share label) — both broadcast, as are part/customer/supplier. The
+    share is a ratio of two DECIMAL-exact sums computed in the SAME
+    conditional aggregate (one pass, no second scan), cast to double only
+    for the final division — bit-identical across engines and partition
+    orders."""
+    asia_nations = (
+        load_table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("cust_nationkey"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(asia_nations),
+            F.col("c_nationkey") == F.col("cust_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    promo = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(promo), F.col("l_partkey") == promo.p_partkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            "supp_nation",
+            vol.alias("vol"),
+        )
+        .groupBy("yr")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_9", F.col("vol")).otherwise(
+                        zero
+                    )
+                ).cast("double")
+                / F.sum("vol").cast("double")
+            ).alias("mkt_share"),
+            F.sum("vol").cast("double").alias("total_volume"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_changelog_apply — roll a snapshot forward by its CDC changelog and
+# verify the reconstruction (the inverse of q_snapshot_diff)
+# ---------------------------------------------------------------------------
+@register(
+    "q_changelog_apply",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 10 <> 0
+    ), v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN o_totalprice + CAST(10.0 AS DOUBLE)
+                  ELSE o_totalprice END AS price
+      FROM orders WHERE o_orderkey % 10 <> 1
+    ), chg AS (
+      SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+             CASE WHEN v1.o_orderkey IS NULL THEN 'insert'
+                  WHEN v2.o_orderkey IS NULL THEN 'delete'
+                  ELSE 'update' END AS change_type,
+             v2.price AS new_price
+      FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+      WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+         OR v1.price <> v2.price
+    ), recon AS (
+      SELECT v1.o_orderkey,
+             COALESCE(chg.new_price, v1.price) AS price
+      FROM v1 LEFT JOIN chg ON v1.o_orderkey = chg.o_orderkey
+      WHERE chg.o_orderkey IS NULL OR chg.change_type = 'update'
+      UNION ALL
+      SELECT o_orderkey, new_price AS price
+      FROM chg WHERE change_type = 'insert'
+    )
+    SELECT CAST((SELECT COUNT(*) FROM v2) AS BIGINT) AS n_v2,
+           CAST((SELECT COUNT(*) FROM recon) AS BIGINT) AS n_recon,
+           CAST((SELECT COUNT(*)
+                 FROM recon r FULL OUTER JOIN v2 ON r.o_orderkey = v2.o_orderkey
+                 WHERE r.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+                    OR r.price <> v2.price) AS BIGINT) AS n_mismatch
+    """,
+)
+def q_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-apply: v1 + changelog → v2. Deletes drop by anti-semantics
+    (left join + null/update filter), updates overwrite via COALESCE,
+    inserts union in — the exact plan a foreachBatch CDC sink runs per
+    microbatch (streaming/ingest.py applies the same merge via
+    plans/merge.py). The query returns its own verification: a full-outer
+    equality check of the reconstruction against the true v2 (n_mismatch
+    must be 0). All three joins hash on the same key — on a bucketed table
+    every one is shuffle-free."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    v1 = orders.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("price")
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 10 != 1).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + F.lit(10.0))
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+    )
+    j = (
+        v1.select(F.col("o_orderkey").alias("k1"), F.col("price").alias("p1"))
+        .join(
+            v2.select(F.col("o_orderkey").alias("k2"), F.col("price").alias("p2")),
+            F.col("k1") == F.col("k2"),
+            "full_outer",
+        )
+    )
+    chg = (
+        j.select(
+            F.coalesce("k1", "k2").alias("o_orderkey"),
+            F.when(F.col("k1").isNull(), "insert")
+            .when(F.col("k2").isNull(), "delete")
+            .otherwise("update")
+            .alias("change_type"),
+            F.col("p2").alias("new_price"),
+        ).filter(
+            F.col("k1").isNull() | F.col("k2").isNull() | (F.col("p1") != F.col("p2"))
+        )
+    )
+    applied = (
+        v1.join(
+            chg.select(
+                F.col("o_orderkey").alias("ck"), "change_type", "new_price"
+            ),
+            v1.o_orderkey == F.col("ck"),
+            "left",
+        )
+        .filter(F.col("ck").isNull() | (F.col("change_type") == "update"))
+        .select("o_orderkey", F.coalesce("new_price", "price").alias("price"))
+    )
+    recon = applied.unionByName(
+        chg.filter(F.col("change_type") == "insert").select(
+            "o_orderkey", F.col("new_price").alias("price")
+        )
+    )
+    mism = (
+        recon.select(F.col("o_orderkey").alias("rk"), F.col("price").alias("rp"))
+        .join(
+            v2.select(F.col("o_orderkey").alias("vk"), F.col("price").alias("vp")),
+            F.col("rk") == F.col("vk"),
+            "full_outer",
+        )
+        .filter(F.col("rk").isNull() | F.col("vk").isNull() | (F.col("rp") != F.col("vp")))
+        .agg(F.count(F.lit(1)).alias("n_mismatch"))
+    )
+    return (
+        v2.agg(F.count(F.lit(1)).alias("n_v2"))
+        .crossJoin(recon.agg(F.count(F.lit(1)).alias("n_recon")))
+        .crossJoin(mism)
+        .select(
+            F.col("n_v2").cast("long").alias("n_v2"),
+            F.col("n_recon").cast("long").alias("n_recon"),
+            F.col("n_mismatch").cast("long").alias("n_mismatch"),
+        )
+    )

@@ -1,0 +1,89 @@
+"""Semantics tests for the analytics/graph batch-2 operators: label
+propagation, Q8 market share, changelog apply, Markov transitions, Welch."""
+
+import math
+
+from cdmx_airquality_etl_spark.registry import QUERIES
+from cdmx_airquality_etl_spark.sources.parquet import load_table
+
+
+def test_label_propagation_partitions(spark, sf_dir):
+    rows = QUERIES["q_label_propagation"](spark, sf_dir).collect()
+    assert rows
+    sizes = [r["n_members"] for r in rows]
+    assert sizes == sorted(sizes, reverse=True)
+    assert len({r["community"] for r in rows}) == len(rows)
+    assert all(s > 0 for s in sizes)
+
+
+def test_market_share_bounds(spark, sf_dir):
+    rows = {r["yr"]: r for r in QUERIES["q_tpch_market_share"](spark, sf_dir).collect()}
+    assert set(rows) <= {1996, 1997}
+    for r in rows.values():
+        assert 0.0 <= r["mkt_share"] <= 1.0
+        assert r["total_volume"] > 0
+
+
+def test_changelog_apply_roundtrip(spark, sf_dir):
+    row = QUERIES["q_changelog_apply"](spark, sf_dir).collect()[0]
+    assert row["n_mismatch"] == 0, "reconstruction must equal the v2 snapshot"
+    assert row["n_recon"] == row["n_v2"] > 0
+
+
+def test_event_transitions_rows_normalize(spark, sf_dir):
+    rows = QUERIES["q_event_transitions"](spark, sf_dir).collect()
+    assert rows
+    by_from: dict[str, float] = {}
+    for r in rows:
+        assert r["n_transitions"] > 0
+        by_from[r["from_type"]] = by_from.get(r["from_type"], 0.0) + r["p_transition"]
+    for total in by_from.values():
+        assert math.isclose(total, 1.0, rel_tol=1e-12)
+
+
+def test_event_transitions_counts_match_manual(spark, sf_dir):
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    seqs: dict[int, list] = {}
+    for r in ev:
+        seqs.setdefault(r["user_id"], []).append((r["ts"], r["event_id"], r["event_type"]))
+    expected: dict[tuple, int] = {}
+    for s in seqs.values():
+        s.sort()
+        for (_, _, a), (_, _, b) in zip(s, s[1:]):
+            expected[(a, b)] = expected.get((a, b), 0) + 1
+    got = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in QUERIES["q_event_transitions"](spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_ab_welch_matches_manual(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).collect()
+    groups = {0: [], 1: []}
+    for r in orders:
+        groups[r["o_custkey"] % 2].append(float(math.floor(r["o_totalprice"])))
+    row = QUERIES["q_ab_welch"](spark, sf_dir).collect()[0]
+    stats = {}
+    for c, xs in groups.items():
+        n = len(xs)
+        m = sum(xs) / n
+        v = sum((x - m) ** 2 for x in xs) / (n - 1)
+        stats[c] = (n, m, v)
+    na, ma, va = stats[0]
+    nb, mb, vb = stats[1]
+    assert row["n_a"] == na and row["n_b"] == nb
+    assert math.isclose(row["mean_a_usd"], ma, rel_tol=1e-9)
+    assert math.isclose(row["mean_b_usd"], mb, rel_tol=1e-9)
+    t = (ma - mb) / math.sqrt(va / na + vb / nb)
+    assert math.isclose(row["t_welch"], t, rel_tol=1e-9)
+    dof = (va / na + vb / nb) ** 2 / (
+        (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)
+    )
+    assert math.isclose(row["dof_satterthwaite"], dof, rel_tol=1e-9)
