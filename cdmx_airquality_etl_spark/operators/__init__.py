@@ -14,6 +14,7 @@ from . import (  # noqa: F401
     incremental,
     llm_ops,
     pipeline_ops,
+    planning,
     relational,
     robust,
     relational_ext,

@@ -168,3 +168,395 @@ def q_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pruned"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_kmv_distinct — K-minimum-values distinct sketch, fully oracle-checkable
+# ---------------------------------------------------------------------------
+_KMV_K = 64
+_KMV_NCHARS = 15  # 60-bit hash space
+_KMV_SPACE = float(16**_KMV_NCHARS)  # 2^60, exactly representable
+
+
+def _kmv_oracle_sql() -> str:
+    from .dedup import _sql_md5_int
+
+    hv = _sql_md5_int("CAST(o_custkey AS VARCHAR)", _KMV_NCHARS)
+    return f"""
+    WITH h AS (
+      SELECT DISTINCT o_orderpriority AS pri, {hv} AS hv
+      FROM orders
+    ), ranked AS (
+      SELECT pri, hv,
+             ROW_NUMBER() OVER (PARTITION BY pri ORDER BY hv) AS rk,
+             COUNT(*) OVER (PARTITION BY pri) AS nh
+      FROM h
+    ), kth AS (
+      SELECT pri, MAX(nh) AS nh,
+             MAX(CASE WHEN rk = {_KMV_K} THEN hv END) AS hk
+      FROM ranked WHERE rk <= {_KMV_K}
+      GROUP BY pri
+    ), exact AS (
+      SELECT o_orderpriority AS pri, COUNT(DISTINCT o_custkey) AS n_exact
+      FROM orders GROUP BY 1
+    )
+    SELECT kth.pri AS o_orderpriority,
+           CAST(exact.n_exact AS BIGINT) AS n_exact,
+           CASE WHEN kth.nh < {_KMV_K} THEN CAST(kth.nh AS DOUBLE)
+                ELSE {_KMV_K - 1}.0 * {_KMV_SPACE!r} / CAST(kth.hk AS DOUBLE)
+           END AS kmv_estimate
+    FROM kth JOIN exact ON kth.pri = exact.pri
+    """
+
+
+@register("q_kmv_distinct", oracle=_kmv_oracle_sql())
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count estimation per group via a K-minimum-values sketch —
+    the PORTABLE alternative to HyperLogLog: q_group_approx must stay
+    rows-only because HLL++ registers are engine-specific, but KMV over
+    the repo's portable md5 hash (dedup._md5_int) is a deterministic
+    function of the data, so the ESTIMATOR ITSELF is oracle-checked here,
+    alongside the exact count it approximates (the estimator-calibration
+    pattern of minhash_estimate / ann_recall).
+
+    Estimator: keep the k={_KMV_K} smallest distinct 60-bit hashes per
+    group; if fewer than k hashes exist the sketch is exact, else
+    est = (k-1)·2^60 / h_k. (k-1)·2^60 is exactly representable as a
+    double and the final division is one correctly-rounded IEEE op.
+
+    Scale: the sketch is mergeable — each partition keeps its k smallest,
+    the combiner keeps the k smallest of the union (what the window-based
+    rank computes here); shuffle traffic is k values per group regardless
+    of cardinality, the same reason production engines sketch instead of
+    exact-counting. The exact COUNT(DISTINCT) rides along only as the
+    calibration column."""
+    from .dedup import _md5_int
+
+    orders = load_table(spark, sf_dir, "orders")
+    h = orders.select(
+        F.col("o_orderpriority").alias("pri"),
+        _md5_int(F.col("o_custkey").cast("string"), _KMV_NCHARS).alias("hv"),
+    ).distinct()
+    wr = Window.partitionBy("pri").orderBy("hv")
+    wc = Window.partitionBy("pri")
+    ranked = h.select(
+        "pri",
+        "hv",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("nh"),
+    )
+    kth = (
+        ranked.filter(F.col("rk") <= _KMV_K)
+        .groupBy("pri")
+        .agg(
+            F.max("nh").alias("nh"),
+            F.max(F.when(F.col("rk") == _KMV_K, F.col("hv"))).alias("hk"),
+        )
+    )
+    exact = orders.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.countDistinct("o_custkey").alias("n_exact")
+    )
+    return kth.join(exact, "pri").select(
+        F.col("pri").alias("o_orderpriority"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.when(F.col("nh") < _KMV_K, F.col("nh").cast("double"))
+        .otherwise(
+            F.lit(float(_KMV_K - 1)) * F.lit(_KMV_SPACE) / F.col("hk").cast("double")
+        )
+        .alias("kmv_estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_join_cardinality — textbook CBO join-size estimate vs ground truth
+# ---------------------------------------------------------------------------
+@register(
+    "q_join_cardinality",
+    oracle="""
+    WITH a AS (
+      SELECT COUNT(*) AS n_a, COUNT(DISTINCT o_orderkey) AS ndv_a FROM orders
+    ), b AS (
+      SELECT COUNT(*) AS n_b, COUNT(DISTINCT l_orderkey) AS ndv_b FROM lineitem
+    ), act AS (
+      SELECT COUNT(*) AS actual
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(ndv_a AS BIGINT) AS ndv_a,
+           CAST(ndv_b AS BIGINT) AS ndv_b,
+           CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+             / CAST(CASE WHEN ndv_a > ndv_b THEN ndv_a ELSE ndv_b END AS DOUBLE)
+             AS est_rows,
+           CAST(actual AS BIGINT) AS actual_rows,
+           CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+             / CAST(CASE WHEN ndv_a > ndv_b THEN ndv_a ELSE ndv_b END AS DOUBLE)
+             / CAST(actual AS DOUBLE) AS q_error
+    FROM a CROSS JOIN b CROSS JOIN act
+    """,
+)
+def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cost-based-optimizer estimate every engine's join reordering
+    lives on: |A ⋈ B| ≈ |A|·|B| / max(ndv_A, ndv_B) under the uniformity +
+    containment assumptions, computed next to the TRUE join size so the
+    q-error (est/actual) is observable. On this FK join containment holds
+    exactly, so the estimate is nearly perfect — the op exists to monitor
+    when dirty data (dangling keys, skew) breaks it.
+
+    Scale: three independent aggregates — two single-table scans and the
+    FK-join count; the stats side is what an ANALYZE TABLE job persists,
+    at metadata cost."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    a = orders.agg(
+        F.count(F.lit(1)).alias("n_a"),
+        F.countDistinct("o_orderkey").alias("ndv_a"),
+    )
+    b = li.agg(
+        F.count(F.lit(1)).alias("n_b"),
+        F.countDistinct("l_orderkey").alias("ndv_b"),
+    )
+    act = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .agg(F.count(F.lit(1)).alias("actual"))
+    )
+    est = (
+        F.col("n_a").cast("double")
+        * F.col("n_b").cast("double")
+        / F.greatest("ndv_a", "ndv_b").cast("double")
+    )
+    return (
+        a.crossJoin(b)
+        .crossJoin(act)
+        .select(
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("ndv_a").cast("long").alias("ndv_a"),
+            F.col("ndv_b").cast("long").alias("ndv_b"),
+            est.alias("est_rows"),
+            F.col("actual").cast("long").alias("actual_rows"),
+            (est / F.col("actual").cast("double")).alias("q_error"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_kmv_set_ops — mergeable-sketch set algebra: union / intersection /
+# Jaccard estimates from two KMV sketches, with exact ground truth
+# ---------------------------------------------------------------------------
+_SET_A = "1-URGENT"
+_SET_B = "2-HIGH"
+
+
+def _kmv_setops_oracle_sql() -> str:
+    from .dedup import _sql_md5_int
+
+    hv = _sql_md5_int("CAST(o_custkey AS VARCHAR)", _KMV_NCHARS)
+    return f"""
+    WITH tagged AS (
+      SELECT {hv} AS hv,
+             MAX(CASE WHEN o_orderpriority = '{_SET_A}' THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN o_orderpriority = '{_SET_B}' THEN 1 ELSE 0 END) AS in_b
+      FROM orders
+      WHERE o_orderpriority IN ('{_SET_A}', '{_SET_B}')
+      GROUP BY o_custkey
+    ), ranked AS (
+      SELECT hv, in_a, in_b,
+             ROW_NUMBER() OVER (ORDER BY hv) AS rk,
+             COUNT(*) OVER () AS nh
+      FROM tagged
+    ), sk AS (
+      SELECT MAX(nh) AS nh,
+             MAX(CASE WHEN rk = {_KMV_K} THEN hv END) AS theta,
+             SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS k_both,
+             COUNT(*) AS k_used
+      FROM ranked WHERE rk <= {_KMV_K}
+    ), ex AS (
+      SELECT COUNT(*) AS exact_union,
+             SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+               AS exact_inter
+      FROM tagged
+    )
+    SELECT CAST(ex.exact_union AS BIGINT) AS exact_union,
+           CAST(ex.exact_inter AS BIGINT) AS exact_inter,
+           CASE WHEN sk.nh < {_KMV_K} THEN CAST(sk.nh AS DOUBLE)
+                ELSE {_KMV_K - 1}.0 * {_KMV_SPACE!r} / CAST(sk.theta AS DOUBLE)
+           END AS union_est,
+           CAST(sk.k_both AS DOUBLE) / CAST(sk.k_used AS DOUBLE)
+             AS jaccard_est,
+           CAST(sk.k_both AS DOUBLE) / CAST(sk.k_used AS DOUBLE)
+             * (CASE WHEN sk.nh < {_KMV_K} THEN CAST(sk.nh AS DOUBLE)
+                     ELSE {_KMV_K - 1}.0 * {_KMV_SPACE!r}
+                          / CAST(sk.theta AS DOUBLE) END)
+             AS inter_est
+    FROM sk CROSS JOIN ex
+    """
+
+
+@register("q_kmv_set_ops", oracle=_kmv_setops_oracle_sql())
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style SET ALGEBRA on KMV sketches: estimate
+    |A ∪ B|, |A ∩ B| and Jaccard between the customer sets of two order
+    priorities from the k={_KMV_K} smallest hashes of the union, next to
+    their exact values. The merged sketch's sub-theta sample is a uniform
+    sample of the union, so the fraction of sampled hashes present in
+    BOTH sets estimates Jaccard, and intersection = jaccard · union — the
+    mergeable algebra (Theta/Tuple sketches) that lets 100 TB segment-
+    overlap questions run on kilobyte summaries.
+
+    Exactness of the ESTIMATOR: hashes are the portable md5 BIGINTs,
+    membership flags are MAX-aggregated bits, and the two final divisions
+    are correctly-rounded IEEE ops on exact integers — the estimator (not
+    just the truth) is engine-reproducible and oracle-checked."""
+    from .dedup import _md5_int
+
+    orders = load_table(spark, sf_dir, "orders")
+    tagged = (
+        orders.filter(F.col("o_orderpriority").isin(_SET_A, _SET_B))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderpriority") == _SET_A, 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("o_orderpriority") == _SET_B, 1).otherwise(0)
+            ).alias("in_b"),
+        )
+        .select(
+            _md5_int(F.col("o_custkey").cast("string"), _KMV_NCHARS).alias("hv"),
+            "in_a",
+            "in_b",
+        )
+    )
+    ranked = tagged.select(
+        "hv",
+        "in_a",
+        "in_b",
+        F.row_number().over(Window.orderBy("hv")).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nh"),
+    )
+    sk = ranked.filter(F.col("rk") <= _KMV_K).agg(
+        F.max("nh").alias("nh"),
+        F.max(F.when(F.col("rk") == _KMV_K, F.col("hv"))).alias("theta"),
+        F.sum(
+            F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+        ).alias("k_both"),
+        F.count(F.lit(1)).alias("k_used"),
+    )
+    ex = tagged.agg(
+        F.count(F.lit(1)).alias("exact_union"),
+        F.sum(
+            F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+        ).alias("exact_inter"),
+    )
+    union_est = F.when(F.col("nh") < _KMV_K, F.col("nh").cast("double")).otherwise(
+        F.lit(float(_KMV_K - 1)) * F.lit(_KMV_SPACE) / F.col("theta").cast("double")
+    )
+    jacc = F.col("k_both").cast("double") / F.col("k_used").cast("double")
+    return sk.crossJoin(ex).select(
+        F.col("exact_union").cast("long").alias("exact_union"),
+        F.col("exact_inter").cast("long").alias("exact_inter"),
+        union_est.alias("union_est"),
+        jacc.alias("jaccard_est"),
+        (jacc * union_est).alias("inter_est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_watermark_lateness — event-time lateness profile vs arrival order
+# ---------------------------------------------------------------------------
+_ARRIVAL_BATCH = 1000
+_ARRIVAL_JITTER = 2048  # md5-derived arrival displacement (network jitter)
+_LATE_BUCKET_US = 60 * 1_000_000  # 1-minute lateness buckets
+
+
+def _wm_oracle_sql() -> str:
+    from .dedup import _sql_md5_int
+
+    jitter = _sql_md5_int("CAST(event_id AS VARCHAR)", 3)
+    return f"""
+    WITH arrived AS (
+      SELECT ts, event_id + ({jitter} % {_ARRIVAL_JITTER}) AS arr
+      FROM events
+    ), batches AS (
+      SELECT arr // {_ARRIVAL_BATCH} AS batch_id,
+             MAX(epoch_us(ts)) AS batch_max_us
+      FROM arrived GROUP BY 1
+    ), hwm AS (
+      SELECT batch_id,
+             MAX(batch_max_us) OVER (ORDER BY batch_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS prior_hwm_us
+      FROM batches
+    ), late AS (
+      SELECT CASE WHEN h.prior_hwm_us IS NULL
+                    OR h.prior_hwm_us <= epoch_us(e.ts) THEN 0
+                  ELSE (h.prior_hwm_us - epoch_us(e.ts)) // {_LATE_BUCKET_US}
+             END AS late_bucket_min
+      FROM arrived e
+      JOIN hwm h ON e.arr // {_ARRIVAL_BATCH} = h.batch_id
+    )
+    SELECT CAST(late_bucket_min AS BIGINT) AS late_bucket_min,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM late
+    GROUP BY late_bucket_min
+    """
+
+
+@register("q_watermark_lateness", oracle=_wm_oracle_sql())
+def q_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How late does event-time data actually arrive? Arrival order is
+    the ingest sequence displaced by a deterministic md5-derived jitter
+    of up to {_ARRIVAL_JITTER} positions (the testdata generator emits
+    events perfectly time-ordered — real ingest never does; the jitter
+    models multi-source interleaving reproducibly). Per arrival batch
+    (arrival DIV {_ARRIVAL_BATCH}), take the event-time high-water mark
+    of all PRIOR batches; an event's lateness is how far its timestamp
+    sits behind that mark, bucketed in minutes.
+    This histogram is precisely the evidence for choosing a Structured
+    Streaming ``withWatermark`` delay: the bucket where the tail mass
+    vanishes is the delay that bounds state without dropping data
+    (streaming/ingest.py consumes exactly such a delay).
+
+    Scale: the running high-water mark is computed over the BATCH table
+    (|batches| rows — metadata), never a global window over raw events;
+    events join their batch's mark by batch id (broadcast). One fact
+    shuffle total, for the final histogram aggregate."""
+    from .dedup import _md5_int
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (
+            F.col("event_id")
+            + _md5_int(F.col("event_id").cast("string"), 3) % _ARRIVAL_JITTER
+        ).alias("arr"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    batches = ev.groupBy(
+        F.expr(f"arr DIV {_ARRIVAL_BATCH}").alias("batch_id")
+    ).agg(F.max("ts_us").alias("batch_max_us"))
+    w = (
+        Window.orderBy("batch_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hwm = batches.select(
+        "batch_id", F.max("batch_max_us").over(w).alias("prior_hwm_us")
+    )
+    late = ev.join(
+        F.broadcast(hwm),
+        F.expr(f"arr DIV {_ARRIVAL_BATCH}") == F.col("batch_id"),
+    ).select(
+        F.when(
+            F.col("prior_hwm_us").isNull()
+            | (F.col("prior_hwm_us") <= F.col("ts_us")),
+            0,
+        )
+        .otherwise(
+            ((F.col("prior_hwm_us") - F.col("ts_us")) / _LATE_BUCKET_US).cast(
+                "long"
+            )
+        )
+        .alias("late_bucket_min")
+    )
+    return late.groupBy("late_bucket_min").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    ).select(F.col("late_bucket_min").cast("long"), "n_events")
