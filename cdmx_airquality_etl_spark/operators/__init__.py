@@ -24,6 +24,7 @@ from . import (  # noqa: F401
     scale_ops,
     similarity,
     textstats,
+    tpch_ext,
     udf_surface,
     warehouse,
 )
