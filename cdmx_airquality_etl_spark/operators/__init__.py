@@ -25,6 +25,7 @@ from . import (  # noqa: F401
     similarity,
     textstats,
     tpch_ext,
+    tpch_ext2,
     udf_surface,
     warehouse,
 )
