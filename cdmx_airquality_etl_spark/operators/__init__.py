@@ -23,6 +23,7 @@ from . import (  # noqa: F401
     relational_ext4,
     scale_ops,
     similarity,
+    stats_tests,
     textstats,
     tpch_ext,
     tpch_ext2,

@@ -1,0 +1,486 @@
+"""Statistical-test and model-evaluation batch: OLS regression, chi-square
+independence, binned two-sample KS, rank-based AUC, Gini impurity, Benford
+digit audit, and NDCG ranking quality.
+
+These are the evaluation primitives a data-curation platform runs on top of
+its corpus metrics (complements q_ab_welch / q_theil_sen / q_corr_manual in
+the robust/analytics batches). Lineage: the reference's consumers chart
+pollutant trends over time (SURVEY §2B reporting surface) — trend slope,
+distribution drift, and category independence are the statistical layer of
+that same reporting.
+
+Determinism policy (SURVEY.md §5.1): every statistic reduces through EXACT
+sufficient statistics — BIGINT counts/sums (values scaled to integer cents)
+or DECIMAL sums — and applies floating-point operations only in a final
+fixed-shape expression over those exact scalars, so partial-aggregation
+order can never move a bit. No libm call (ln/log/exp) enters a compared
+value except as a driver-rendered literal (the q_bm25 idf pattern): Python
+computes the constant once and the SAME literal text is rendered into the
+Spark expression and the DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..sources.parquet import load_table
+from .similarity import _SQL_NZ_CTE, _dot, _nonzero, _sql_cos
+
+_KS_BINS = 256
+_KS_LO, _KS_HI = 0.0, 330.0  # corpus value domain is [0.03, 327.53]
+_NDCG_K = 10
+# driver-rendered discount literals 1/log2(i+1), i = 1..k — the bm25-idf
+# pattern: one Python float each, identical text in both engines
+_NDCG_DISC = [1.0 / math.log2(i + 1) for i in range(1, _NDCG_K + 1)]
+# Benford expected shares log10(1 + 1/d), d = 1..9, as literals
+_BENFORD = [math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
+
+
+# ---------------------------------------------------------------------------
+# q_ols_group — per-group least-squares trend from exact sufficient stats
+# ---------------------------------------------------------------------------
+@register(
+    "q_ols_group",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+             CAST(round(value * 100) AS BIGINT) AS yc
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT)   AS n,
+             CAST(SUM(x) AS BIGINT)     AS sx,
+             CAST(SUM(yc) AS BIGINT)    AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * yc) AS BIGINT) AS sxy,
+             CAST(SUM(yc * yc) AS BIGINT) AS syy
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0 AS DOUBLE) AS slope,
+           CAST((CAST(sy AS DOUBLE) / 100.0
+                 - (CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0)
+                   * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS DOUBLE) AS intercept,
+           CAST(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+                / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+                AS DOUBLE) AS r2
+    FROM s
+    """,
+)
+def q_ols_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS of value on day index. The regression reduces to
+    five EXACT integer sums (x as epoch day, y scaled to cents — the corpus
+    stores 2-decimal values) in ONE map-side-combined aggregate; slope,
+    intercept and R² are then a fixed expression over those scalars —
+    bit-identical across engines and partitionings. At 100 TB this is the
+    canonical "trend per segment" plan: one shuffle keyed by the group, no
+    window, no second pass. Magnitude check: x ≤ ~12k days, yc ≤ ~33k ⇒
+    Σx·yc ≤ 4·10^8 per million rows — BIGINT-safe to trillions of rows."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).cast("bigint")
+    yc = F.round(F.col("value") * 100).cast("bigint")
+    s = (
+        ev.select("event_type", x.alias("x"), yc.alias("yc"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("yc").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("yc")).alias("sxy"),
+            F.sum(F.col("yc") * F.col("yc")).alias("syy"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den / F.lit(100.0)
+    intercept = (
+        F.col("sy").cast("double") / F.lit(100.0) - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    r2 = (
+        num * num
+        / (den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    )
+    return s.select(
+        "event_type", "n",
+        slope.alias("slope"), intercept.alias("intercept"), r2.alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_chi_square — independence of event type × day-of-week
+# ---------------------------------------------------------------------------
+@register(
+    "q_chi_square",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS BIGINT) AS dow
+      FROM events
+    ),
+    obs AS (SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS o FROM base GROUP BY 1, 2),
+    rt  AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS r FROM base GROUP BY 1),
+    ct  AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+    cells AS (
+      SELECT rt.event_type, ct.dow, rt.r, ct.c, tot.n,
+             COALESCE(obs.o, 0) AS o
+      FROM rt CROSS JOIN ct CROSS JOIN tot
+      LEFT JOIN obs ON obs.event_type = rt.event_type AND obs.dow = ct.dow
+    )
+    SELECT CAST(SUM(CAST(
+             CAST(o * n - r * c AS DOUBLE) * CAST(o * n - r * c AS DOUBLE)
+             / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) * CAST(n AS DOUBLE))
+           AS DECIMAL(28,10))) AS DOUBLE) AS chi2,
+           CAST((COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT dow) - 1) AS BIGINT) AS dof
+    FROM cells
+    """,
+)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square for independence of event type × day-of-week.
+    Each cell's term uses the algebraic form (oN − rc)²/(rcN) over EXACT
+    integer marginals, so expected counts are never materialized as
+    rounded floats; day-of-week is epoch-day mod 7 (identical in both
+    engines — no locale-dependent dayofweek()). The dense grid comes from
+    crossing the two marginal aggregates (|types| × 7 rows) and
+    left-joining observed — zero-count cells still contribute. Per-cell
+    doubles round to DECIMAL(28,10) before the final sum so the statistic
+    is addition-order-independent. At 100 TB: three cheap aggregates over
+    one scan + a constant-size grid."""
+    ev = load_table(spark, sf_dir, "events")
+    dow = (
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")) % 7
+    ).cast("bigint")
+    base = ev.select("event_type", dow.alias("dow"))
+    obs = base.groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("o"))
+    rt = base.groupBy("event_type").agg(F.count(F.lit(1)).alias("r"))
+    ct = base.groupBy("dow").agg(F.count(F.lit(1)).alias("c"))
+    tot = base.agg(F.count(F.lit(1)).alias("n"))
+    cells = (
+        rt.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(obs), ["event_type", "dow"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+    )
+    diff = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast("double")
+    term = diff * diff / (
+        F.col("r").cast("double") * F.col("c").cast("double") * F.col("n").cast("double")
+    )
+    return cells.agg(
+        F.sum(term.cast("decimal(28,10)")).cast("double").alias("chi2"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)
+        ).cast("bigint").alias("dof"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_ks_binned — binned two-sample Kolmogorov-Smirnov distance
+# ---------------------------------------------------------------------------
+@register(
+    "q_ks_binned",
+    oracle=f"""
+    WITH b AS (
+      SELECT LEAST(CAST(floor(value * {_KS_BINS}.0 / {_KS_HI}) AS BIGINT), {_KS_BINS - 1}) AS bin,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN event_type = 'view'  THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY 1
+    ),
+    c AS (
+      SELECT bin,
+             SUM(n1) OVER (ORDER BY bin) AS c1,
+             SUM(n2) OVER (ORDER BY bin) AS c2,
+             (SELECT SUM(n1) FROM b) AS t1,
+             (SELECT SUM(n2) FROM b) AS t2
+      FROM b
+    )
+    SELECT CAST(MAX(t1) AS BIGINT) AS n_click,
+           CAST(MAX(t2) AS BIGINT) AS n_view,
+           CAST(CAST(MAX(abs(c1 * t2 - c2 * t1)) AS DOUBLE)
+                / (CAST(MAX(t1) AS DOUBLE) * CAST(MAX(t2) AS DOUBLE)) AS DOUBLE) AS ks_d
+    FROM c
+    """,
+)
+def q_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS distance between the click and view value
+    distributions, over a fixed 256-bin quantization of the value domain.
+    The binned ECDF is the scale-correct formulation: an exact-rank KS
+    needs a global sort of both samples, while binning reduces 100 TB to a
+    256-row cumulative — and the bin-granular D equals the exact D of the
+    binned distributions (the estimator a production drift monitor runs).
+    The max |F1−F2| is computed in cross-multiplied INTEGER space
+    (|c1·N2 − c2·N1|) with ONE final double division, so no per-bin float
+    CDF is ever compared. The window runs over ≤256 aggregated rows —
+    single-partition is fine and documented."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    bin_ = F.least(
+        F.floor(F.col("value") * _KS_BINS / _KS_HI).cast("bigint"),
+        F.lit(_KS_BINS - 1),
+    )
+    b = ev.groupBy(bin_.alias("bin")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n2"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    tot = b.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+    c = (
+        b.withColumn("c1", F.sum("n1").over(w))
+        .withColumn("c2", F.sum("n2").over(w))
+        .crossJoin(F.broadcast(tot))
+    )
+    return c.agg(
+        F.max("t1").alias("n_click"),
+        F.max("t2").alias("n_view"),
+        (
+            F.max(F.abs(F.col("c1") * F.col("t2") - F.col("c2") * F.col("t1"))).cast("double")
+            / (F.max("t1").cast("double") * F.max("t2").cast("double"))
+        ).alias("ks_d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_auc_rank — Mann-Whitney AUC from grouped score counts, exact integers
+# ---------------------------------------------------------------------------
+@register(
+    "q_auc_rank",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(n_chars AS BIGINT) AS score,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+             CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS neg
+      FROM documents GROUP BY n_chars
+    ),
+    c AS (
+      SELECT score, pos, neg,
+             COALESCE(SUM(neg) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+      FROM s
+    )
+    SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(neg) AS BIGINT) AS n_neg,
+           CAST(CAST(SUM(pos * (2 * neg_below + neg)) AS DOUBLE)
+                / (2.0 * CAST(SUM(pos) AS DOUBLE) * CAST(SUM(neg) AS DOUBLE)) AS DOUBLE) AS auc
+    FROM c
+    """,
+)
+def q_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of document length as a predictor of lang = 'en', via the
+    Mann-Whitney rank statistic with midrank tie handling — computed from
+    GROUPED score counts, never per-row ranks: AUC·2PN = Σ_s pos_s ·
+    (2·neg_below(s) + neg_s), all BIGINT-exact, one final double division.
+    The window runs over distinct scores (≤ a few thousand lengths), not
+    over documents — the plan that survives 100 TB where a global
+    row_number() rank would not. This is the estimator-quality primitive
+    for any score column (quality, perplexity, toxicity) against any
+    binary label."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy(F.col("n_chars").cast("bigint").alias("score")).agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("pos"),
+        F.sum(F.when(F.col("lang") != "en", 1).otherwise(0)).alias("neg"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    c = s.withColumn("neg_below", F.coalesce(F.sum("neg").over(w), F.lit(0)))
+    return c.agg(
+        F.sum("pos").alias("n_pos"),
+        F.sum("neg").alias("n_neg"),
+        (
+            F.sum(F.col("pos") * (2 * F.col("neg_below") + F.col("neg"))).cast("double")
+            / (F.lit(2.0) * F.sum("pos").cast("double") * F.sum("neg").cast("double"))
+        ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_gini_sources — Gini impurity / concentration of langs per source
+# ---------------------------------------------------------------------------
+@register(
+    "q_gini_sources",
+    oracle="""
+    WITH cnt AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS k
+      FROM documents GROUP BY source, lang
+    )
+    SELECT source,
+           CAST(SUM(k) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           CAST(CAST(MAX(k) AS DOUBLE) / CAST(SUM(k) AS DOUBLE) AS DOUBLE) AS max_share,
+           CAST(1.0 - CAST(SUM(k * k) AS DOUBLE)
+                      / (CAST(SUM(k) AS DOUBLE) * CAST(SUM(k) AS DOUBLE)) AS DOUBLE) AS gini
+    FROM cnt GROUP BY source
+    """,
+)
+def q_gini_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix concentration per source: Gini impurity 1 − Σp², the
+    split-quality / diversity measure, computed as 1 − Σk²/N² over exact
+    integer counts (no per-class float shares are summed — the entropy
+    variant is deliberately NOT offered in compared output because ln() is
+    not correctly rounded across libms; Gini carries the same signal with
+    exact arithmetic). Two nested hash aggregates, both map-combined."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("k"))
+    return cnt.groupBy("source").agg(
+        F.sum("k").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        (F.max("k").cast("double") / F.sum("k").cast("double")).alias("max_share"),
+        (
+            F.lit(1.0)
+            - F.sum(F.col("k") * F.col("k")).cast("double")
+            / (F.sum("k").cast("double") * F.sum("k").cast("double"))
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_benford — leading-digit audit of order totals vs Benford's law
+# ---------------------------------------------------------------------------
+@register(
+    "q_benford",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+             (SELECT COUNT(*) FROM d) AS tot
+      FROM d GROUP BY digit
+    ),
+    exp AS (
+      SELECT * FROM (VALUES
+        {", ".join(f"({i + 1}, CAST({p!r} AS DOUBLE))" for i, p in enumerate(_BENFORD))}
+      ) AS t(digit, expected)
+    )
+    SELECT exp.digit, COALESCE(obs.n, 0) AS n,
+           CAST(CAST(COALESCE(obs.n, 0) AS DOUBLE) / CAST(MAX(tot) OVER () AS DOUBLE) AS DOUBLE) AS share,
+           expected
+    FROM exp LEFT JOIN obs ON obs.digit = exp.digit
+    """,
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-digit distribution of order totals against Benford's law —
+    the standard synthetic-data / fraud smoke test. The digit extracts
+    through DECIMAL(18,2) → string (exact in both engines; no log10() on
+    doubles), observed shares are integer-count ratios, and the expected
+    shares log10(1+1/d) are driver-rendered Python literals (the bm25-idf
+    pattern) so no libm call happens inside either engine. All nine digits
+    are emitted even at zero observed count (the audit needs the gaps)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("bigint")
+    obs = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = obs.agg(F.sum("n").alias("tot"))
+    exp = spark.createDataFrame(
+        [(i + 1, p) for i, p in enumerate(_BENFORD)], "digit bigint, expected double"
+    )
+    return (
+        exp.join(F.broadcast(obs), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            (
+                F.coalesce(F.col("n"), F.lit(0)).cast("double")
+                / F.col("tot").cast("double")
+            ).alias("share"),
+            "expected",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_ndcg — ranking quality of cosine retrieval against labels
+# ---------------------------------------------------------------------------
+@register(
+    "q_ndcg",
+    oracle=f"""
+    WITH {_SQL_NZ_CTE},
+    q AS (SELECT embedding AS qe, label AS ql FROM nz WHERE vec_id = 0),
+    ranked AS (
+      SELECT row_number() OVER (
+               ORDER BY {_sql_cos('e.embedding', 'q.qe')} DESC, e.vec_id
+             ) AS rnk,
+             CASE WHEN e.label = q.ql THEN 1 ELSE 0 END AS rel
+      FROM nz e, q WHERE e.vec_id <> 0
+    ),
+    disc AS (
+      SELECT * FROM (VALUES
+        {", ".join(f"({i + 1}, CAST({d!r} AS DOUBLE))" for i, d in enumerate(_NDCG_DISC))}
+      ) AS t(rnk, disc)
+    ),
+    rel_tot AS (SELECT CAST(SUM(rel) AS BIGINT) AS r FROM ranked),
+    dcg AS (
+      SELECT CAST(SUM(CAST(rel * disc AS DECIMAL(18,12))) AS DOUBLE) AS dcg
+      FROM ranked JOIN disc USING (rnk) WHERE rnk <= {_NDCG_K}
+    ),
+    idcg AS (
+      SELECT CAST(SUM(CAST(disc AS DECIMAL(18,12))) AS DOUBLE) AS idcg
+      FROM disc, rel_tot WHERE rnk <= LEAST(r, {_NDCG_K})
+    )
+    SELECT dcg.dcg AS dcg, idcg.idcg AS idcg,
+           CAST(dcg.dcg / idcg.idcg AS DOUBLE) AS ndcg
+    FROM dcg, idcg
+    """,
+)
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of brute-force cosine retrieval (query = vec_id 0) scored
+    against label agreement — the ranking-quality twin of q_ann_recall.
+    Discount factors 1/log2(i+1) are driver-rendered literals; DCG terms
+    round to DECIMAL(18,12) before summing (≤10 terms, order-free); IDCG
+    sums the first min(R, k) discounts where R = total relevant retrieved.
+    The rank itself is the same guarded cosine ordering (nonzero/finite
+    filter, vec_id tiebreak) the similarity batch pins. At scale the
+    row_number window is bounded by top-k pre-selection — here the corpus
+    ranking is small; a production run feeds this from q_similarity_topk's
+    TakeOrdered output."""
+    nz = _nonzero(load_table(spark, sf_dir, "embeddings"))
+    q = (
+        nz.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qe"), F.col("label").alias("ql"))
+    )
+    cand = nz.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    cos = _dot("embedding", "qe") / (
+        F.sqrt(_dot("embedding", "embedding")) * F.sqrt(_dot("qe", "qe"))
+    )
+    ranked = cand.select(
+        F.row_number()
+        .over(Window.orderBy(cos.desc(), F.col("vec_id")))
+        .alias("rnk"),
+        F.when(F.col("label") == F.col("ql"), 1).otherwise(0).alias("rel"),
+    )
+    disc = spark.createDataFrame(
+        [(i + 1, d) for i, d in enumerate(_NDCG_DISC)], "rnk int, disc double"
+    )
+    rel_tot = ranked.agg(F.sum("rel").alias("r"))
+    dcg = (
+        ranked.filter(F.col("rnk") <= _NDCG_K)
+        .join(F.broadcast(disc), "rnk")
+        .agg(
+            F.sum((F.col("rel") * F.col("disc")).cast("decimal(18,12)"))
+            .cast("double")
+            .alias("dcg")
+        )
+    )
+    idcg = (
+        disc.crossJoin(F.broadcast(rel_tot))
+        .filter(F.col("rnk") <= F.least(F.col("r"), F.lit(_NDCG_K)))
+        .agg(F.sum(F.col("disc").cast("decimal(18,12)")).cast("double").alias("idcg"))
+    )
+    return (
+        dcg.crossJoin(F.broadcast(idcg))
+        .select("dcg", "idcg", (F.col("dcg") / F.col("idcg")).alias("ndcg"))
+    )
