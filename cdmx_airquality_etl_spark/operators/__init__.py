@@ -24,6 +24,7 @@ from . import (  # noqa: F401
     scale_ops,
     similarity,
     stats_tests,
+    timeseries,
     textstats,
     tpch_ext,
     tpch_ext2,

@@ -1,0 +1,475 @@
+"""Time-series analytics batch: EWMA smoothing, autocorrelation, CUSUM
+change detection, OHLC/VWAP bars, rolling correlation, period-over-period
+deltas, and cumulative-distinct growth.
+
+Lineage: the reference's hourly pollutant snapshots feed exactly this layer
+downstream — smoothing, drift alarms, and trend reporting over the loaded
+warehouse (SURVEY §2B; scrapper.py's report_ts grain). Complements the
+existing temporal surface (q_time_bucket, q_interpolate, q_forward_fill,
+q_gaps_islands, q_anomaly_days).
+
+Scale design: every operator here aggregates the event stream to its
+reporting grain (day / week / month) FIRST — that is the one big
+map-combined shuffle — and then runs the series recurrence on the tiny
+aggregated frame (365 rows/year at daily grain, regardless of corpus size).
+Single-partition windows over that grain are deliberate and safe; windows
+never run over raw events.
+
+Determinism policy (SURVEY.md §5.1): series arithmetic stays in EXACT
+integer space — counts, cent-scaled values, power-of-two EWMA weights,
+cross-multiplied mean removal (N-scaled residuals) — with doubles entering
+only in a final fixed-shape expression (one division; sqrt is IEEE
+correctly-rounded and therefore safe, unlike ln/exp)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..sources.parquet import load_table
+
+_EWMA_SPAN = 20  # trailing days in the truncated EWMA (alpha = 1/2)
+_ACF_MAX_LAG = 7
+_ROLL_W = 7
+
+# shared daily-grain CTE: day index + count per day
+_SQL_DAILY = """
+daily AS (
+  SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+)
+"""
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).cast(
+        "bigint"
+    )
+    return ev.groupBy(d.alias("d")).agg(F.count(F.lit(1)).alias("y"))
+
+
+# ---------------------------------------------------------------------------
+# q_ewma_daily — truncated exponential smoothing with exact 2^-k weights
+# ---------------------------------------------------------------------------
+@register(
+    "q_ewma_daily",
+    oracle=f"""
+    WITH {_SQL_DAILY}
+    SELECT t.d AS day,
+           t.y AS n_events,
+           CAST(CAST(SUM(i.y * CAST(power(2.0, {_EWMA_SPAN - 1} - (t.d - i.d)) AS BIGINT)) AS DOUBLE)
+                / CAST(SUM(CAST(power(2.0, {_EWMA_SPAN - 1} - (t.d - i.d)) AS BIGINT)) AS DOUBLE)
+                AS DOUBLE) AS ewma
+    FROM daily t JOIN daily i
+      ON i.d BETWEEN t.d - {_EWMA_SPAN - 1} AND t.d
+    GROUP BY t.d, t.y
+    """,
+)
+def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA (alpha = 1/2) of daily event counts over a trailing
+    {span}-day window. With alpha = 1/2 every weight is a power of two, so
+    numerator and denominator accumulate as EXACT BIGINTs (weights ≤ 2^19,
+    counts ≤ 2^40 before overflow risk) and the smoothed value is one
+    double division — bitwise identical across engines and partition
+    orders, where the textbook recursive form would compound float error
+    in engine-specific order. The range self-join runs on the daily grain
+    (≤ span rows matched per day); missing days simply contribute nothing,
+    i.e. the series is smoothed over observed days."""
+    daily = _daily(spark, sf_dir)
+    t = daily.alias("t")
+    i = daily.alias("i")
+    w = F.pow(F.lit(2.0), F.lit(_EWMA_SPAN - 1) - (F.col("t.d") - F.col("i.d"))).cast(
+        "bigint"
+    )
+    return (
+        t.join(
+            i,
+            (F.col("i.d") >= F.col("t.d") - (_EWMA_SPAN - 1))
+            & (F.col("i.d") <= F.col("t.d")),
+        )
+        .groupBy(F.col("t.d").alias("day"), F.col("t.y").alias("n_events"))
+        .agg(
+            (
+                F.sum(F.col("i.y") * w).cast("double")
+                / F.sum(w).cast("double")
+            ).alias("ewma")
+        )
+    )
+
+
+q_ewma_daily.__doc__ = q_ewma_daily.__doc__.format(span=_EWMA_SPAN)
+
+
+# ---------------------------------------------------------------------------
+# q_acf_daily — autocorrelation function at lags 1..7, exact integer sums
+# ---------------------------------------------------------------------------
+@register(
+    "q_acf_daily",
+    oracle=f"""
+    WITH {_SQL_DAILY},
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS s,
+             CAST(SUM(y * y) AS BIGINT) AS s2
+      FROM daily
+    ),
+    lags AS (SELECT * FROM range(1, {_ACF_MAX_LAG + 1}) AS t(lag)),
+    pairs AS (
+      SELECT l.lag,
+             CAST(COUNT(*) AS BIGINT) AS np,
+             CAST(SUM(a.y * b.y) AS BIGINT) AS syy,
+             CAST(SUM(a.y) AS BIGINT) AS sh,
+             CAST(SUM(b.y) AS BIGINT) AS st
+      FROM lags l
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.d = a.d + l.lag
+      GROUP BY l.lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(CAST(n * n * syy - n * s * (sh + st) + np * s * s AS DOUBLE)
+                / CAST(n * n * s2 - n * s * s AS DOUBLE) AS DOUBLE) AS acf
+    FROM pairs, g
+    ORDER BY lag
+    """,
+)
+def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily event-count series at lags 1..7 (the
+    weekly-seasonality diagnostic). The mean-removed products expand by N²
+    into pure integer sums — N²Σy_t·y_{t+k} − NS(Σhead+Σtail) + N_k·S²
+    over denominator N²Σy² − NS² — so the statistic is exact until ONE
+    final double division. The lagged self-join runs on the daily grain
+    (|days| × 7 pairs); magnitudes stay far inside BIGINT for any realistic
+    daily-count series (y ≤ 10^9 days ≤ 10^5 ⇒ terms ≤ 10^28? no —
+    N²Σy² ≤ 10^10·10^5·10^18 exceeds BIGINT for extreme y; the docstring
+    bound is y·N ≤ ~3·10^9 ⇒ terms ≤ 9·10^18, the practical daily-count
+    envelope; beyond that, scale y to thousands first)."""
+    daily = _daily(spark, sf_dir)
+    g = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("s2"),
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = (
+        F.broadcast(lags)
+        .join(a)
+        .join(b, F.col("b.d") == F.col("a.d") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("np"),
+            F.sum(F.col("a.y") * F.col("b.y")).alias("syy"),
+            F.sum(F.col("a.y")).alias("sh"),
+            F.sum(F.col("b.y")).alias("st"),
+        )
+    )
+    num = (
+        F.col("n") * F.col("n") * F.col("syy")
+        - F.col("n") * F.col("s") * (F.col("sh") + F.col("st"))
+        + F.col("np") * F.col("s") * F.col("s")
+    ).cast("double")
+    den = (
+        F.col("n") * F.col("n") * F.col("s2") - F.col("n") * F.col("s") * F.col("s")
+    ).cast("double")
+    return (
+        pairs.crossJoin(F.broadcast(g))
+        .select(F.col("lag").cast("bigint").alias("lag"), (num / den).alias("acf"))
+        .orderBy("lag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_cusum_shift — one-sided CUSUM drift score via prefix-sum/min identity
+# ---------------------------------------------------------------------------
+@register(
+    "q_cusum_shift",
+    oracle=f"""
+    WITH {_SQL_DAILY},
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s FROM daily),
+    r AS (
+      SELECT d, y,
+             SUM(y * n - s) OVER (ORDER BY d) AS rn
+      FROM daily, g
+    ),
+    m AS (
+      SELECT d, y, rn,
+             LEAST(CAST(0 AS BIGINT), MIN(rn) OVER (ORDER BY d)) AS mn,
+             (SELECT n FROM g) AS n
+      FROM r
+    )
+    SELECT d AS day, y AS n_events,
+           CAST(CAST(rn - mn AS DOUBLE) / CAST(n AS DOUBLE) AS DOUBLE) AS cusum
+    FROM m
+    """,
+)
+def q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM S_t = max(0, S_{t-1} + (y_t − μ)) over daily counts,
+    with μ the series mean. The recursion is NOT window-expressible
+    directly, but the classical identity S_t = R_t − min(0, min_{i≤t} R_i)
+    (R = prefix sum of residuals) turns it into two windowed prefixes over
+    the daily grain. Residuals are N-scaled to stay integer (y·N − S), so
+    prefix sums and minima are exact; the one division by N lands at the
+    end. A sustained upward level shift shows as a ramp in `cusum`."""
+    daily = _daily(spark, sf_dir)
+    g = daily.agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("s"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    r = (
+        daily.crossJoin(F.broadcast(g))
+        .withColumn("rn", F.sum(F.col("y") * F.col("n") - F.col("s")).over(w))
+    )
+    m = r.withColumn("mn", F.least(F.lit(0).cast("bigint"), F.min("rn").over(w)))
+    return m.select(
+        F.col("d").alias("day"),
+        F.col("y").alias("n_events"),
+        ((F.col("rn") - F.col("mn")).cast("double") / F.col("n").cast("double")).alias(
+            "cusum"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_ohlc_vwap — weekly OHLC bars + weight-averaged value per event type
+# ---------------------------------------------------------------------------
+@register(
+    "q_ohlc_vwap",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS BIGINT) AS wk,
+             ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS vc,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS w
+      FROM events
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, wk ORDER BY ts, event_id) AS rf,
+             row_number() OVER (PARTITION BY event_type, wk ORDER BY ts DESC, event_id DESC) AS rl
+      FROM base
+    )
+    SELECT event_type, wk,
+           CAST(MAX(CASE WHEN rf = 1 THEN vc END) AS DOUBLE) / 100.0 AS open,
+           CAST(MAX(vc) AS DOUBLE) / 100.0 AS high,
+           CAST(MIN(vc) AS DOUBLE) / 100.0 AS low,
+           CAST(MAX(CASE WHEN rl = 1 THEN vc END) AS DOUBLE) / 100.0 AS close,
+           CAST(SUM(w) AS BIGINT) AS volume,
+           CAST(CASE WHEN SUM(w) > 0
+                THEN CAST(SUM(vc * w) AS DOUBLE) / (100.0 * CAST(SUM(w) AS DOUBLE))
+                END AS DOUBLE) AS vwap
+    FROM ranked
+    GROUP BY event_type, wk
+    """,
+)
+def q_ohlc_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly OHLC candles per event type with a weight-averaged value
+    (weight = the `k` metadata counter — the corpus's volume analog).
+    Open/close resolve by a total (ts, event_id) order inside each
+    (type, week) partition — the window is bounded by the bucket, so it
+    scales: partitions shuffle once on (type, week). Values are
+    cent-scaled BIGINTs end-to-end (VWAP numerator Σ vc·w is exact; ONE
+    double division at the end); /100 rescaling divides by powers of ten
+    applied to exact integers — identical in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+            / 7
+        ).cast("bigint").alias("wk_raw"),
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")) / 7
+        ).cast("bigint").alias("wk"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("w"),
+    ).drop("wk_raw")
+    wf = Window.partitionBy("event_type", "wk").orderBy("ts", "event_id")
+    wl = Window.partitionBy("event_type", "wk").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = base.withColumn("rf", F.row_number().over(wf)).withColumn(
+        "rl", F.row_number().over(wl)
+    )
+    return ranked.groupBy("event_type", "wk").agg(
+        (F.max(F.when(F.col("rf") == 1, F.col("vc"))).cast("double") / 100.0).alias("open"),
+        (F.max("vc").cast("double") / 100.0).alias("high"),
+        (F.min("vc").cast("double") / 100.0).alias("low"),
+        (F.max(F.when(F.col("rl") == 1, F.col("vc"))).cast("double") / 100.0).alias("close"),
+        F.sum("w").alias("volume"),
+        F.when(
+            F.sum("w") > 0,
+            F.sum(F.col("vc") * F.col("w")).cast("double")
+            / (F.lit(100.0) * F.sum("w").cast("double")),
+        ).alias("vwap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_rolling_corr — 7-day rolling correlation of two daily series
+# ---------------------------------------------------------------------------
+@register(
+    "q_rolling_corr",
+    oracle=f"""
+    WITH two AS (
+      SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'view'  THEN 1 ELSE 0 END) AS BIGINT) AS y
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY 1
+    ),
+    win AS (
+      SELECT d,
+             CAST(COUNT(*)  OVER w AS BIGINT) AS n,
+             CAST(SUM(x)    OVER w AS BIGINT) AS sx,
+             CAST(SUM(y)    OVER w AS BIGINT) AS sy,
+             CAST(SUM(x*x)  OVER w AS BIGINT) AS sxx,
+             CAST(SUM(y*y)  OVER w AS BIGINT) AS syy,
+             CAST(SUM(x*y)  OVER w AS BIGINT) AS sxy
+      FROM two
+      WINDOW w AS (ORDER BY d ROWS BETWEEN {_ROLL_W - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT d AS day,
+           CAST(CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+             THEN CAST(n*sxy - sx*sy AS DOUBLE)
+                  / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+             END AS DOUBLE) AS corr7
+    FROM win WHERE n >= {_ROLL_W}
+    """,
+)
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling Pearson correlation between the daily click and view
+    count series. Windowed sufficient statistics are exact BIGINTs; the
+    correlation assembles from them with two sqrt() calls (IEEE
+    correctly-rounded, hence engine-identical — the reason sqrt is allowed
+    where ln is not) and one division. Degenerate windows (zero variance)
+    emit NULL rather than ±Inf. Runs on the daily grain; the first
+    {w}-day warmup rows are suppressed."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    d = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).cast(
+        "bigint"
+    )
+    two = ev.groupBy(d.alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("y"),
+    )
+    w = Window.orderBy("d").rowsBetween(-(_ROLL_W - 1), 0)
+    win = two.select(
+        "d",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    return (
+        win.filter(F.col("n") >= _ROLL_W)
+        .select(
+            F.col("d").alias("day"),
+            F.when(
+                (vx > 0) & (vy > 0),
+                num / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+            ).alias("corr7"),
+        )
+    )
+
+
+q_rolling_corr.__doc__ = q_rolling_corr.__doc__.format(w=_ROLL_W)
+
+
+# ---------------------------------------------------------------------------
+# q_period_over_period — monthly revenue with MoM delta and growth
+# ---------------------------------------------------------------------------
+@register(
+    "q_period_over_period",
+    oracle="""
+    WITH monthly AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT month,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(rev - LAG(rev) OVER (ORDER BY month) AS DOUBLE) AS mom_delta,
+           CAST(CAST(rev - LAG(rev) OVER (ORDER BY month) AS DOUBLE)
+                / CAST(LAG(rev) OVER (ORDER BY month) AS DOUBLE) AS DOUBLE) AS mom_pct
+    FROM monthly
+    """,
+)
+def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue deltas — the canonical reporting lag
+    pattern. Revenue sums through DECIMAL per month (exact), the LAG
+    difference stays DECIMAL (exact subtraction), and only the growth
+    ratio divides in double. The window runs over the monthly grain
+    (~10^2 rows for decades of data); the first month's delta is NULL by
+    definition. ISO month strings order lexicographically = chronologically
+    in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    w = Window.orderBy("month")
+    prev = F.lag("rev").over(w)
+    return monthly.select(
+        "month",
+        F.col("rev").cast("double").alias("revenue"),
+        (F.col("rev") - prev).cast("double").alias("mom_delta"),
+        ((F.col("rev") - prev).cast("double") / prev.cast("double")).alias("mom_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_running_distinct — cumulative distinct users per day via first-seen
+# ---------------------------------------------------------------------------
+@register(
+    "q_running_distinct",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, event_type,
+             MIN(CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)) AS d
+      FROM events GROUP BY user_id, event_type
+    ),
+    per_day AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS new_users FROM first_seen GROUP BY d
+    )
+    SELECT d AS day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY d) AS BIGINT) AS cum_users
+    FROM per_day
+    """,
+)
+def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct (user, event-type) pairs per day — the
+    growth-curve query. A naive per-day COUNT(DISTINCT ... WHERE ts <= day)
+    rescans the corpus per day; the scale-correct identity is
+    first-seen-day per entity (one hash aggregate on the entity key),
+    daily new-entity counts, and a prefix sum over the daily grain.
+    Distinct-so-far(d) ≡ Σ_{i≤d} new(i), exactly. All integer arithmetic.
+    The entity is the (user, type) pair — the corpus's small user pool all
+    appears on day one, while pair adoption spreads over the month."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).cast(
+        "bigint"
+    )
+    first_seen = (
+        ev.select("user_id", "event_type", d.alias("d"))
+        .groupBy("user_id", "event_type")
+        .agg(F.min("d").alias("d"))
+    )
+    per_day = first_seen.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        F.col("d").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
