@@ -21,6 +21,7 @@ from . import (  # noqa: F401
     relational_ext2,
     relational_ext3,
     relational_ext4,
+    retail,
     scale_ops,
     similarity,
     stats_tests,
