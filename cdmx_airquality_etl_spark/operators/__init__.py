@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     entity,
     flagship,
     graph,
+    graph_ext,
     incremental,
     llm_ops,
     pipeline_ops,
