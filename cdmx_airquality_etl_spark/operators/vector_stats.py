@@ -1,0 +1,307 @@
+"""Vector / feature-statistics batch over the embedding corpus: per-dim
+moments, per-label centroids, dimension covariances, norm histograms, and
+centroid-assignment confusion — the feature-health layer an embedding
+pipeline runs before trusting an ANN index.
+
+Lineage: complements the similarity surface (operators/similarity.py —
+top-k, LSH/IVF/PQ, recall monitor) with the statistics that size those
+indexes: which dimensions carry variance (IVF/PQ subspace choice), how
+norms distribute (normalization audit), and how well exact label centroids
+separate classes (the upper bound on any quantized index's accuracy).
+
+Determinism policy: float components quantize by power-of-two fixed point —
+w = floor(x · 2^s) — because a power-of-two multiply is EXACT on the
+float's mantissa and floor is unambiguous, unlike decimal rounding of
+floats whose tie behavior engines may disagree on. All moment sums are
+then exact BIGINTs; dot products reuse the similarity batch's
+order-stable fold."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..sources.parquet import load_table
+from .similarity import _SQL_NZ_CTE, _dot, _nonzero, _sql_dot
+
+_Q_SHIFT = 16  # fixed-point scale 2^16 for moment quantization
+_Q = 1 << _Q_SHIFT
+_COV_DIMS = 8  # leading dims for the covariance block
+_NORM_BIN = 4.0  # squared-norm histogram bin width
+
+
+# ---------------------------------------------------------------------------
+# q_feature_moments — per-dimension fixed-point mean/variance/min/max
+# ---------------------------------------------------------------------------
+@register(
+    "q_feature_moments",
+    oracle=f"""
+    WITH comp AS (
+      SELECT dim - 1 AS dim,
+             CAST(floor(CAST(embedding[dim] AS DOUBLE) * {_Q}) AS BIGINT) AS w
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(dim)
+    )
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(w) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * {_Q}.0) AS DOUBLE) AS mean,
+           CAST((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(w * w) AS DOUBLE)
+                 - CAST(SUM(w) AS DOUBLE) * CAST(SUM(w) AS DOUBLE))
+                / (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE) * {_Q}.0 * {_Q}.0)
+                AS DOUBLE) AS variance,
+           CAST(CAST(MIN(w) AS DOUBLE) / {_Q}.0 AS DOUBLE) AS min_q,
+           CAST(CAST(MAX(w) AS DOUBLE) / {_Q}.0 AS DOUBLE) AS max_q
+    FROM comp GROUP BY dim
+    """,
+)
+def q_feature_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension moments of the embedding matrix in 2^{s}-fixed-point:
+    mean, population variance, min and max of the quantized components.
+    The explode is one scan producing (dim, w) pairs; the aggregate is a
+    single map-combined shuffle keyed by dim — 64 output rows at any
+    corpus size. Variance assembles as (nΣw² − (Σw)²)/n² over exact
+    BIGINTs (Σw² ≤ 2^40·N — safe beyond 10^8 rows), divided once by the
+    squared scale. This is the statistic PQ subspace allocation reads."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        F.posexplode(F.col("embedding")).alias("dim", "x")
+    ).select(
+        "dim",
+        F.floor(F.col("x").cast("double") * _Q).cast("bigint").alias("w"),
+    )
+    n = F.count(F.lit(1))
+    sw = F.sum("w")
+    sww = F.sum(F.col("w") * F.col("w"))
+    return comp.groupBy("dim").agg(
+        n.alias("n"),
+        (sw.cast("double") / (n.cast("double") * F.lit(float(_Q)))).alias("mean"),
+        (
+            (n.cast("double") * sww.cast("double") - sw.cast("double") * sw.cast("double"))
+            / (n.cast("double") * n.cast("double") * F.lit(float(_Q)) * F.lit(float(_Q)))
+        ).alias("variance"),
+        (F.min("w").cast("double") / F.lit(float(_Q))).alias("min_q"),
+        (F.max("w").cast("double") / F.lit(float(_Q))).alias("max_q"),
+    )
+
+
+q_feature_moments.__doc__ = q_feature_moments.__doc__.format(s=_Q_SHIFT)
+
+
+# ---------------------------------------------------------------------------
+# q_label_centroids — exact fixed-point class centroids
+# ---------------------------------------------------------------------------
+@register(
+    "q_label_centroids",
+    oracle=f"""
+    WITH comp AS (
+      SELECT label, dim - 1 AS dim,
+             CAST(floor(CAST(embedding[dim] AS DOUBLE) * {_Q}) AS BIGINT) AS w
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(dim)
+    )
+    SELECT label, dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(w) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * {_Q}.0) AS DOUBLE) AS centroid
+    FROM comp GROUP BY label, dim
+    """,
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding corpus (label × dim grid, exact
+    fixed-point means) — the supervised twin of IVF's trained centroids
+    and the input to q_centroid_confusion. One explode + one hash
+    aggregate on (label, dim); output is |labels|·d rows regardless of
+    corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "x")
+    ).select(
+        "label", "dim",
+        F.floor(F.col("x").cast("double") * _Q).cast("bigint").alias("w"),
+    )
+    return comp.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum("w").cast("double") / (F.count(F.lit(1)).cast("double") * F.lit(float(_Q)))
+        ).alias("centroid"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_dim_covariance — covariance block over the leading dimensions
+# ---------------------------------------------------------------------------
+@register(
+    "q_dim_covariance",
+    oracle=f"""
+    WITH comp AS (
+      SELECT vec_id, dim - 1 AS dim,
+             CAST(floor(CAST(embedding[dim] AS DOUBLE) * {_Q}) AS BIGINT) AS w
+      FROM embeddings, unnest(range(1, {_COV_DIMS} + 1)) AS t(dim)
+    ),
+    prod AS (
+      SELECT a.dim AS dim_i, b.dim AS dim_j,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(a.w) AS BIGINT) AS si,
+             CAST(SUM(b.w) AS BIGINT) AS sj,
+             CAST(SUM(a.w * b.w) AS BIGINT) AS sij
+      FROM comp a JOIN comp b
+        ON a.vec_id = b.vec_id AND a.dim <= b.dim
+      GROUP BY a.dim, b.dim
+    )
+    SELECT dim_i, dim_j,
+           CAST((CAST(n AS DOUBLE) * CAST(sij AS DOUBLE)
+                 - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * {_Q}.0 * {_Q}.0)
+                AS DOUBLE) AS cov
+    FROM prod
+    """,
+)
+def q_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance block over the leading {d} embedding dimensions
+    (upper triangle incl. diagonal) in exact fixed-point: cov(i,j) =
+    (nΣwᵢwⱼ − ΣwᵢΣwⱼ)/n², descaled by the squared fixed-point factor.
+    The per-vector self-join is bounded by
+    the DIM BLOCK ({d}·({d}+1)/2 pairs per vector, constant), so the plan
+    is linear in corpus size — the full d×d matrix at d=10³ would instead
+    use a block-partitioned matrix multiply. Diagonal entries equal
+    q_feature_moments' variances, pinned by tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", F.posexplode(F.slice(F.col("embedding"), 1, _COV_DIMS)).alias("dim", "x")
+    ).select(
+        "vec_id", "dim",
+        F.floor(F.col("x").cast("double") * _Q).cast("bigint").alias("w"),
+    )
+    a = comp.alias("a")
+    b = comp.alias("b")
+    prod = (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id")) & (F.col("a.dim") <= F.col("b.dim")),
+        )
+        .groupBy(F.col("a.dim").alias("dim_i"), F.col("b.dim").alias("dim_j"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("a.w").alias("si"),
+            F.sum("b.w").alias("sj"),
+            F.sum(F.col("a.w") * F.col("b.w")).alias("sij"),
+        )
+    )
+    cov = (
+        F.col("n").cast("double") * F.col("sij").cast("double")
+        - F.col("si").cast("double") * F.col("sj").cast("double")
+    ) / (
+        F.col("n").cast("double") * F.col("n").cast("double")
+        * F.lit(float(_Q)) * F.lit(float(_Q))
+    )
+    return prod.select("dim_i", "dim_j", cov.alias("cov"))
+
+
+q_dim_covariance.__doc__ = q_dim_covariance.__doc__.format(d=_COV_DIMS)
+
+
+# ---------------------------------------------------------------------------
+# q_norm_histogram — squared-norm distribution of the corpus
+# ---------------------------------------------------------------------------
+@register(
+    "q_norm_histogram",
+    oracle=f"""
+    WITH {_SQL_NZ_CTE}
+    SELECT CAST(floor({_sql_dot('embedding', 'embedding')} / {_NORM_BIN}) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(MIN({_sql_dot('embedding', 'embedding')}) AS DOUBLE) AS min_sq_norm,
+           CAST(MAX({_sql_dot('embedding', 'embedding')}) AS DOUBLE) AS max_sq_norm
+    FROM nz
+    GROUP BY 1
+    """,
+)
+def q_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Squared-norm histogram of the (finite, nonzero) embedding corpus —
+    the normalization audit: a corpus meant to be unit-normalized shows
+    one bin; spread reveals un-normalized or corrupt batches before they
+    skew cosine rankings. Norms come from the similarity batch's
+    order-stable fold (deterministic doubles), binned by floor division —
+    bin edges are unambiguous in both engines. One scan, one tiny
+    aggregate."""
+    nz = _nonzero(load_table(spark, sf_dir, "embeddings"))
+    d = _dot("embedding", "embedding")
+    return nz.groupBy(
+        F.floor(d / _NORM_BIN).cast("bigint").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min(d).cast("double").alias("min_sq_norm"),
+        F.max(d).cast("double").alias("max_sq_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_centroid_confusion — nearest-centroid assignment vs true labels
+# ---------------------------------------------------------------------------
+@register(
+    "q_centroid_confusion",
+    oracle=f"""
+    WITH {_SQL_NZ_CTE},
+    comp AS (
+      SELECT label, dim - 1 AS dim,
+             CAST(floor(CAST(embedding[dim] AS DOUBLE) * {_Q}) AS BIGINT) AS w
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(dim)
+    ),
+    cent AS (
+      SELECT label AS c_label, dim,
+             CAST(CAST(SUM(w) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * {_Q}.0) AS DOUBLE) AS c
+      FROM comp GROUP BY label, dim
+    ),
+    cvec AS (
+      SELECT c_label, list(c ORDER BY dim) AS cv FROM cent GROUP BY c_label
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label AS true_label, cvec.c_label,
+             {_sql_dot('e.embedding', 'cvec.cv')} AS dp
+      FROM nz e CROSS JOIN cvec
+    ),
+    best AS (
+      SELECT vec_id, true_label, c_label AS assigned_label,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, c_label) AS rnk
+      FROM scored
+    )
+    SELECT true_label, assigned_label, CAST(COUNT(*) AS BIGINT) AS n
+    FROM best WHERE rnk = 1
+    GROUP BY true_label, assigned_label
+    """,
+)
+def q_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification confusion matrix: every vector is
+    assigned to the label whose EXACT centroid (fixed-point mean, shared
+    derivation with q_label_centroids) maximizes the dot product, then
+    assignments cross-tabulate against true labels — the upper bound any
+    IVF/PQ quantization of this corpus can reach, and the diagnostic that
+    says whether poor ANN recall is the index's fault or the embedding's.
+    Scoring is vectors × |labels| dot products (the literal-centroid
+    broadcast pattern of q_similarity_ann_ivf); the argmax is a
+    per-vector window over |labels| rows with a label tiebreak."""
+    nz = _nonzero(load_table(spark, sf_dir, "embeddings"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "x")
+    ).select(
+        "label", "dim",
+        F.floor(F.col("x").cast("double") * _Q).cast("bigint").alias("w"),
+    )
+    cent = comp.groupBy(F.col("label").alias("c_label"), F.col("dim")).agg(
+        (
+            F.sum("w").cast("double") / (F.count(F.lit(1)).cast("double") * F.lit(float(_Q)))
+        ).alias("c")
+    )
+    cvec = cent.groupBy("c_label").agg(
+        F.array_sort(F.collect_list(F.struct("dim", "c"))).c.alias("cv")
+    )
+    scored = nz.select("vec_id", F.col("label").alias("true_label"), "embedding").crossJoin(
+        F.broadcast(cvec)
+    ).select(
+        "vec_id", "true_label", "c_label",
+        _dot("embedding", "cv").alias("dp"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dp").desc(), "c_label")
+    best = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") == 1)
+    return best.groupBy(
+        "true_label", F.col("c_label").alias("assigned_label")
+    ).agg(F.count(F.lit(1)).alias("n"))
