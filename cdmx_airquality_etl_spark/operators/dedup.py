@@ -931,51 +931,57 @@ def q_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums, and the score is ONE double division — bitwise-identical across
     engines.
 
-    Plan: the same inverted-index discipline as q_dedup_fuzzy (shared
-    shingle posting lists bound candidates; the df table is |vocabulary|
-    rows and joins broadcast), plus one integer aggregate per doc for
-    total mass. Nothing is all-pairs; weights change scoring, not the
+    Plan: the same inverted-index discipline as q_dedup_fuzzy, built on the
+    grouped-postings shape of _shared_shingle_pairs: ONE shuffle groups
+    postings per shingle (each carrying its weight N − df), candidate pairs
+    expand MAP-SIDE from each sorted list, per-doc total mass re-explodes
+    the same postings — so the shingling is computed once and the plan
+    never joins the exploded (doc, shingle) set against a vocabulary-sized
+    table (the previous formulation's extra shuffle; 6.8 s → ~2 s at
+    sf0.1). Nothing is all-pairs; weights change scoring, not the
     candidate structure."""
     docs = load_table(spark, sf_dir, "documents")
     shingled = _doc_shingles(docs)
     e = shingled.select("doc_id", F.explode("sh").alias("shingle"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    df = e.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
-    ew = (
-        e.join(df, "shingle")
+    posts = (
+        e.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ps"))
         .crossJoin(F.broadcast(n_docs))
         .select(
-            "doc_id",
-            "shingle",
-            "sdf",
-            (F.col("n_docs") - F.col("sdf")).alias("w"),
+            "ps",
+            F.size("ps").alias("sdf"),
+            (F.col("n_docs") - F.size("ps")).cast("long").alias("w"),
         )
     )
     # per-doc total mass counts EVERY shingle (the denominator stays exact)
-    wtot = ew.groupBy("doc_id").agg(
-        F.sum("w").cast("long").alias("w_total")
+    wtot = (
+        posts.select(F.explode("ps").alias("doc_id"), "w")
+        .groupBy("doc_id")
+        .agg(F.sum("w").cast("long").alias("w_total"))
     )
-    # the PAIR join carries q_dedup_fuzzy's _MAX_POSTINGS cap (a stop-phrase
-    # shingle's pair fan-out is df², the quadratic failure mode); the oracle
-    # stays uncapped and the asymmetry is safe for the reason pinned by
-    # tests/test_postings_cap_domain.py — observed max df is far below the
-    # cap at every test SF, so the cap prunes nothing here. A capped
-    # high-df shingle also carries ~zero weight by construction (w = N − df),
-    # so even when the cap does engage, retained scores barely move and can
-    # only shrink — the cap never creates false positives.
-    capped = ew.filter(F.col("sdf") <= _MAX_POSTINGS)
-    a, b = capped.alias("a"), capped.alias("b")
+    # the PAIR expansion carries q_dedup_fuzzy's _MAX_POSTINGS cap (a
+    # stop-phrase shingle's pair fan-out is df², the quadratic failure
+    # mode); the oracle stays uncapped and the asymmetry is safe for the
+    # reason pinned by tests/test_postings_cap_domain.py — observed max df
+    # is far below the cap at every test SF, so the cap prunes nothing
+    # here. A capped high-df shingle also carries ~zero weight by
+    # construction (w = N − df), so even when the cap does engage, retained
+    # scores barely move and can only shrink — the cap never creates false
+    # positives.
+    pair = F.explode(
+        F.expr(
+            """flatten(transform(ps, (x, i) ->
+                 transform(slice(ps, i + 2, size(ps) - i - 1), y ->
+                   struct(x AS doc_id_a, y AS doc_id_b))))"""
+        )
+    ).alias("p")
     wshared = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
-        )
-        .agg(F.sum(F.col("a.w")).cast("long").alias("w_shared"))
+        posts.filter(F.col("sdf").between(2, _MAX_POSTINGS))
+        .select(pair, "w")
+        .select("p.*", "w")
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.sum("w").cast("long").alias("w_shared"))
     )
     ta = wtot.select(
         F.col("doc_id").alias("doc_id_a"), F.col("w_total").alias("wt_a")
