@@ -104,8 +104,10 @@ def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles on node id and the frontier stays a tiny fraction of the
     edge list; a bounded-hop BFS is the production form — unbounded BFS
     over a high-diameter graph is a different algorithm (use the CC/star
-    machinery)."""
-    edges = _bi_edges(spark, sf_dir)
+    machinery). The edge list localCheckpoints before the loop (the
+    Pregel persist rule, graph.py:125) so the lineitem⋈orders derivation
+    runs once, not once per hop."""
+    edges = _bi_edges(spark, sf_dir).localCheckpoint(eager=False)
     dist = spark.createDataFrame([(int(_SP_SOURCE), 0)], "node bigint, dist bigint")
     for _ in range(_SP_MAX_HOPS):
         grown = (
