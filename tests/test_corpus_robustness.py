@@ -22,10 +22,26 @@ CORPUS_MODULES = {
     "pipeline_ops",
     "udf_surface",
     "clustering",
+    "text_ext",
+    "subdoc",
+    "vector_stats",
+    "graph_ext",
+    "stats_tests",
 }
 
-# pipeline_ops members that read the TPC-H tables, not the corpus pair
-_NON_CORPUS = {"q_histogram", "q_profile_table"}
+# members of the modules above that read the TPC-H/events tables, not the
+# corpus pair
+_NON_CORPUS = {
+    "q_histogram",
+    "q_profile_table",
+    "q_shortest_path",
+    "q_link_prediction",
+    "q_degree_distribution",
+    "q_ols_group",
+    "q_chi_square",
+    "q_ks_binned",
+    "q_benford",
+}
 
 CORPUS_QUERIES = sorted(
     name
