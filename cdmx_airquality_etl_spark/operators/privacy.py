@@ -1,0 +1,194 @@
+"""Privacy / re-identification governance batch: k-anonymity audit,
+l-diversity, suppression planning, and the generalization ladder.
+
+Lineage: extends the PII surface (q_pii_scrub redacts direct identifiers,
+textstats.py) to QUASI-identifiers — the combinations of innocuous
+attributes (segment × nation here) that re-identify individuals when a
+group is small. A training-data pipeline runs exactly these audits before
+releasing tabular metadata or user-derived aggregates; they are
+group-size arithmetic, so they distribute as plain hash aggregates.
+
+Determinism: everything is exact integer group counting; the only
+divisions are final exact-count ratios."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.parquet import load_table
+
+_K_ANON = 5
+_L_DIV = 3
+_BAL_BAND = 2000  # sensitive-attribute banding for l-diversity
+
+
+# ---------------------------------------------------------------------------
+# q_k_anonymity — quasi-identifier group sizes vs the k threshold
+# ---------------------------------------------------------------------------
+@register(
+    "q_k_anonymity",
+    oracle=f"""
+    SELECT c_mktsegment, c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           COUNT(*) >= {_K_ANON} AS is_k_anonymous
+    FROM customer
+    GROUP BY c_mktsegment, c_nationkey
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier (market segment,
+    nation): any equivalence class smaller than k = {k} re-identifies its
+    members through attribute linkage alone. One hash aggregate on the QI
+    — the audit costs one scan at any corpus size, and the output is
+    bounded by the QI domain, not the record count."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        (F.count(F.lit(1)) >= _K_ANON).alias("is_k_anonymous"),
+    )
+
+
+q_k_anonymity.__doc__ = q_k_anonymity.__doc__.format(k=_K_ANON)
+
+
+# ---------------------------------------------------------------------------
+# q_l_diversity — sensitive-value diversity inside each QI group
+# ---------------------------------------------------------------------------
+@register(
+    "q_l_diversity",
+    oracle=f"""
+    WITH banded AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(floor(c_acctbal / {_BAL_BAND}) AS BIGINT) AS bal_band
+      FROM customer
+    )
+    SELECT c_mktsegment, c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(COUNT(DISTINCT bal_band) AS BIGINT) AS n_sensitive,
+           COUNT(DISTINCT bal_band) >= {_L_DIV} AS is_l_diverse
+    FROM banded
+    GROUP BY c_mktsegment, c_nationkey
+    """,
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit: a k-anonymous group still leaks if every member
+    shares the SENSITIVE value (here the account-balance band) — an
+    attacker who locates the group learns the attribute without
+    identifying anyone. Requires ≥ l = {l} distinct sensitive values per
+    QI group. COUNT(DISTINCT band) per group — one aggregate with
+    bounded per-group state (bands are few)."""
+    cust = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / _BAL_BAND).cast("bigint")
+    return (
+        cust.select("c_mktsegment", "c_nationkey", band.alias("bal_band"))
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.countDistinct("bal_band").alias("n_sensitive"),
+            (F.countDistinct("bal_band") >= _L_DIV).alias("is_l_diverse"),
+        )
+    )
+
+
+q_l_diversity.__doc__ = q_l_diversity.__doc__.format(l=_L_DIV)
+
+
+# ---------------------------------------------------------------------------
+# q_suppression_plan — records lost to reach k-anonymity by suppression
+# ---------------------------------------------------------------------------
+@register(
+    "q_suppression_plan",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer GROUP BY c_mktsegment, c_nationkey
+    )
+    SELECT c_mktsegment,
+           CAST(SUM(n) AS BIGINT) AS n_records,
+           CAST(SUM(CASE WHEN n < {_K_ANON} THEN n ELSE 0 END) AS BIGINT) AS n_suppressed,
+           CAST(SUM(CASE WHEN n < {_K_ANON} THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
+           CAST(CAST(SUM(CASE WHEN n >= {_K_ANON} THEN n ELSE 0 END) AS DOUBLE)
+                / CAST(SUM(n) AS DOUBLE) AS DOUBLE) AS retention_rate
+    FROM g GROUP BY c_mktsegment
+    """,
+)
+def q_suppression_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppression cost model: to reach k-anonymity by deletion alone,
+    every record in a below-k group must go. Per segment: records,
+    records suppressed, violating group count, and the retention rate —
+    the number a release decision weighs against the generalization
+    ladder's alternative. Two nested aggregates over the QI grain."""
+    cust = load_table(spark, sf_dir, "customer")
+    g = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    small = F.when(F.col("n") < _K_ANON, F.col("n")).otherwise(0)
+    kept = F.when(F.col("n") >= _K_ANON, F.col("n")).otherwise(0)
+    return g.groupBy("c_mktsegment").agg(
+        F.sum("n").alias("n_records"),
+        F.sum(small).alias("n_suppressed"),
+        F.sum(F.when(F.col("n") < _K_ANON, 1).otherwise(0)).alias("n_small_groups"),
+        (F.sum(kept).cast("double") / F.sum("n").cast("double")).alias("retention_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_generalization_ladder — anonymity at successive QI coarsenings
+# ---------------------------------------------------------------------------
+@register(
+    "q_generalization_ladder",
+    oracle=f"""
+    WITH joined AS (
+      SELECT c_mktsegment, c_nationkey, n_regionkey
+      FROM customer JOIN nation ON n_nationkey = c_nationkey
+    ),
+    l0 AS (
+      SELECT 0 AS level, c_mktsegment AS qi1, CAST(c_nationkey AS BIGINT) AS qi2, COUNT(*) AS n
+      FROM joined GROUP BY c_mktsegment, c_nationkey
+    ),
+    l1 AS (
+      SELECT 1 AS level, c_mktsegment AS qi1, CAST(n_regionkey AS BIGINT) AS qi2, COUNT(*) AS n
+      FROM joined GROUP BY c_mktsegment, n_regionkey
+    ),
+    l2 AS (
+      SELECT 2 AS level, c_mktsegment AS qi1, CAST(-1 AS BIGINT) AS qi2, COUNT(*) AS n
+      FROM joined GROUP BY c_mktsegment
+    ),
+    al AS (
+      SELECT * FROM l0 UNION ALL SELECT * FROM l1 UNION ALL SELECT * FROM l2
+    )
+    SELECT CAST(level AS BIGINT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n < {_K_ANON} THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+           CAST(SUM(CASE WHEN n < {_K_ANON} THEN n ELSE 0 END) AS BIGINT) AS n_records_at_risk
+    FROM al GROUP BY level
+    """,
+)
+def q_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generalization ladder: k-anonymity re-evaluated as the nation
+    quasi-identifier coarsens (level 0 = nation, 1 = region, 2 = dropped)
+    — each rung trades attribute precision for larger, safer groups. The
+    audit shows where violations vanish, i.e. the minimal generalization
+    that avoids suppression. Three aggregates over successively coarser
+    keys (Spark computes them as one scan + three cheap shuffles; the
+    rollup lattice shares the base join)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    joined = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    l0 = joined.groupBy(
+        F.col("c_mktsegment").alias("qi1"), F.col("c_nationkey").cast("bigint").alias("qi2")
+    ).agg(F.count(F.lit(1)).alias("n")).withColumn("level", F.lit(0))
+    l1 = joined.groupBy(
+        F.col("c_mktsegment").alias("qi1"), F.col("n_regionkey").cast("bigint").alias("qi2")
+    ).agg(F.count(F.lit(1)).alias("n")).withColumn("level", F.lit(1))
+    l2 = joined.groupBy(F.col("c_mktsegment").alias("qi1")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).withColumn("qi2", F.lit(-1).cast("bigint")).withColumn("level", F.lit(2))
+    al = l0.unionByName(l1).unionByName(l2.select(l0.columns))
+    return al.groupBy(F.col("level").cast("bigint").alias("level")).agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("n") < _K_ANON, 1).otherwise(0)).alias("n_violating"),
+        F.sum(F.when(F.col("n") < _K_ANON, F.col("n")).otherwise(0)).alias("n_records_at_risk"),
+    )
