@@ -1,0 +1,339 @@
+"""Behavioral-analytics batch: marketing attribution, DAU/WAU stickiness,
+conversion lag, interval merging, and power-user concentration.
+
+Lineage: completes the event-analytics surface (q_funnel, q_retention,
+q_sessionize, q_event_transitions in analytics.py) with the next queries a
+product-analytics consumer runs over the same event stream. Every operator
+aggregates the stream to a per-user or per-day grain first (one
+map-combined shuffle) and runs its window logic on that grain — the
+bounded-partition discipline of the existing batch.
+
+Determinism: timestamps compare as raw values; argmin/argmax over touches
+break ties on (ts, event_id) — a total order; all ratios divide exact
+integer counts once."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..sources.parquet import load_table
+
+_ATTR_WINDOW_DAYS = 7
+_LTV_TOP_PCT = 10  # power users = top 10% by event count
+_ORDER_SPAN_DAYS = 30  # order activity interval length
+
+
+# ---------------------------------------------------------------------------
+# q_attribution — first-touch vs last-touch conversion attribution
+# ---------------------------------------------------------------------------
+@register(
+    "q_attribution",
+    oracle=f"""
+    WITH conv AS (
+      SELECT user_id, ts AS cts, event_id AS cid FROM events
+      WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type IN ('click', 'view')
+    ),
+    pairs AS (
+      SELECT c.cid, t.event_type, t.ts, t.event_id
+      FROM conv c JOIN touch t
+        ON t.user_id = c.user_id
+       AND t.ts < c.cts
+       AND t.ts >= c.cts - INTERVAL {_ATTR_WINDOW_DAYS} DAY
+    ),
+    ranked AS (
+      SELECT cid, event_type,
+             row_number() OVER (PARTITION BY cid ORDER BY ts, event_id) AS rf,
+             row_number() OVER (PARTITION BY cid ORDER BY ts DESC, event_id DESC) AS rl
+      FROM pairs
+    )
+    SELECT model, event_type, CAST(COUNT(*) AS BIGINT) AS n_conversions
+    FROM (
+      SELECT 'first_touch' AS model, event_type FROM ranked WHERE rf = 1
+      UNION ALL
+      SELECT 'last_touch' AS model, event_type FROM ranked WHERE rl = 1
+    )
+    GROUP BY model, event_type
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: each purchase credits the user's first and
+    last qualifying touch (click/view within the preceding {w} days),
+    producing the first-touch vs last-touch model comparison in one
+    result. The conversion↔touch join is per-user with a bounded time
+    band; the argmin/argmax resolve by row_number over each conversion's
+    touch set (bounded by touches-per-user-week) with a total (ts,
+    event_id) order. Purchases with no qualifying touch are unattributed
+    and drop — by design, both models must credit the same conversion
+    set."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+    )
+    touch = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    pairs = conv.join(
+        touch,
+        (touch.user_id == conv.cu)
+        & (touch.ts < conv.cts)
+        & (touch.ts >= conv.cts - F.expr(f"INTERVAL {_ATTR_WINDOW_DAYS} DAYS")),
+    )
+    wf = Window.partitionBy("cid").orderBy("ts", "event_id")
+    wl = Window.partitionBy("cid").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    ranked = pairs.select(
+        "cid", "event_type",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wl).alias("rl"),
+    )
+    first = ranked.filter(F.col("rf") == 1).select(
+        F.lit("first_touch").alias("model"), "event_type"
+    )
+    last = ranked.filter(F.col("rl") == 1).select(
+        F.lit("last_touch").alias("model"), "event_type"
+    )
+    return first.unionByName(last).groupBy("model", "event_type").agg(
+        F.count(F.lit(1)).alias("n_conversions")
+    )
+
+
+q_attribution.__doc__ = q_attribution.__doc__.format(w=_ATTR_WINDOW_DAYS)
+
+
+# ---------------------------------------------------------------------------
+# q_stickiness — DAU/WAU engagement ratio per week
+# ---------------------------------------------------------------------------
+@register(
+    "q_stickiness",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+             user_id
+      FROM events
+    ),
+    dau AS (
+      SELECT day // 7 AS wk, day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+      FROM d GROUP BY day // 7, day
+    ),
+    wau AS (
+      SELECT day // 7 AS wk, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+      FROM d GROUP BY day // 7
+    )
+    SELECT dau.wk AS wk,
+           CAST(SUM(dau.dau) AS BIGINT) AS dau_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MAX(wau.wau) AS BIGINT) AS wau,
+           CAST(CAST(SUM(dau.dau) AS DOUBLE)
+                / (CAST(COUNT(*) AS DOUBLE) * CAST(MAX(wau.wau) AS DOUBLE)) AS DOUBLE) AS stickiness
+    FROM dau JOIN wau ON dau.wk = wau.wk
+    GROUP BY dau.wk
+    """,
+)
+def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per epoch-week: average daily active users over
+    weekly active users — the engagement-frequency metric (1.0 = every
+    weekly user active every observed day). Two distinct-count aggregates
+    on the (week, day) and week grains; the ratio divides exact integers
+    once. Weeks are epoch-day DIV 7 (no locale week truncation —
+    q_retention's convention)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).cast("bigint")
+    d = ev.select(day.alias("day"), "user_id")
+    dau = d.groupBy(F.floor(F.col("day") / 7).cast("bigint").alias("wk"), "day").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    wau = d.groupBy(F.floor(F.col("day") / 7).cast("bigint").alias("wk")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return (
+        dau.join(wau, "wk")
+        .groupBy("wk")
+        .agg(
+            F.sum("dau").alias("dau_sum"),
+            F.count(F.lit(1)).alias("n_days"),
+            F.max("wau").alias("wau"),
+            (
+                F.sum("dau").cast("double")
+                / (F.count(F.lit(1)).cast("double") * F.max("wau").cast("double"))
+            ).alias("stickiness"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_conversion_lag — days from first view to first purchase, histogrammed
+# ---------------------------------------------------------------------------
+@register(
+    "q_conversion_lag",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(datediff('day', CAST(first_view AS DATE), CAST(first_purchase AS DATE)) AS BIGINT) AS lag_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM firsts
+    WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+      AND first_purchase >= first_view
+    GROUP BY 1
+    """,
+)
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: calendar days between each user's
+    first view and first purchase (users who purchased before ever
+    viewing, or never did both, drop out). One conditional-min aggregate
+    per user, then a histogram on the day lag — both exact. The funnel's
+    temporal twin: q_funnel counts WHO converts, this measures HOW LONG
+    conversion takes."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    return (
+        firsts.filter(
+            F.col("first_view").isNotNull()
+            & F.col("first_purchase").isNotNull()
+            & (F.col("first_purchase") >= F.col("first_view"))
+        )
+        .groupBy(
+            F.datediff(
+                F.col("first_purchase").cast("date"), F.col("first_view").cast("date")
+            ).cast("bigint").alias("lag_days")
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_interval_merge — coalesce overlapping activity intervals per customer
+# ---------------------------------------------------------------------------
+@register(
+    "q_interval_merge",
+    oracle=f"""
+    WITH iv AS (
+      SELECT o_custkey,
+             CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS s,
+             CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + {_ORDER_SPAN_DAYS} AS BIGINT) AS e
+      FROM orders
+    ),
+    marked AS (
+      SELECT o_custkey, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY o_custkey ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT o_custkey, s, e,
+             SUM(new_island) OVER (PARTITION BY o_custkey ORDER BY s, e) AS island
+      FROM marked
+    ),
+    merged AS (
+      SELECT o_custkey, island, MIN(s) AS ms, MAX(e) AS me, COUNT(*) AS n_orders
+      FROM islands GROUP BY o_custkey, island
+    )
+    SELECT o_custkey AS c_custkey,
+           CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(me - ms) AS BIGINT) AS covered_days
+    FROM merged GROUP BY o_custkey
+    """,
+)
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing (the union-of-ranges operator): each order
+    opens a {d}-day activity interval; overlapping intervals per customer
+    merge into islands via the running-max-of-end identity (a new island
+    starts exactly when the next start exceeds every prior end). Output
+    per customer: orders, merged interval count, and total covered days —
+    the dedup-aware activity footprint that naive SUM(span) double-counts.
+    Windows partition per customer (bounded by orders-per-customer);
+    day arithmetic is exact integers."""
+    orders = load_table(spark, sf_dir, "orders")
+    s = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).cast("bigint")
+    iv = orders.select(
+        "o_custkey", s.alias("s"), (s + _ORDER_SPAN_DAYS).alias("e")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("s", "e")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = iv.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.coalesce(prev_max_e, F.lit(-1)), 1).otherwise(0),
+    )
+    islands = marked.withColumn(
+        "island", F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    merged = islands.groupBy("o_custkey", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me"), F.count(F.lit(1)).alias("n_orders")
+    )
+    return merged.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum("n_orders").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.col("me") - F.col("ms")).alias("covered_days"),
+    )
+
+
+q_interval_merge.__doc__ = q_interval_merge.__doc__.format(d=_ORDER_SPAN_DAYS)
+
+
+# ---------------------------------------------------------------------------
+# q_power_users — activity concentration in the top decile
+# ---------------------------------------------------------------------------
+@register(
+    "q_power_users",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT user_id, n,
+             row_number() OVER (ORDER BY n DESC, user_id) AS rn,
+             COUNT(*) OVER () AS n_users,
+             SUM(n) OVER () AS n_events
+      FROM per_user
+    )
+    SELECT CAST(MAX(n_users) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN rn * {_LTV_TOP_PCT} <= n_users THEN 1 ELSE 0 END) AS BIGINT) AS n_power_users,
+           CAST(MAX(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN rn * {_LTV_TOP_PCT} <= n_users THEN n ELSE 0 END) AS BIGINT) AS power_events,
+           CAST(CAST(SUM(CASE WHEN rn * {_LTV_TOP_PCT} <= n_users THEN n ELSE 0 END) AS DOUBLE)
+                / CAST(MAX(n_events) AS DOUBLE) AS DOUBLE) AS power_share
+    FROM ranked
+    """,
+)
+def q_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity concentration: the share of all events generated by the
+    top-decile users (exact integer decile cut, rn·10 ≤ n — the
+    q_top_percent discipline on the user grain). One aggregate to the
+    user grain, one rank window over users (5-6 orders of magnitude
+    smaller than the stream), one summary row. The 80/20 sanity check
+    every engagement dashboard leads with."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), "user_id")
+    ranked = per_user.select(
+        "user_id", "n",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_users"),
+        F.sum("n").over(Window.partitionBy()).alias("n_events"),
+    )
+    is_power = F.col("rn") * _LTV_TOP_PCT <= F.col("n_users")
+    return ranked.agg(
+        F.max("n_users").alias("n_users"),
+        F.sum(F.when(is_power, 1).otherwise(0)).alias("n_power_users"),
+        F.max("n_events").alias("n_events"),
+        F.sum(F.when(is_power, F.col("n")).otherwise(0)).alias("power_events"),
+        (
+            F.sum(F.when(is_power, F.col("n")).otherwise(0)).cast("double")
+            / F.max("n_events").cast("double")
+        ).alias("power_share"),
+    )

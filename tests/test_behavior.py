@@ -1,0 +1,125 @@
+"""Semantics tests for the behavioral-analytics batch
+(operators/behavior.py), with pandas replays."""
+
+import pandas as pd
+import pyarrow.parquet as pq
+
+from cdmx_airquality_etl_spark.operators.behavior import (
+    _ATTR_WINDOW_DAYS,
+    _ORDER_SPAN_DAYS,
+)
+from cdmx_airquality_etl_spark.registry import QUERIES
+
+
+def _events(sf_dir):
+    ev = pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
+    ev["ts"] = pd.to_datetime(ev["ts"])
+    return ev
+
+
+# ---------------------------------------------------------------------------
+# q_attribution
+# ---------------------------------------------------------------------------
+def test_attribution_models_credit_same_conversions(spark, sf_dir):
+    rows = QUERIES["q_attribution"](spark, sf_dir).collect()
+    assert rows
+    first = sum(r["n_conversions"] for r in rows if r["model"] == "first_touch")
+    last = sum(r["n_conversions"] for r in rows if r["model"] == "last_touch")
+    assert first == last  # both models credit exactly the attributable set
+
+
+def test_attribution_matches_pandas(spark, sf_dir):
+    rows = {(r["model"], r["event_type"]): r["n_conversions"] for r in QUERIES["q_attribution"](spark, sf_dir).collect()}
+    ev = _events(sf_dir)
+    conv = ev[ev.event_type == "purchase"]
+    touch = ev[ev.event_type.isin(["click", "view"])]
+    got = {}
+    for c in conv.itertuples():
+        cand = touch[
+            (touch.user_id == c.user_id)
+            & (touch.ts < c.ts)
+            & (touch.ts >= c.ts - pd.Timedelta(days=_ATTR_WINDOW_DAYS))
+        ].sort_values(["ts", "event_id"])
+        if len(cand) == 0:
+            continue
+        got[("first_touch", cand.iloc[0]["event_type"])] = got.get(("first_touch", cand.iloc[0]["event_type"]), 0) + 1
+        got[("last_touch", cand.iloc[-1]["event_type"])] = got.get(("last_touch", cand.iloc[-1]["event_type"]), 0) + 1
+    assert rows == got
+
+
+# ---------------------------------------------------------------------------
+# q_stickiness
+# ---------------------------------------------------------------------------
+def test_stickiness_bounds_and_replay(spark, sf_dir):
+    rows = {r["wk"]: r for r in QUERIES["q_stickiness"](spark, sf_dir).collect()}
+    ev = _events(sf_dir)
+    ev["day"] = (ev["ts"].dt.normalize() - pd.Timestamp("1970-01-01")).dt.days
+    ev["wk"] = ev["day"] // 7
+    for wk, g in ev.groupby("wk"):
+        r = rows[wk]
+        dau_sum = g.groupby("day")["user_id"].nunique().sum()
+        wau = g["user_id"].nunique()
+        n_days = g["day"].nunique()
+        assert r["dau_sum"] == dau_sum
+        assert r["wau"] == wau
+        assert r["n_days"] == n_days
+        assert abs(r["stickiness"] - dau_sum / (n_days * wau)) < 1e-12
+        assert 0.0 < r["stickiness"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# q_conversion_lag
+# ---------------------------------------------------------------------------
+def test_conversion_lag_matches_pandas(spark, sf_dir):
+    rows = {r["lag_days"]: r["n_users"] for r in QUERIES["q_conversion_lag"](spark, sf_dir).collect()}
+    ev = _events(sf_dir)
+    got = {}
+    for uid, g in ev.groupby("user_id"):
+        v = g.loc[g.event_type == "view", "ts"].min()
+        p = g.loc[g.event_type == "purchase", "ts"].min()
+        if pd.isna(v) or pd.isna(p) or p < v:
+            continue
+        lag = (p.normalize() - v.normalize()).days
+        got[lag] = got.get(lag, 0) + 1
+    assert rows == got
+
+
+# ---------------------------------------------------------------------------
+# q_interval_merge
+# ---------------------------------------------------------------------------
+def test_interval_merge_matches_pandas(spark, sf_dir):
+    rows = {r["c_custkey"]: r for r in QUERIES["q_interval_merge"](spark, sf_dir).collect()}
+    orders = pq.read_table(f"{sf_dir}/orders.parquet").to_pandas()
+    orders["s"] = (pd.to_datetime(orders["o_orderdate"]).dt.normalize() - pd.Timestamp("1970-01-01")).dt.days
+    for ck, g in list(orders.groupby("o_custkey"))[:40]:
+        ivs = sorted((s, s + _ORDER_SPAN_DAYS) for s in g["s"])
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        r = rows[ck]
+        assert r["n_orders"] == len(g)
+        assert r["n_intervals"] == len(merged)
+        assert r["covered_days"] == sum(e - s for s, e in merged)
+
+
+# ---------------------------------------------------------------------------
+# q_power_users
+# ---------------------------------------------------------------------------
+def test_power_users_matches_pandas(spark, sf_dir):
+    r = QUERIES["q_power_users"](spark, sf_dir).collect()[0]
+    ev = _events(sf_dir)
+    per_user = ev.groupby("user_id").size().sort_values(ascending=False)
+    n_users = len(per_user)
+    k = n_users // 10
+    # tiebreak: count desc, user_id asc
+    ranked = sorted(per_user.items(), key=lambda kv: (-kv[1], kv[0]))
+    power = sum(n for _, n in ranked[:k])
+    assert r["n_users"] == n_users
+    assert r["n_power_users"] == k
+    assert r["n_events"] == len(ev)
+    assert r["power_events"] == power
+    assert abs(r["power_share"] - power / len(ev)) < 1e-12
+    assert r["power_share"] >= k / n_users  # top decile is at least proportional
