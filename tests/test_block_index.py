@@ -1,0 +1,112 @@
+"""Batch-equivalence + replay tests for the streaming block index
+(streaming/block_index.py): incremental merging over any batch split must
+equal the one-shot computation, and replays must not double-count."""
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from cdmx_airquality_etl_spark.registry import QUERIES
+from cdmx_airquality_etl_spark.sources.parquet import load_table
+from cdmx_airquality_etl_spark.streaming.block_index import (
+    block_index_stream,
+    read_block_index,
+    score_batch_against_index,
+    update_block_index,
+)
+
+DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def _corpus(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_incremental_merge_equals_batch(spark, sf_dir, tmp_path):
+    docs = _corpus(spark, sf_dir)
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = str(tmp_path / "index")
+    update_block_index(spark, half_a, idx, batch_id=0)
+    update_block_index(spark, half_b, idx, batch_id=1)
+    merged = {
+        r["block_hash"]: (r["n_docs"], r["n_occurrences"])
+        for r in read_block_index(spark, idx).collect()
+    }
+    # one-shot reference: q_block_dedup has the >= 2 filter, so recompute raw
+    one_shot = {
+        r["block_hash"]: (r["n_docs"], r["n_occurrences"])
+        for r in QUERIES["q_block_dedup"](spark, sf_dir).collect()
+    }
+    for h, counts in one_shot.items():
+        assert merged[h] == counts
+    # and blocks the one-shot filtered out (n_docs == 1) exist with count 1
+    assert all(v[0] >= 1 for v in merged.values())
+
+
+def test_replayed_batch_is_dropped(spark, sf_dir, tmp_path):
+    docs = _corpus(spark, sf_dir)
+    idx = str(tmp_path / "index")
+    update_block_index(spark, docs, idx, batch_id=0)
+    before = sorted(
+        (r["block_hash"], r["n_docs"], r["n_occurrences"])
+        for r in read_block_index(spark, idx).collect()
+    )
+    update_block_index(spark, docs, idx, batch_id=0)  # replay
+    after = sorted(
+        (r["block_hash"], r["n_docs"], r["n_occurrences"])
+        for r in read_block_index(spark, idx).collect()
+    )
+    assert before == after
+
+
+def test_score_matches_batch_operator_when_fully_ingested(spark, sf_dir, tmp_path):
+    docs = _corpus(spark, sf_dir)
+    idx = str(tmp_path / "index")
+    update_block_index(spark, docs, idx, batch_id=0)
+    got = {
+        r["doc_id"]: (r["n_blocks"], r["n_dup_blocks"], r["dup_ratio"])
+        for r in score_batch_against_index(spark, docs, idx).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_blocks"], r["n_dup_blocks"], r["dup_ratio"])
+        for r in QUERIES["q_doc_dup_ratio"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_stream_availablenow_builds_same_index(spark, sf_dir, tmp_path):
+    docs = pq.read_table(f"{sf_dir}/documents.parquet")
+    src = tmp_path / "src"
+    src.mkdir()
+    # two files -> two micro-batches (maxFilesPerTrigger=1)
+    pq.write_table(docs.slice(0, 250), f"{src}/part-0.parquet")
+    pq.write_table(docs.slice(250), f"{src}/part-1.parquet")
+    idx = str(tmp_path / "index")
+    q = block_index_stream(
+        spark, str(src), DOC_SCHEMA, idx, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    merged = {
+        r["block_hash"]: (r["n_docs"], r["n_occurrences"])
+        for r in read_block_index(spark, idx).collect()
+    }
+    one_shot = {
+        r["block_hash"]: (r["n_docs"], r["n_occurrences"])
+        for r in QUERIES["q_block_dedup"](spark, sf_dir).collect()
+    }
+    for h, counts in one_shot.items():
+        assert merged[h] == counts
