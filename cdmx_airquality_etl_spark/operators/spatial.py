@@ -1,0 +1,207 @@
+"""Spatial-grid batch: cell-bucketed radius joins, neighborhood density,
+and grid-bounded nearest neighbors over a derived 2-D point set.
+
+Lineage: the reference's stations live on a city map (SURVEY §1 —
+monitoring sites are geographic); the corpus carries no coordinates, so
+points derive deterministically from customer keys (the q_null_safe_join
+convention of derived columns) — the OPERATORS are the point, and they are
+exactly the geohash/S2-cell discipline a 100 TB spatial join needs: bucket
+points into grid cells, join only the 3×3 cell neighborhood, and verify
+with exact arithmetic inside the bounded candidate set. No trigonometry
+enters any compared value (haversine's sin/cos are not correctly-rounded
+across libms — the planar distance² form is exact integer math).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..sources.parquet import load_table
+from .dedup import _md5_int, _sql_md5_int
+
+_GRID = 10000  # coordinate domain [0, GRID)
+_CELL = 250  # cell width; radius search is bounded by one cell
+_RADIUS2 = 200 * 200  # squared radius for the pair join (< _CELL, so 3x3 covers)
+
+# derived planar points: portable md5 hashing scatters keys uniformly (a
+# multiplicative derivation forms a LATTICE whose minimum pair distance
+# can exceed any radius — hashed coordinates behave like the random point
+# sets spatial joins are built for)
+_X_SRC = "'x|' || c_custkey"
+_Y_SRC = "'y|' || c_custkey"
+_X_EXPR = f"{_sql_md5_int(_X_SRC, 12)} % {_GRID}"
+_Y_EXPR = f"{_sql_md5_int(_Y_SRC, 12)} % {_GRID}"
+_SQL_POINTS = f"""
+    pts AS (
+      SELECT c_custkey AS id,
+             CAST({_X_EXPR} AS BIGINT) AS x,
+             CAST({_Y_EXPR} AS BIGINT) AS y,
+             CAST(({_X_EXPR}) // {_CELL} AS BIGINT) AS cx,
+             CAST(({_Y_EXPR}) // {_CELL} AS BIGINT) AS cy
+      FROM customer
+    )
+"""
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    x = _md5_int(F.concat(F.lit("x|"), F.col("c_custkey").cast("string")), 12) % _GRID
+    y = _md5_int(F.concat(F.lit("y|"), F.col("c_custkey").cast("string")), 12) % _GRID
+    return cust.select(
+        F.col("c_custkey").alias("id"),
+        x.alias("x"),
+        y.alias("y"),
+        F.floor(x / _CELL).cast("bigint").alias("cx"),
+        F.floor(y / _CELL).cast("bigint").alias("cy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_spatial_grid_join — radius pairs via 3×3 cell-neighborhood join
+# ---------------------------------------------------------------------------
+@register(
+    "q_spatial_grid_join",
+    oracle=f"""
+    WITH {_SQL_POINTS}
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+    FROM pts a JOIN pts b
+      ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+     AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+     AND a.id < b.id
+     AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {_RADIUS2}
+    """,
+)
+def q_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius self-join via grid bucketing: every pair within radius r
+    lies in adjacent cells when the cell width exceeds r, so the join
+    probes ONLY the 3×3 neighborhood — candidate count is density-bounded
+    per cell, never corpus-quadratic (the geohash discipline; the spatial
+    twin of the dedup batch's postings cap). The distance test is exact
+    integer arithmetic on the squared form — no sqrt, no trig. At 100 TB
+    the points repartition by cell id and each task sees its
+    neighborhood."""
+    pts = _points(spark, sf_dir)
+    a = pts.alias("a")
+    b = pts.alias("b")
+    d2 = (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x")) + (
+        F.col("a.y") - F.col("b.y")
+    ) * (F.col("a.y") - F.col("b.y"))
+    return (
+        a.join(
+            b,
+            (F.col("b.cx") >= F.col("a.cx") - 1)
+            & (F.col("b.cx") <= F.col("a.cx") + 1)
+            & (F.col("b.cy") >= F.col("a.cy") - 1)
+            & (F.col("b.cy") <= F.col("a.cy") + 1)
+            & (F.col("a.id") < F.col("b.id"))
+            & (d2 <= _RADIUS2),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            d2.cast("bigint").alias("dist2"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_spatial_density — per-cell counts + 3×3 neighborhood density
+# ---------------------------------------------------------------------------
+@register(
+    "q_spatial_density",
+    oracle=f"""
+    WITH {_SQL_POINTS},
+    cells AS (
+      SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n FROM pts GROUP BY cx, cy
+    )
+    SELECT a.cx, a.cy, a.n,
+           CAST(SUM(b.n) AS BIGINT) AS neighborhood_n
+    FROM cells a JOIN cells b
+      ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+     AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+    GROUP BY a.cx, a.cy, a.n
+    """,
+)
+def q_spatial_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid density map with a 3×3 box-sum (the discrete convolution
+    hotspot detector): per-cell point counts, then each cell's
+    neighborhood total from a cell-grain self-join — the second join runs
+    over the CELL table (corpus-size-independent), which is why density
+    maps are cheap at any scale. Exact integer counts."""
+    pts = _points(spark, sf_dir)
+    cells = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n"))
+    a = cells.alias("a")
+    b = cells.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.cx") >= F.col("a.cx") - 1)
+            & (F.col("b.cx") <= F.col("a.cx") + 1)
+            & (F.col("b.cy") >= F.col("a.cy") - 1)
+            & (F.col("b.cy") <= F.col("a.cy") + 1),
+        )
+        .groupBy(F.col("a.cx").alias("cx"), F.col("a.cy").alias("cy"), F.col("a.n").alias("n"))
+        .agg(F.sum("b.n").alias("neighborhood_n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_spatial_nearest — grid-bounded nearest neighbor per point
+# ---------------------------------------------------------------------------
+@register(
+    "q_spatial_nearest",
+    oracle=f"""
+    WITH {_SQL_POINTS},
+    cand AS (
+      SELECT a.id,
+             b.id AS nn_id,
+             (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2,
+             row_number() OVER (
+               PARTITION BY a.id
+               ORDER BY (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y), b.id
+             ) AS rn
+      FROM pts a JOIN pts b
+        ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+       AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+       AND a.id <> b.id
+    )
+    SELECT id, nn_id, CAST(d2 AS BIGINT) AS dist2
+    FROM cand WHERE rn = 1
+    """,
+)
+def q_spatial_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest neighbor per point, bounded to the 3×3 cell neighborhood —
+    the approximate-NN contract every spatial index offers: exact within
+    the neighborhood, and a point whose true NN lies further than one
+    cell simply has no row (isolated points surface in the count, not as
+    wrong answers). Argmin resolves by a per-point window over the
+    bounded candidate set with (distance², id) total order. The spatial
+    twin of q_knn_graph's bucket-bounded neighbors."""
+    pts = _points(spark, sf_dir)
+    a = pts.alias("a")
+    b = pts.alias("b")
+    d2 = (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x")) + (
+        F.col("a.y") - F.col("b.y")
+    ) * (F.col("a.y") - F.col("b.y"))
+    cand = a.join(
+        b,
+        (F.col("b.cx") >= F.col("a.cx") - 1)
+        & (F.col("b.cx") <= F.col("a.cx") + 1)
+        & (F.col("b.cy") >= F.col("a.cy") - 1)
+        & (F.col("b.cy") <= F.col("a.cy") + 1)
+        & (F.col("a.id") != F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id"),
+        F.col("b.id").alias("nn_id"),
+        d2.alias("d2"),
+    )
+    w = Window.partitionBy("id").orderBy("d2", "nn_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "nn_id", F.col("d2").cast("bigint").alias("dist2"))
+    )
