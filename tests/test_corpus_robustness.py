@@ -27,6 +27,7 @@ CORPUS_MODULES = {
     "vector_stats",
     "graph_ext",
     "stats_tests",
+    "rerank",
 }
 
 # members of the modules above that read the TPC-H/events tables, not the
