@@ -118,12 +118,12 @@ q_attribution.__doc__ = q_attribution.__doc__.format(w=_ATTR_WINDOW_DAYS)
       FROM events
     ),
     dau AS (
-      SELECT day // 7 AS wk, day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
-      FROM d GROUP BY day // 7, day
+      SELECT CAST(floor(day / 7.0) AS BIGINT) AS wk, day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+      FROM d GROUP BY CAST(floor(day / 7.0) AS BIGINT), day
     ),
     wau AS (
-      SELECT day // 7 AS wk, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
-      FROM d GROUP BY day // 7
+      SELECT CAST(floor(day / 7.0) AS BIGINT) AS wk, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+      FROM d GROUP BY CAST(floor(day / 7.0) AS BIGINT)
     )
     SELECT dau.wk AS wk,
            CAST(SUM(dau.dau) AS BIGINT) AS dau_sum,
@@ -140,8 +140,10 @@ def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     weekly active users — the engagement-frequency metric (1.0 = every
     weekly user active every observed day). Two distinct-count aggregates
     on the (week, day) and week grains; the ratio divides exact integers
-    once. Weeks are epoch-day DIV 7 (no locale week truncation —
-    q_retention's convention)."""
+    once. Weeks are floor(epoch-day / 7) on BOTH sides (DuckDB's integer //
+    truncates toward zero, diverging from Spark's floor on pre-epoch
+    days — the q_division_semantics trap, pinned here by using floor in
+    both engines)."""
     ev = load_table(spark, sf_dir, "events")
     day = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).cast("bigint")
     d = ev.select(day.alias("day"), "user_id")

@@ -34,7 +34,12 @@ _RRF_C = 60
 _RRF_TOPK = 10
 
 
-def _query_and_candidates(spark: SparkSession, sf_dir: str, pool: int):
+def _scored_candidates(spark: SparkSession, sf_dir: str, pool: int | None = None):
+    """Shared retrieval scaffold: (nonzero corpus, scored candidates).
+
+    Scored = every non-query vector with its guarded cosine relevance to
+    vec_id 0 (`rel`); with `pool` set, cut to the top-`pool` TakeOrdered
+    candidate set. Every re-ranker builds on this one derivation."""
     emb = _nonzero(load_table(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qe")
@@ -43,15 +48,15 @@ def _query_and_candidates(spark: SparkSession, sf_dir: str, pool: int):
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
         .select(
-            "vec_id", "label", "embedding",
+            "vec_id", "label", "embedding", "qe",
             (
                 _dot("embedding", "qe")
                 / (F.sqrt(_dot("embedding", "embedding")) * F.sqrt(_dot("qe", "qe")))
             ).alias("rel"),
         )
-        .orderBy(F.col("rel").desc(), "vec_id")
-        .limit(pool)
     )
+    if pool is not None:
+        cand = cand.orderBy(F.col("rel").desc(), "vec_id").limit(pool)
     return emb, cand
 
 
@@ -120,7 +125,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pool (TakeOrdered), the {pool}×{pool} pairwise sims once, and
     each of the {k} levels is a join+argmax over ≤{pool} rows — iterative
     logic, bounded data, no driver collect."""
-    _, cand = _query_and_candidates(spark, sf_dir, _MMR_POOL)
+    _, cand = _scored_candidates(spark, sf_dir, _MMR_POOL)
     pool = cand.select("vec_id", "embedding", "rel").localCheckpoint(eager=False)
     a = pool.alias("a")
     b = pool.alias("b")
@@ -219,14 +224,9 @@ def q_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     metric that says how much the query moved. Two corpus passes plus a
     {f}-row centroid; at scale both passes are the same TakeOrdered scan
     q_similarity_topk runs."""
-    emb = _nonzero(load_table(spark, sf_dir, "embeddings"))
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
-    cand = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
-    rel = _dot("embedding", "qe") / (
-        F.sqrt(_dot("embedding", "embedding")) * F.sqrt(_dot("qe", "qe"))
-    )
+    emb, scored = _scored_candidates(spark, sf_dir)
     first_pass = (
-        cand.select("vec_id", "embedding", rel.alias("rel"))
+        scored.select("vec_id", "embedding", "rel")
         .orderBy(F.col("rel").desc(), "vec_id")
         .limit(_PRF_FEEDBACK)
     )
@@ -247,9 +247,9 @@ def q_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.row_number().over(Window.orderBy(cos2.desc(), F.col("vec_id"))).alias("rnk2"),
     )
-    rnk1 = cand.select(
+    rnk1 = scored.select(
         "vec_id",
-        F.row_number().over(Window.orderBy(rel.desc(), F.col("vec_id"))).alias("rnk1"),
+        F.row_number().over(Window.orderBy(F.col("rel").desc(), F.col("vec_id"))).alias("rnk1"),
     )
     return (
         rnk1.join(rnk2, "vec_id")
@@ -302,18 +302,13 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checkable). Each ranking is a window over the candidate set;
     the fusion joins on vec_id and evaluates ONE fixed two-term
     expression — no float accumulation order to diverge."""
-    emb = _nonzero(load_table(spark, sf_dir, "embeddings"))
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
-    cand = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
-    cos = _dot("embedding", "qe") / (
-        F.sqrt(_dot("embedding", "embedding")) * F.sqrt(_dot("qe", "qe"))
-    )
+    _, scored = _scored_candidates(spark, sf_dir)
     dp = _dot("embedding", "qe")
-    r1 = cand.select(
+    r1 = scored.select(
         "vec_id",
-        F.row_number().over(Window.orderBy(cos.desc(), F.col("vec_id"))).alias("r1"),
+        F.row_number().over(Window.orderBy(F.col("rel").desc(), F.col("vec_id"))).alias("r1"),
     )
-    r2 = cand.select(
+    r2 = scored.select(
         "vec_id",
         F.row_number().over(Window.orderBy(dp.desc(), F.col("vec_id"))).alias("r2"),
     )

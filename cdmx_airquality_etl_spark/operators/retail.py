@@ -239,11 +239,14 @@ def q_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational division (universal quantification): customers who have
     purchased from ALL brands in the target set. The FOR ALL folds into
     counting distinct matched brands per customer and keeping count =
-    |set| — one semi-filtered fact scan (brand dimension broadcast), one
-    distinct on (customer, brand) that the aggregate absorbs map-side,
-    no per-element EXISTS chain. The classic NOT EXISTS(NOT EXISTS(...))
-    phrasing would plan two correlated anti-joins; the count formulation
-    is the scale-correct equivalent for a fixed target set."""
+    |set| — one semi-filtered fact scan (the PART dimension broadcasts;
+    the brand filter shrinks the fact before the orders join, which AQE
+    plans from the measured sizes — orders is fact-scale and must NOT
+    carry a broadcast hint), one distinct on (customer, brand) that the
+    aggregate absorbs map-side, no per-element EXISTS chain. The classic
+    NOT EXISTS(NOT EXISTS(...)) phrasing would plan two correlated
+    anti-joins; the count formulation is the scale-correct equivalent for
+    a fixed target set."""
     target = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_brand").isin(*_DIVISION_BRANDS))
@@ -253,7 +256,7 @@ def q_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     bought = (
         li.join(F.broadcast(target), li.l_partkey == target.p_partkey)
-        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
         .select(F.col("o_custkey").alias("c_custkey"), "p_brand")
         .distinct()
     )

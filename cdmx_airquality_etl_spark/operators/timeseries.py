@@ -240,7 +240,7 @@ def q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
       SELECT event_type,
-             CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS BIGINT) AS wk,
+             CAST(floor(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) / 7.0) AS BIGINT) AS wk,
              ts, event_id,
              CAST(round(value * 100) AS BIGINT) AS vc,
              CAST(json_extract(props, '$.k') AS BIGINT) AS w
@@ -277,10 +277,6 @@ def q_ohlc_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     base = ev.select(
         "event_type",
-        (
-            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
-            / 7
-        ).cast("bigint").alias("wk_raw"),
         F.floor(
             F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")) / 7
         ).cast("bigint").alias("wk"),
@@ -288,7 +284,7 @@ def q_ohlc_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.col("value") * 100).cast("bigint").alias("vc"),
         F.get_json_object("props", "$.k").cast("bigint").alias("w"),
-    ).drop("wk_raw")
+    )
     wf = Window.partitionBy("event_type", "wk").orderBy("ts", "event_id")
     wl = Window.partitionBy("event_type", "wk").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()

@@ -38,10 +38,11 @@ _NORM_BIN = 4.0  # squared-norm histogram bin width
 @register(
     "q_feature_moments",
     oracle=f"""
-    WITH comp AS (
+    WITH {_SQL_NZ_CTE},
+    comp AS (
       SELECT dim - 1 AS dim,
              CAST(floor(CAST(embedding[dim] AS DOUBLE) * {_Q}) AS BIGINT) AS w
-      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(dim)
+      FROM nz, unnest(range(1, len(embedding) + 1)) AS t(dim)
     )
     SELECT dim,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -63,7 +64,7 @@ def q_feature_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size. Variance assembles as (nΣw² − (Σw)²)/n² over exact
     BIGINTs (Σw² ≤ 2^40·N — safe beyond 10^8 rows), divided once by the
     squared scale. This is the statistic PQ subspace allocation reads."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _nonzero(load_table(spark, sf_dir, "embeddings"))
     comp = emb.select(
         F.posexplode(F.col("embedding")).alias("dim", "x")
     ).select(
@@ -94,10 +95,11 @@ q_feature_moments.__doc__ = q_feature_moments.__doc__.format(s=_Q_SHIFT)
 @register(
     "q_label_centroids",
     oracle=f"""
-    WITH comp AS (
+    WITH {_SQL_NZ_CTE},
+    comp AS (
       SELECT label, dim - 1 AS dim,
              CAST(floor(CAST(embedding[dim] AS DOUBLE) * {_Q}) AS BIGINT) AS w
-      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(dim)
+      FROM nz, unnest(range(1, len(embedding) + 1)) AS t(dim)
     )
     SELECT label, dim,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -111,7 +113,7 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the input to q_centroid_confusion. One explode + one hash
     aggregate on (label, dim); output is |labels|·d rows regardless of
     corpus size."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _nonzero(load_table(spark, sf_dir, "embeddings"))
     comp = emb.select(
         "label", F.posexplode(F.col("embedding")).alias("dim", "x")
     ).select(
@@ -132,10 +134,11 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_dim_covariance",
     oracle=f"""
-    WITH comp AS (
+    WITH {_SQL_NZ_CTE},
+    comp AS (
       SELECT vec_id, dim - 1 AS dim,
              CAST(floor(CAST(embedding[dim] AS DOUBLE) * {_Q}) AS BIGINT) AS w
-      FROM embeddings, unnest(range(1, {_COV_DIMS} + 1)) AS t(dim)
+      FROM nz, unnest(range(1, {_COV_DIMS} + 1)) AS t(dim)
     ),
     prod AS (
       SELECT a.dim AS dim_i, b.dim AS dim_j,
@@ -164,7 +167,7 @@ def q_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     is linear in corpus size — the full d×d matrix at d=10³ would instead
     use a block-partitioned matrix multiply. Diagonal entries equal
     q_feature_moments' variances, pinned by tests."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _nonzero(load_table(spark, sf_dir, "embeddings"))
     comp = emb.select(
         "vec_id", F.posexplode(F.slice(F.col("embedding"), 1, _COV_DIMS)).alias("dim", "x")
     ).select(
@@ -243,7 +246,7 @@ def q_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp AS (
       SELECT label, dim - 1 AS dim,
              CAST(floor(CAST(embedding[dim] AS DOUBLE) * {_Q}) AS BIGINT) AS w
-      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(dim)
+      FROM nz, unnest(range(1, len(embedding) + 1)) AS t(dim)
     ),
     cent AS (
       SELECT label AS c_label, dim,
@@ -279,8 +282,7 @@ def q_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast pattern of q_similarity_ann_ivf); the argmax is a
     per-vector window over |labels| rows with a label tiebreak."""
     nz = _nonzero(load_table(spark, sf_dir, "embeddings"))
-    emb = load_table(spark, sf_dir, "embeddings")
-    comp = emb.select(
+    comp = nz.select(
         "label", F.posexplode(F.col("embedding")).alias("dim", "x")
     ).select(
         "label", "dim",

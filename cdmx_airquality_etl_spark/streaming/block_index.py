@@ -20,13 +20,19 @@ the incremental form of q_doc_dup_ratio.
 
 Exactly-once: the source checkpoint processes each file once; unlike the
 fingerprint anti-join, count merging is NOT idempotent under replay, so
-the index merge keys on a batch watermark column (__batch_id) and replays
-of an already-merged batch are dropped by an anti-join on that id — the
-idempotence belt the counting pattern needs.
+the index is APPEND-ONLY — each batch writes its partial counts to its own
+`batch=<id>/` subdirectory and a replay is detected by that batch's
+completed `_SUCCESS` marker (an incomplete crash-time write lacks the
+marker and is safely overwritten by the replay). No rewrite of
+already-merged batches ever happens, so a crash can never destroy prior
+state and per-batch I/O is O(batch), not O(index); readers aggregate the
+partials (correct because a document lives in exactly one batch, so
+distinct-doc counts are additive).
 
-Scale notes: the index holds one row per distinct block (bounded by corpus
-block vocabulary); the merge is a sum-by-key over the BATCH's blocks only;
-scoring broadcasts the shared-block subset (size = corpus boilerplate).
+Scale notes: the collapsed index holds one row per distinct block (bounded
+by corpus block vocabulary); periodic compaction of old batch partials is
+the plans/maintenance.py compaction pattern; scoring broadcasts the
+shared-block subset (size = corpus boilerplate).
 """
 
 from __future__ import annotations
@@ -58,37 +64,39 @@ def _batch_blocks(batch_df: DataFrame) -> DataFrame:
     ).select("doc_id", _md5_int(F.col("blk"), 15).alias("block_hash"))
 
 
+def _batch_dir(index_path: str, batch_id: int) -> str:
+    return os.path.join(index_path, f"batch={batch_id}")
+
+
 def update_block_index(
     spark: SparkSession, batch_df: DataFrame, index_path: str, batch_id: int
 ) -> None:
-    """Merge one batch's block counts into the persistent index.
+    """Write one batch's partial block counts into its own append-only
+    subdirectory of the index.
 
-    Replay-safe: if this batch_id is already recorded in the index, the
-    merge is skipped (counting is not naturally idempotent)."""
+    Replay-safe AND crash-safe: a batch that finished writing carries
+    Spark's `_SUCCESS` marker — a replay of it is skipped; a batch that
+    crashed mid-write lacks the marker and is overwritten IN ITS OWN
+    subdirectory only, so prior batches' durable state is never touched
+    (counting is not naturally idempotent, which is why the fingerprint
+    anti-join's laissez-faire replay handling is not enough here)."""
+    bdir = _batch_dir(index_path, batch_id)
+    if os.path.exists(os.path.join(bdir, "_SUCCESS")):
+        return  # replayed, fully-written batch: already merged
     blocks = _batch_blocks(batch_df)
     agg = blocks.groupBy("block_hash").agg(
         F.countDistinct("doc_id").alias("n_docs"),
         F.count(F.lit(1)).alias("n_occurrences"),
-    ).withColumn("__batch_id", F.lit(batch_id).cast("long"))
-    if os.path.exists(index_path):
-        prev = spark.read.parquet(index_path)
-        if prev.filter(F.col("__batch_id") == batch_id).limit(1).count() > 0:
-            return  # replayed batch: already merged
-        merged = prev.unionByName(agg)
-    else:
-        merged = agg
-    # compact to one row per block while preserving replay markers:
-    # keep per-batch partials (the replay guard needs __batch_id); readers
-    # aggregate. Rewrite via a temp dir for atomicity on local FS.
-    tmp = index_path + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    out = spark.read.parquet(tmp)
-    out.write.mode("overwrite").parquet(index_path)
+    )
+    agg.write.mode("overwrite").parquet(bdir)
 
 
 def read_block_index(spark: SparkSession, index_path: str) -> DataFrame:
-    """Collapsed view: one row per block with summed counts."""
-    raw = spark.read.parquet(index_path)
+    """Collapsed view: one row per block with counts summed across the
+    per-batch partials."""
+    raw = spark.read.option("basePath", index_path).parquet(
+        os.path.join(index_path, "batch=*")
+    )
     return raw.groupBy("block_hash").agg(
         F.sum("n_docs").alias("n_docs"),
         F.sum("n_occurrences").alias("n_occurrences"),
