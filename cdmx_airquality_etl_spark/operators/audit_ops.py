@@ -26,8 +26,10 @@ from .dedup import _md5_int, _sql_md5_int
 
 _CAPTURE_MOD = 3  # each capture samples ~1/3 of the population
 
-_SQL_CAP_A = f"{_sql_md5_int(chr(39) + 'a|' + chr(39) + ' || c_custkey', 12)} % {_CAPTURE_MOD} = 0"
-_SQL_CAP_B = f"{_sql_md5_int(chr(39) + 'b|' + chr(39) + ' || c_custkey', 12)} % {_CAPTURE_MOD} = 0"
+_CAP_A_SRC = "'a|' || c_custkey"
+_CAP_B_SRC = "'b|' || c_custkey"
+_SQL_CAP_A = f"{_sql_md5_int(_CAP_A_SRC, 12)} % {_CAPTURE_MOD} = 0"
+_SQL_CAP_B = f"{_sql_md5_int(_CAP_B_SRC, 12)} % {_CAPTURE_MOD} = 0"
 
 
 # ---------------------------------------------------------------------------
@@ -43,9 +45,9 @@ _SQL_CAP_B = f"{_sql_md5_int(chr(39) + 'b|' + chr(39) + ' || c_custkey', 12)} % 
     ),
     l AS (
       SELECT strftime(o_orderdate, '%Y-%m') AS month,
-             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+             SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
-                      * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS rev_scaled
+                      * (100 + CAST(round(l_tax * 100) AS BIGINT)) AS DECIMAL(38,0))) AS rev_scaled
       FROM lineitem JOIN orders ON o_orderkey = l_orderkey
       GROUP BY 1
     )
@@ -65,7 +67,8 @@ def q_recon_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift between denormalized copies of the same truth (the reference's
     summary-vs-fact pair is this exact invariant). The line-item side
     computes in EXACT scaled integers — price cents × (100 − discount
-    cents) × (100 + tax cents), a pure BIGINT product summed losslessly —
+    cents) × (100 + tax cents), a pure BIGINT product summed losslessly
+    through DECIMAL(38,0) (int64 would overflow past ~8·10^7 rows/month) —
     because the double 3-factor product lands on decimal-cast rounding
     ties that the engines break differently (observed at sf0.001); one
     descaling division at the end. Two aggregates on the month grain, one
@@ -77,14 +80,17 @@ def q_recon_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = orders.groupBy(
         F.date_format("o_orderdate", "yyyy-MM").alias("month")
     ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_orders"))
+    # per-row product fits BIGINT (~1.2e11); the SUM would overflow int64
+    # past ~8e7 rows/month, so it accumulates in DECIMAL(38,0) — exact in
+    # both engines to 1e38
     amt = (
         F.round(F.col("l_extendedprice") * 100).cast("bigint")
         * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
         * (F.lit(100) + F.round(F.col("l_tax") * 100).cast("bigint"))
-    )
+    ).cast("decimal(38,0)")
     l = (
         li.join(
-            F.broadcast(orders.select("o_orderkey", "o_orderdate")),
+            orders.select("o_orderkey", "o_orderdate"),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))

