@@ -27,6 +27,7 @@ EVENT_MODULES = {
     "tpch_ext",
     "tpch_ext2",
     "tpch_ext3",
+    "ops_metrics",
 }
 
 # members that read documents/embeddings (covered by the corpus battery)
