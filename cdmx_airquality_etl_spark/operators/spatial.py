@@ -59,6 +59,28 @@ def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _explode_probes(pts: DataFrame) -> DataFrame:
+    """Explode each point into its 9 neighbor-cell PROBE keys: for every
+    (dx, dy) in {-1,0,1}² emit a row keyed (pcx, pcy) = (cx+dx, cy+dy).
+    Joining probes to points on (pcx = cx AND pcy = cy) EQUALITY replaces
+    the pure-range 3×3 BETWEEN predicate, so Catalyst hash-partitions both
+    sides by cell id instead of falling back to BroadcastNestedLoopJoin —
+    9× row expansion on one side buys a shuffled equi-join whose cost is
+    density-bounded per cell at any corpus size."""
+    offsets = F.expr(
+        "flatten(transform(sequence(-1, 1), dx ->"
+        " transform(sequence(-1, 1), dy -> struct(dx, dy))))"
+    )
+    off = F.explode(offsets).alias("off")
+    return pts.select("id", "x", "y", "cx", "cy", off).select(
+        "id",
+        "x",
+        "y",
+        (F.col("cx") + F.col("off.dx")).alias("pcx"),
+        (F.col("cy") + F.col("off.dy")).alias("pcy"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # q_spatial_grid_join — radius pairs via 3×3 cell-neighborhood join
 # ---------------------------------------------------------------------------
@@ -77,15 +99,17 @@ def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Radius self-join via grid bucketing: every pair within radius r
-    lies in adjacent cells when the cell width exceeds r, so the join
-    probes ONLY the 3×3 neighborhood — candidate count is density-bounded
+    lies in adjacent cells when the cell width exceeds r, so side A
+    explodes into its 9 neighbor-cell probe keys and EQUI-joins side B on
+    (cx, cy) — the plan is a shuffled hash/sort-merge join partitioned by
+    cell id (no BroadcastNestedLoopJoin), candidate count density-bounded
     per cell, never corpus-quadratic (the geohash discipline; the spatial
-    twin of the dedup batch's postings cap). The distance test is exact
-    integer arithmetic on the squared form — no sqrt, no trig. At 100 TB
-    the points repartition by cell id and each task sees its
-    neighborhood."""
+    twin of the dedup batch's postings cap). Ordering and the distance
+    test are post-join filters in exact integer arithmetic on the squared
+    form — no sqrt, no trig. At 100 TB both sides hash-partition by cell
+    id and each task sees only its neighborhood."""
     pts = _points(spark, sf_dir)
-    a = pts.alias("a")
+    a = _explode_probes(pts).alias("a")
     b = pts.alias("b")
     d2 = (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x")) + (
         F.col("a.y") - F.col("b.y")
@@ -93,13 +117,9 @@ def q_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(
             b,
-            (F.col("b.cx") >= F.col("a.cx") - 1)
-            & (F.col("b.cx") <= F.col("a.cx") + 1)
-            & (F.col("b.cy") >= F.col("a.cy") - 1)
-            & (F.col("b.cy") <= F.col("a.cy") + 1)
-            & (F.col("a.id") < F.col("b.id"))
-            & (d2 <= _RADIUS2),
+            (F.col("a.pcx") == F.col("b.cx")) & (F.col("a.pcy") == F.col("b.cy")),
         )
+        .filter((F.col("a.id") < F.col("b.id")) & (d2 <= _RADIUS2))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
@@ -129,20 +149,34 @@ def q_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_spatial_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid density map with a 3×3 box-sum (the discrete convolution
     hotspot detector): per-cell point counts, then each cell's
-    neighborhood total from a cell-grain self-join — the second join runs
-    over the CELL table (corpus-size-independent), which is why density
-    maps are cheap at any scale. Exact integer counts."""
+    neighborhood total — the querying cell explodes into its 9 neighbor
+    probe keys and EQUI-joins the cell table on (cx, cy), so the plan
+    hash-partitions by cell (same form as q_spatial_grid_join; a
+    production grid scales with the domain, so the cell-grain join must
+    not rely on the table staying broadcastable). Exact integer counts."""
     pts = _points(spark, sf_dir)
     cells = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n"))
-    a = cells.alias("a")
+    offsets = F.expr(
+        "flatten(transform(sequence(-1, 1), dx ->"
+        " transform(sequence(-1, 1), dy -> struct(dx, dy))))"
+    )
+    a = cells.select(
+        "cx",
+        "cy",
+        "n",
+        F.explode(offsets).alias("off"),
+    ).select(
+        "cx",
+        "cy",
+        "n",
+        (F.col("cx") + F.col("off.dx")).alias("pcx"),
+        (F.col("cy") + F.col("off.dy")).alias("pcy"),
+    ).alias("a")
     b = cells.alias("b")
     return (
         a.join(
             b,
-            (F.col("b.cx") >= F.col("a.cx") - 1)
-            & (F.col("b.cx") <= F.col("a.cx") + 1)
-            & (F.col("b.cy") >= F.col("a.cy") - 1)
-            & (F.col("b.cy") <= F.col("a.cy") + 1),
+            (F.col("a.pcx") == F.col("b.cx")) & (F.col("a.pcy") == F.col("b.cy")),
         )
         .groupBy(F.col("a.cx").alias("cx"), F.col("a.cy").alias("cy"), F.col("a.n").alias("n"))
         .agg(F.sum("b.n").alias("neighborhood_n"))
@@ -180,21 +214,20 @@ def q_spatial_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell simply has no row (isolated points surface in the count, not as
     wrong answers). Argmin resolves by a per-point window over the
     bounded candidate set with (distance², id) total order. The spatial
-    twin of q_knn_graph's bucket-bounded neighbors."""
+    twin of q_knn_graph's bucket-bounded neighbors. The probe side
+    explodes into its 9 neighbor-cell keys and EQUI-joins on (cx, cy) so
+    the candidate join hash-partitions by cell (no
+    BroadcastNestedLoopJoin); identity exclusion is a post-join filter."""
     pts = _points(spark, sf_dir)
-    a = pts.alias("a")
+    a = _explode_probes(pts).alias("a")
     b = pts.alias("b")
     d2 = (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x")) + (
         F.col("a.y") - F.col("b.y")
     ) * (F.col("a.y") - F.col("b.y"))
     cand = a.join(
         b,
-        (F.col("b.cx") >= F.col("a.cx") - 1)
-        & (F.col("b.cx") <= F.col("a.cx") + 1)
-        & (F.col("b.cy") >= F.col("a.cy") - 1)
-        & (F.col("b.cy") <= F.col("a.cy") + 1)
-        & (F.col("a.id") != F.col("b.id")),
-    ).select(
+        (F.col("a.pcx") == F.col("b.cx")) & (F.col("a.pcy") == F.col("b.cy")),
+    ).filter(F.col("a.id") != F.col("b.id")).select(
         F.col("a.id").alias("id"),
         F.col("b.id").alias("nn_id"),
         d2.alias("d2"),
