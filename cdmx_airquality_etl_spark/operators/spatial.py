@@ -59,23 +59,24 @@ def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _explode_probes(pts: DataFrame) -> DataFrame:
-    """Explode each point into its 9 neighbor-cell PROBE keys: for every
-    (dx, dy) in {-1,0,1}² emit a row keyed (pcx, pcy) = (cx+dx, cy+dy).
-    Joining probes to points on (pcx = cx AND pcy = cy) EQUALITY replaces
-    the pure-range 3×3 BETWEEN predicate, so Catalyst hash-partitions both
-    sides by cell id instead of falling back to BroadcastNestedLoopJoin —
-    9× row expansion on one side buys a shuffled equi-join whose cost is
-    density-bounded per cell at any corpus size."""
+def _explode_probes(df: DataFrame, *carry: str) -> DataFrame:
+    """Explode each row into its 9 neighbor-cell PROBE keys: for every
+    (dx, dy) in {-1,0,1}² emit a row keyed (pcx, pcy) = (cx+dx, cy+dy),
+    carrying the named columns through. Joining probes to the cell-keyed
+    side on (pcx = cx AND pcy = cy) EQUALITY replaces the pure-range 3×3
+    BETWEEN predicate, so Catalyst hash-partitions both sides by cell id
+    instead of falling back to BroadcastNestedLoopJoin — 9× row expansion
+    on one side buys a shuffled equi-join whose cost is density-bounded
+    per cell at any corpus size. Works at any grain that has (cx, cy):
+    points (carry id/x/y) or cells (carry cx/cy/n)."""
     offsets = F.expr(
         "flatten(transform(sequence(-1, 1), dx ->"
         " transform(sequence(-1, 1), dy -> struct(dx, dy))))"
     )
     off = F.explode(offsets).alias("off")
-    return pts.select("id", "x", "y", "cx", "cy", off).select(
-        "id",
-        "x",
-        "y",
+    keyed = list(carry) + [c for c in ("cx", "cy") if c not in carry]
+    return df.select(*keyed, off).select(
+        *carry,
         (F.col("cx") + F.col("off.dx")).alias("pcx"),
         (F.col("cy") + F.col("off.dy")).alias("pcy"),
     )
@@ -109,7 +110,7 @@ def q_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     form — no sqrt, no trig. At 100 TB both sides hash-partition by cell
     id and each task sees only its neighborhood."""
     pts = _points(spark, sf_dir)
-    a = _explode_probes(pts).alias("a")
+    a = _explode_probes(pts, "id", "x", "y").alias("a")
     b = pts.alias("b")
     d2 = (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x")) + (
         F.col("a.y") - F.col("b.y")
@@ -156,22 +157,7 @@ def q_spatial_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     not rely on the table staying broadcastable). Exact integer counts."""
     pts = _points(spark, sf_dir)
     cells = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n"))
-    offsets = F.expr(
-        "flatten(transform(sequence(-1, 1), dx ->"
-        " transform(sequence(-1, 1), dy -> struct(dx, dy))))"
-    )
-    a = cells.select(
-        "cx",
-        "cy",
-        "n",
-        F.explode(offsets).alias("off"),
-    ).select(
-        "cx",
-        "cy",
-        "n",
-        (F.col("cx") + F.col("off.dx")).alias("pcx"),
-        (F.col("cy") + F.col("off.dy")).alias("pcy"),
-    ).alias("a")
+    a = _explode_probes(cells, "cx", "cy", "n").alias("a")
     b = cells.alias("b")
     return (
         a.join(
@@ -219,7 +205,7 @@ def q_spatial_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate join hash-partitions by cell (no
     BroadcastNestedLoopJoin); identity exclusion is a post-join filter."""
     pts = _points(spark, sf_dir)
-    a = _explode_probes(pts).alias("a")
+    a = _explode_probes(pts, "id", "x", "y").alias("a")
     b = pts.alias("b")
     d2 = (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x")) + (
         F.col("a.y") - F.col("b.y")
