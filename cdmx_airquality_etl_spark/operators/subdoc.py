@@ -46,14 +46,18 @@ _SQL_BLOCKS = f"""
 """
 
 
-def _blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def doc_blocks(docs: DataFrame, *carry: str) -> DataFrame:
+    """(doc_id, carry..., blk) disjoint 10-token blocks for any frame with
+    (doc_id, text) columns — the SINGLE source of the block-derivation
+    contract (lowercase, whitespace tokens, stride = width = 10), shared
+    by the batch operators here and the streaming block index
+    (streaming/block_index.py), so the two grains cannot drift apart."""
     tok = docs.select(
-        "doc_id", "lang", "source",
+        "doc_id", *carry,
         F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w"),
     ).filter(F.size("w") >= _BLOCK_W)
     return tok.select(
-        "doc_id", "lang", "source",
+        "doc_id", *carry,
         F.explode(
             F.expr(
                 f"transform(sequence(0, size(w) div {_BLOCK_W} - 1),"
@@ -61,6 +65,10 @@ def _blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("blk"),
     )
+
+
+def _blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_blocks(load_table(spark, sf_dir, "documents"), "lang", "source")
 
 
 # ---------------------------------------------------------------------------

@@ -37,35 +37,56 @@ shared-block subset (size = corpus boilerplate).
 
 from __future__ import annotations
 
-import os
+import posixpath
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from ..operators.dedup import _md5_int
+from ..operators.subdoc import doc_blocks
 
-_BLOCK_W = 10
+_INDEX_SCHEMA = "block_hash long, n_docs long, n_occurrences long"
+_MARKER_CONF = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
 
 
 def _batch_blocks(batch_df: DataFrame) -> DataFrame:
-    """(doc_id, block_hash) pairs for one batch — subdoc._blocks contract."""
-    tok = batch_df.select(
-        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
-    ).filter(F.size("w") >= _BLOCK_W)
-    return tok.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, size(w) div {_BLOCK_W} - 1),"
-                f" b -> array_join(slice(w, b * {_BLOCK_W} + 1, {_BLOCK_W}), ' '))"
-            )
-        ).alias("blk"),
-    ).select("doc_id", _md5_int(F.col("blk"), 15).alias("block_hash"))
+    """(doc_id, block_hash) pairs for one batch — derived by the SAME
+    subdoc.doc_blocks helper the batch operators use, so the streaming
+    grain can never drift from the batch grain."""
+    return doc_blocks(batch_df).select(
+        "doc_id", _md5_int(F.col("blk"), 15).alias("block_hash")
+    )
 
 
 def _batch_dir(index_path: str, batch_id: int) -> str:
-    return os.path.join(index_path, f"batch={batch_id}")
+    return posixpath.join(index_path, f"batch={batch_id}")
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    """Hadoop FileSystem + Path for `path` — resolves whatever scheme the
+    path carries (file://, hdfs://, s3a://...), so marker checks and
+    listings work on any cluster filesystem, not just the driver's local
+    disk."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(hconf), jpath, jvm
+
+
+def assert_success_markers_enabled(spark: SparkSession) -> None:
+    """The whole replay/crash story hangs on Spark's `_SUCCESS` marker: a
+    completed batch carries one, a crashed write doesn't. If the job
+    disabled marker emission, every batch would look crashed — the writer
+    would silently re-merge replays and the reader would see an empty
+    index — so fail loudly instead."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    if str(hconf.get(_MARKER_CONF, "true")).lower() == "false":
+        raise RuntimeError(
+            f"block index requires _SUCCESS markers, but {_MARKER_CONF} "
+            "is false — the replay guard and completed-batch reader "
+            "cannot function without them"
+        )
 
 
 def update_block_index(
@@ -80,8 +101,10 @@ def update_block_index(
     subdirectory only, so prior batches' durable state is never touched
     (counting is not naturally idempotent, which is why the fingerprint
     anti-join's laissez-faire replay handling is not enough here)."""
+    assert_success_markers_enabled(spark)
     bdir = _batch_dir(index_path, batch_id)
-    if os.path.exists(os.path.join(bdir, "_SUCCESS")):
+    fs, _, jvm = _fs_and_path(spark, bdir)
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(posixpath.join(bdir, "_SUCCESS"))):
         return  # replayed, fully-written batch: already merged
     blocks = _batch_blocks(batch_df)
     agg = blocks.groupBy("block_hash").agg(
@@ -97,17 +120,24 @@ def read_block_index(spark: SparkSession, index_path: str) -> DataFrame:
     _SUCCESS marker is a crashed, partially-written batch (the stream
     will overwrite it on restart) — reading it would silently
     under-count, so the reader applies the same marker check the
-    writer's replay guard uses."""
-    import glob
-
-    complete = sorted(
-        d
-        for d in glob.glob(os.path.join(index_path, "batch=*"))
-        if os.path.exists(os.path.join(d, "_SUCCESS"))
-    )
+    writer's replay guard uses. Listing goes through the Hadoop
+    FileSystem API, so the index may live on any cluster filesystem.
+    Before the first batch commits (or before the index exists at all)
+    the index IS the empty relation — return it as one, so consumers can
+    score against a fresh index without special-casing bootstrap."""
+    assert_success_markers_enabled(spark)
+    fs, root, jvm = _fs_and_path(spark, index_path)
+    complete: list[str] = []
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            p = st.getPath()
+            if st.isDirectory() and p.getName().startswith("batch="):
+                marker = jvm.org.apache.hadoop.fs.Path(p, "_SUCCESS")
+                if fs.exists(marker):
+                    complete.append(p.toString())
     if not complete:
-        raise FileNotFoundError(f"no completed batches under {index_path}")
-    raw = spark.read.option("basePath", index_path).parquet(*complete)
+        return spark.createDataFrame([], _INDEX_SCHEMA)
+    raw = spark.read.option("basePath", index_path).parquet(*sorted(complete))
     return raw.groupBy("block_hash").agg(
         F.sum("n_docs").alias("n_docs"),
         F.sum("n_occurrences").alias("n_occurrences"),
@@ -145,6 +175,7 @@ def block_index_stream(
     checkpoint_dir: str,
 ):
     """Wire the incremental index as a checkpointed AvailableNow stream."""
+    assert_success_markers_enabled(spark)
     stream = (
         spark.readStream.schema(source_schema)
         .option("maxFilesPerTrigger", 1)

@@ -13,7 +13,11 @@ from pyspark.sql.types import (
 
 from cdmx_airquality_etl_spark.registry import QUERIES
 from cdmx_airquality_etl_spark.sources.parquet import load_table
+import pytest
+
 from cdmx_airquality_etl_spark.streaming.block_index import (
+    _MARKER_CONF,
+    assert_success_markers_enabled,
     block_index_stream,
     read_block_index,
     score_batch_against_index,
@@ -86,6 +90,48 @@ def test_score_matches_batch_operator_when_fully_ingested(spark, sf_dir, tmp_pat
         for r in QUERIES["q_doc_dup_ratio"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_read_before_first_commit_is_empty(spark, tmp_path):
+    """Bootstrap: a nonexistent index and an index with only a crashed
+    (marker-less) batch both read as the EMPTY relation with the index
+    schema — no crash, no under-count."""
+    idx = tmp_path / "index"
+    df = read_block_index(spark, str(idx))
+    assert df.columns == ["block_hash", "n_docs", "n_occurrences"]
+    assert df.count() == 0
+    # crashed partial: directory exists, no _SUCCESS marker
+    crashed = idx / "batch=0"
+    crashed.mkdir(parents=True)
+    (crashed / "part-0.parquet").write_bytes(b"")
+    assert read_block_index(spark, str(idx)).count() == 0
+
+
+def test_score_against_empty_index(spark, sf_dir, tmp_path):
+    """Scoring a batch against a fresh index yields dup_ratio 0 for every
+    doc — the bootstrap path a stream's first batch exercises."""
+    docs = _corpus(spark, sf_dir)
+    rows = score_batch_against_index(spark, docs.limit(20), str(tmp_path / "ix"))
+    got = rows.collect()
+    assert got and all(r["n_dup_blocks"] == 0 and r["dup_ratio"] == 0.0 for r in got)
+
+
+def test_disabled_success_markers_fail_loudly(spark, tmp_path):
+    """The replay guard and completed-batch reader both hang on _SUCCESS
+    markers; a job that disabled marker emission must be rejected at the
+    door, not silently mis-merged."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hconf.set(_MARKER_CONF, "false")
+    try:
+        with pytest.raises(RuntimeError, match="_SUCCESS"):
+            assert_success_markers_enabled(spark)
+        with pytest.raises(RuntimeError, match="_SUCCESS"):
+            read_block_index(spark, str(tmp_path / "ix"))
+        with pytest.raises(RuntimeError, match="_SUCCESS"):
+            update_block_index(spark, None, str(tmp_path / "ix"), 0)
+    finally:
+        hconf.set(_MARKER_CONF, "true")
+    assert_success_markers_enabled(spark)
 
 
 def test_stream_availablenow_builds_same_index(spark, sf_dir, tmp_path):
