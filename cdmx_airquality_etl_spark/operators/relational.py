@@ -416,7 +416,7 @@ def q_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q_group_distinct — per-group distinct counts (key-identity semantics,
-# scrapper.py:329-331); exact here, approx variant in q_group_approx (no oracle)
+# scrapper.py:329-331); exact here; q_group_approx is the HLL variant with a calibration oracle
 # ---------------------------------------------------------------------------
 @register(
     "q_group_distinct",
@@ -436,15 +436,52 @@ def q_group_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_group_approx")  # approx_count_distinct is estimator-specific → rows-only
+_HLL_RSD = 0.01  # requested HyperLogLog++ relative standard deviation
+_HLL_BAND = 0.05  # pinned acceptance band: 5 sigma of the requested rsd
+
+
+@register(
+    "q_group_approx",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct_exact,
+           COUNT(*) AS n_orders,
+           CAST(1 AS BIGINT) AS hll_within_band
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
 def q_group_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimate — the 100 TB path where exact
-    COUNT(DISTINCT) would shuffle every key. No oracle: DuckDB's approx uses a
-    different estimator, so only the rows-only check applies."""
+    COUNT(DISTINCT) would shuffle every key. The raw sketch value is
+    estimator-specific (DuckDB's approx uses a different algorithm), so
+    the comparable surface is a CALIBRATION verdict, the same move as the
+    MinHash/SimHash/ANN estimator tables: emit the exact distinct (both
+    engines compute it exactly) plus a flag that the HLL estimate landed
+    within a pinned ±5% band (5 sigma of the requested rsd=0.01). A
+    drifting estimator flips the flag to 0 and the value-hash compare
+    fails — the estimate is checked without demanding bitwise equality."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.01).alias("n_distinct_customers_approx"),
-        F.count(F.lit(1)).alias("n_orders"),
+    approx = F.approx_count_distinct("o_custkey", rsd=_HLL_RSD)
+    exact = F.countDistinct("o_custkey")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            exact.alias("n_distinct_exact"),
+            approx.alias("n_approx"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_distinct_exact",
+            "n_orders",
+            (
+                F.abs(F.col("n_approx") - F.col("n_distinct_exact"))
+                <= F.col("n_distinct_exact") * F.lit(_HLL_BAND)
+            )
+            .cast("long")
+            .alias("hll_within_band"),
+        )
     )
 
 

@@ -8,7 +8,6 @@ from cdmx_airquality_etl_spark.registry import ORACLE_FACTORIES, ORACLES, QUERIE
 # this test until it is justified here (SURVEY.md §7: only genuinely
 # non-SQL-expressible ops qualify).
 ROWS_ONLY = {
-    "q_group_approx": "HLL estimator — sketch values are engine-specific",
     "q_compression_ratio": "zlib DEFLATE — no compression fn in DuckDB SQL",
     "q_multimodal_decode": "stubbed binary decode (build contract) — the "
     "float feature stream has no SQL equivalent; the metadata path is "

@@ -17,7 +17,12 @@ from cdmx_airquality_etl_spark.streaming.stateful_tws import (
 pytestmark = pytest.mark.skipif(
     not tws_available(),
     reason="transformWithState needs the protobuf package for its "
-    "Python<->JVM state protocol; not installed in this container",
+    "Python<->JVM state protocol; not installed in this container and "
+    "installs are prohibited. The operator's SEMANTICS are still pinned: "
+    "tests/test_tws_equivalence.py drives RunningTotalsProcessor through "
+    "a ValueState stub across microbatches + restart and proves it equal "
+    "to both the batch ground truth and the applyInPandasWithState "
+    "fallback — only the RocksDB state-server machinery is skipped here.",
 )
 
 SCHEMA = "event_type string, value double"
