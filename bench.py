@@ -105,10 +105,16 @@ def main() -> int:
     # operator. A second timed run per headline query records what a
     # production cluster — where plans run repeatedly — actually pays. The
     # aggregate `value` stays the cold sum (comparable across rounds);
-    # disable with SPARK_GRAFT_BENCH_WARM=0 for a fast cold-only sweep.
+    # disable with SPARK_GRAFT_BENCH_WARM=0 for a fast cold-only sweep, or
+    # set SPARK_GRAFT_BENCH_WARM=full for a warm pass over EVERY query so
+    # cold-JIT attribution works for the non-headline tail too (the full
+    # warm dict lives only in BENCH_DETAIL.json — the driver line never
+    # carries it, so the 1800-char guard is unaffected).
     warm: dict[str, float] = {}
-    if os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") != "0":
-        for name in HEADLINE:
+    warm_mode = os.environ.get("SPARK_GRAFT_BENCH_WARM", "1")
+    warm_set = list(QUERIES) if warm_mode == "full" else HEADLINE
+    if warm_mode != "0":
+        for name in warm_set:
             if timings.get(name, -1.0) < 0:
                 continue
             t0 = time.time()
@@ -130,8 +136,9 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "warm_queries": warm,
-                "warm_note": "second timed run of each HEADLINE query; "
-                "cold-vs-warm gap is first-run codegen JIT",
+                "warm_note": "second timed run of each "
+                + ("registered" if warm_mode == "full" else "HEADLINE")
+                + " query; cold-vs-warm gap is first-run codegen JIT",
                 "sf": sf,
                 "n_queries": len(timings),
                 "n_failed": len(timings) - len(ok),
