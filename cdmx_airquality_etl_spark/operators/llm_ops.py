@@ -26,6 +26,7 @@ from pyspark.sql.window import Window
 from ..functions import word_shingles, words
 from ..registry import register
 from ..sources.parquet import load_table
+from .dedup import _md5_int, _sql_md5_int
 
 # Word n-gram length for decontamination. Real pipelines use 8-13-gram
 # overlap (GPT-3 used 13-grams); the synthetic corpus draws from a small
@@ -516,3 +517,82 @@ def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("keep_rank") <= _SOURCE_CAP)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_negative_sampling — deterministic hash-based contrastive negatives
+# ---------------------------------------------------------------------------
+_NEG_K = 4  # candidate slots per anchor
+
+
+@register(
+    "q_negative_sampling",
+    oracle=f"""
+    WITH nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    cand AS (
+      SELECT e.vec_id AS anchor_id, e.label AS anchor_label,
+             CAST(t.slot AS BIGINT) AS slot,
+             {_sql_md5_int("'neg|' || e.vec_id || '|' || t.slot", 12)} % nv.n
+               AS neg_id
+      FROM embeddings e, nv, unnest(range(0, {_NEG_K})) AS t(slot)
+    )
+    SELECT c.anchor_id, c.slot, c.neg_id,
+           c.anchor_label, b.label AS neg_label
+    FROM cand c JOIN embeddings b ON c.neg_id = b.vec_id
+    WHERE b.label <> c.anchor_label AND c.neg_id <> c.anchor_id
+    """,
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor vector draws {k} pseudo-random candidates by hashing
+    (anchor_id, slot) into the dense vec_id domain, keeps those with a
+    DIFFERENT label, and drops self-hits — re-runs are byte-identical
+    (content-hash order, never a PRNG — the q_global_shuffle policy).
+    The scale story is the point: candidate generation is map-side ({k}
+    rows per anchor), resolution is ONE equi-join on vec_id — never the
+    all-pairs anchor x corpus scan a naive sampler does. The corpus size
+    scalar attaches via a broadcast scalar aggregate (plan-shape-gate
+    bounded); at 100 TB the join hash-partitions on vec_id like any fact
+    join. Slots that hash to a same-label or self candidate are dropped
+    rather than re-drawn — the deterministic variant of rejection
+    sampling (downstream takes the surviving ≤{k} negatives per anchor).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    nv = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cand = (
+        emb.select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+            F.explode(F.sequence(F.lit(0), F.lit(_NEG_K - 1))).alias("slot"),
+        )
+        .crossJoin(broadcast(nv))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("slot").cast("long").alias("slot"),
+            (
+                _md5_int(
+                    F.concat(
+                        F.lit("neg|"),
+                        F.col("anchor_id").cast("string"),
+                        F.lit("|"),
+                        F.col("slot").cast("string"),
+                    ),
+                    12,
+                )
+                % F.col("n")
+            ).alias("neg_id"),
+        )
+    )
+    b = emb.select(F.col("vec_id").alias("neg_id"), F.col("label").alias("neg_label"))
+    return (
+        cand.join(b, "neg_id")
+        .filter(
+            (F.col("neg_label") != F.col("anchor_label"))
+            & (F.col("neg_id") != F.col("anchor_id"))
+        )
+        .select("anchor_id", "slot", "neg_id", "anchor_label", "neg_label")
+    )
+
+
+q_negative_sampling.__doc__ = q_negative_sampling.__doc__.format(k=_NEG_K)

@@ -438,3 +438,50 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TFIDF_K)
         .select("lang", "term", "tf", "df", "tfidf", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_langid_confusion — language-ID classifier evaluation rollup
+# ---------------------------------------------------------------------------
+@register(
+    "q_langid_confusion",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang,
+             CASE WHEN {_sql_hits(_sql_toks('text'), _EN_STOP)}
+                       > {_sql_hits(_sql_toks('text'), _ES_STOP)} THEN 'en'
+                  WHEN {_sql_hits(_sql_toks('text'), _ES_STOP)}
+                       > {_sql_hits(_sql_toks('text'), _EN_STOP)} THEN 'es'
+                  ELSE 'unknown' END AS lang_pred
+      FROM documents
+    ),
+    conf AS (
+      SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+      FROM scored GROUP BY lang, lang_pred
+    ),
+    tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_lang FROM conf GROUP BY lang)
+    SELECT c.lang, c.lang_pred, c.n,
+           CAST(c.n AS DOUBLE) / t.n_lang AS frac_of_lang
+    FROM conf c JOIN tot t USING (lang)
+    """,
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion rollup: q_lang_id's per-document prediction
+    cross-tabulated against the labeled lang column, with each cell as a
+    fraction of its true-language row — the per-class recall view that
+    says WHICH languages the stopword heuristic mistakes for which (the
+    per-doc match flag can't). Derived from the same scored frame as
+    q_lang_id, so prediction rule and evaluation can't drift. Two hash
+    aggregates on language-cardinality keys; the per-language totals join
+    is |langs| rows — label-cardinality work at any corpus size."""
+    scored = q_lang_id(spark, sf_dir)
+    conf = scored.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = conf.groupBy("lang").agg(F.sum("n").cast("long").alias("n_lang"))
+    return conf.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "lang_pred",
+        "n",
+        (F.col("n").cast("double") / F.col("n_lang")).alias("frac_of_lang"),
+    )

@@ -239,10 +239,10 @@ def q_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q_centroid_confusion — nearest-centroid assignment vs true labels
 # ---------------------------------------------------------------------------
-@register(
-    "q_centroid_confusion",
-    oracle=f"""
-    WITH {_SQL_NZ_CTE},
+# Shared CTE chain deriving the nearest-centroid confusion matrix — used
+# verbatim by q_centroid_confusion and as the input of q_cohen_kappa, so
+# the two can never disagree about the assignment rule.
+_SQL_CONF_CTES = f"""{_SQL_NZ_CTE},
     comp AS (
       SELECT label, dim - 1 AS dim,
              CAST(floor(CAST(embedding[dim] AS DOUBLE) * {_Q}) AS BIGINT) AS w
@@ -265,10 +265,19 @@ def q_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, true_label, c_label AS assigned_label,
              row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, c_label) AS rnk
       FROM scored
-    )
-    SELECT true_label, assigned_label, CAST(COUNT(*) AS BIGINT) AS n
-    FROM best WHERE rnk = 1
-    GROUP BY true_label, assigned_label
+    ),
+    conf AS (
+      SELECT true_label, assigned_label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM best WHERE rnk = 1
+      GROUP BY true_label, assigned_label
+    )"""
+
+
+@register(
+    "q_centroid_confusion",
+    oracle=f"""
+    WITH {_SQL_CONF_CTES}
+    SELECT true_label, assigned_label, n FROM conf
     """,
 )
 def q_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -307,3 +316,177 @@ def q_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.groupBy(
         "true_label", F.col("c_label").alias("assigned_label")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# q_cohen_kappa — chance-corrected agreement of the centroid classifier
+# ---------------------------------------------------------------------------
+@register(
+    "q_cohen_kappa",
+    oracle=f"""
+    WITH {_SQL_CONF_CTES},
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+             CAST(SUM(CASE WHEN true_label = assigned_label THEN n ELSE 0 END)
+                  AS BIGINT) AS n_agree
+      FROM conf
+    ),
+    rows_ AS (
+      SELECT true_label AS k, CAST(SUM(n) AS BIGINT) AS r
+      FROM conf GROUP BY true_label
+    ),
+    cols_ AS (
+      SELECT assigned_label AS k, CAST(SUM(n) AS BIGINT) AS c
+      FROM conf GROUP BY assigned_label
+    ),
+    pe_ AS (
+      SELECT CAST(SUM(r * c) AS BIGINT) AS pe_num
+      FROM rows_ JOIN cols_ USING (k)
+    )
+    SELECT n_total, n_agree,
+           CAST(n_agree AS DOUBLE) / n_total AS po,
+           CAST(pe_num AS DOUBLE) / (CAST(n_total AS DOUBLE) * n_total) AS pe,
+           (CAST(n_agree AS DOUBLE) / n_total
+            - CAST(pe_num AS DOUBLE) / (CAST(n_total AS DOUBLE) * n_total))
+           / (1.0 - CAST(pe_num AS DOUBLE) / (CAST(n_total AS DOUBLE) * n_total))
+             AS kappa
+    FROM tot, pe_
+    """,
+)
+def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the nearest-centroid assignment and the true
+    labels — the chance-corrected summary of q_centroid_confusion (raw
+    accuracy flatters a classifier on an imbalanced label set; kappa
+    subtracts the agreement a label-marginal-matching random assigner
+    would get). Built FROM q_centroid_confusion's DataFrame, so the
+    assignment rule is shared by construction. All marginals are exact
+    BIGINTs; po/pe/kappa are single correctly-rounded double expressions
+    over them, bitwise-identical in both engines. The whole computation
+    past the confusion matrix is label-cardinality work (|labels|² rows);
+    the final crossJoin attaches two scalar aggregates — bounded builds
+    under the plan-shape gate."""
+    conf = q_centroid_confusion(spark, sf_dir)
+    tot = conf.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum(
+            F.when(F.col("true_label") == F.col("assigned_label"), F.col("n"))
+            .otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_agree"),
+    )
+    rows_ = conf.groupBy(F.col("true_label").alias("k")).agg(
+        F.sum("n").cast("long").alias("r")
+    )
+    cols_ = conf.groupBy(F.col("assigned_label").alias("k")).agg(
+        F.sum("n").cast("long").alias("c")
+    )
+    pe_ = (
+        rows_.join(cols_, "k")
+        .agg(F.sum(F.col("r") * F.col("c")).cast("long").alias("pe_num"))
+    )
+    po = F.col("n_agree").cast("double") / F.col("n_total")
+    pe = F.col("pe_num").cast("double") / (
+        F.col("n_total").cast("double") * F.col("n_total")
+    )
+    return tot.crossJoin(F.broadcast(pe_)).select(
+        "n_total",
+        "n_agree",
+        po.alias("po"),
+        pe.alias("pe"),
+        ((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_scalar_quantization — int8 per-dimension quantization audit
+# ---------------------------------------------------------------------------
+@register(
+    "q_scalar_quantization",
+    oracle=f"""
+    WITH {_SQL_NZ_CTE},
+    comp AS (
+      SELECT vec_id, dim - 1 AS dim,
+             CAST(floor(CAST(embedding[dim] AS DOUBLE) * {_Q}) AS BIGINT) AS w
+      FROM nz, unnest(range(1, len(embedding) + 1)) AS t(dim)
+    ),
+    rng AS (
+      SELECT dim, CAST(MIN(w) AS BIGINT) AS wmin, CAST(MAX(w) AS BIGINT) AS wmax
+      FROM comp GROUP BY dim
+    ),
+    coded AS (
+      SELECT c.vec_id, c.dim, c.w, r.wmin, r.wmax,
+             CASE WHEN r.wmax = r.wmin THEN 0
+                  ELSE CAST(floor(CAST((c.w - r.wmin) * 255 AS DOUBLE)
+                                  / (r.wmax - r.wmin)) AS BIGINT)
+             END AS code
+      FROM comp c JOIN rng r USING (dim)
+    ),
+    resid AS (
+      SELECT vec_id, dim,
+             (w - wmin) * 255 - code * (wmax - wmin) AS r
+      FROM coded
+    )
+    SELECT d.dim,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST((r.wmax - r.wmin) AS DOUBLE) / {_Q} AS value_range,
+           CAST(SUM(d.r * d.r) AS DOUBLE)
+             / (COUNT(*) * 255.0 * 255.0 * {_Q}.0 * {_Q}.0) AS mean_sq_err,
+           CAST(MAX(abs(d.r)) AS DOUBLE) / (255.0 * {_Q}.0) AS max_abs_err
+    FROM resid d JOIN rng r USING (dim)
+    GROUP BY d.dim, r.wmin, r.wmax
+    """,
+)
+def q_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization audit — the compression every
+    billion-vector ANN index applies before PQ: per dimension, learn the
+    corpus [min, max] range, map each component to a 0..255 code, and
+    measure the dequantization error that the quantizer would inject into
+    similarity scores. Everything is exact fixed-point integer math: the
+    residual r = 255·(w − wmin) − code·(wmax − wmin) is a BIGINT, so the
+    per-dim error sums are exact and the final doubles are single
+    correctly-rounded divisions (the q_unigram_lm policy). Plan shape:
+    one posexplode scan, a 64-row per-dim range aggregate broadcast back,
+    then one per-dim re-aggregate — quantization itself is map-side; at
+    100 TB the only shuffles are keyed on the constant-cardinality dim."""
+    nz = _nonzero(load_table(spark, sf_dir, "embeddings"))
+    comp = nz.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("dim", "x")
+    ).select(
+        "vec_id", "dim",
+        F.floor(F.col("x").cast("double") * _Q).cast("bigint").alias("w"),
+    )
+    rng = comp.groupBy("dim").agg(
+        F.min("w").cast("bigint").alias("wmin"),
+        F.max("w").cast("bigint").alias("wmax"),
+    )
+    coded = comp.join(F.broadcast(rng), "dim").withColumn(
+        "code",
+        F.when(F.col("wmax") == F.col("wmin"), F.lit(0).cast("bigint")).otherwise(
+            F.floor(
+                ((F.col("w") - F.col("wmin")) * F.lit(255)).cast("double")
+                / (F.col("wmax") - F.col("wmin"))
+            ).cast("bigint")
+        ),
+    )
+    resid = coded.withColumn(
+        "r",
+        (F.col("w") - F.col("wmin")) * F.lit(255)
+        - F.col("code") * (F.col("wmax") - F.col("wmin")),
+    )
+    scale = 255.0 * float(_Q)
+    return resid.groupBy("dim", "wmin", "wmax").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(F.col("r") * F.col("r")).cast("double").alias("sse"),
+        F.max(F.abs(F.col("r"))).cast("double").alias("max_r"),
+    ).select(
+        "dim",
+        "n_vectors",
+        ((F.col("wmax") - F.col("wmin")).cast("double") / F.lit(float(_Q))).alias(
+            "value_range"
+        ),
+        (F.col("sse") / (F.col("n_vectors") * F.lit(scale) * F.lit(scale))).alias(
+            "mean_sq_err"
+        ),
+        (F.col("max_r") / F.lit(scale)).alias("max_abs_err"),
+    )

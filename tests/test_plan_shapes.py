@@ -99,6 +99,11 @@ ALLOWLIST: dict[str, str] = {
         "build is the distinct-day anchor list — bounded by calendar "
         "span, not corpus size"
     ),
+    "q_cohen_kappa": (
+        "derives from q_centroid_confusion, inheriting its per-label "
+        "centroid broadcast — |labels| rows, label cardinality is "
+        "data-size-independent"
+    ),
     "q_centroid_confusion": (
         "build is the per-label centroid matrix (group-by label, "
         "operators/vector_stats.py) — |labels| rows, label cardinality is "

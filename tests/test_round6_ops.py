@@ -1,0 +1,69 @@
+"""Invariant tests for the round-6 additions: Cohen's kappa, the int8
+scalar-quantization audit, deterministic negative sampling, and the
+language-ID confusion rollup. The DuckDB oracles pin cross-engine value
+equality; these pin the SEMANTIC properties the oracles can't express."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdmx_airquality_etl_spark.registry import QUERIES
+
+
+def test_kappa_consistent_with_confusion(spark, sf_dir):
+    row = QUERIES["q_cohen_kappa"](spark, sf_dir).collect()[0]
+    assert -1.0 <= row["kappa"] <= 1.0
+    assert 0.0 <= row["po"] <= 1.0 and 0.0 <= row["pe"] <= 1.0
+    conf = QUERIES["q_centroid_confusion"](spark, sf_dir).collect()
+    n_total = sum(r["n"] for r in conf)
+    n_agree = sum(r["n"] for r in conf if r["true_label"] == r["assigned_label"])
+    assert row["n_total"] == n_total and row["n_agree"] == n_agree
+    assert row["po"] == pytest.approx(n_agree / n_total)
+    # kappa must exceed raw-accuracy-minus-chance reconstruction
+    assert row["kappa"] == pytest.approx(
+        (row["po"] - row["pe"]) / (1.0 - row["pe"])
+    )
+
+
+def test_scalar_quantization_error_bounds(spark, sf_dir):
+    rows = QUERIES["q_scalar_quantization"](spark, sf_dir).collect()
+    assert rows, "no dimensions audited"
+    for r in rows:
+        # floor quantizer: dequant error is strictly below one code width
+        code_width = r["value_range"] / 255.0
+        assert 0.0 <= r["max_abs_err"] <= code_width + 1e-12, r
+        assert 0.0 <= r["mean_sq_err"] <= code_width * code_width + 1e-12, r
+        assert r["n_vectors"] > 0
+
+
+def test_negative_sampling_properties(spark, sf_dir):
+    df = QUERIES["q_negative_sampling"](spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r["neg_label"] != r["anchor_label"]
+        assert r["neg_id"] != r["anchor_id"]
+    # at most K slots survive per anchor, slot ids within range
+    from cdmx_airquality_etl_spark.operators.llm_ops import _NEG_K
+
+    per_anchor: dict = {}
+    for r in rows:
+        per_anchor.setdefault(r["anchor_id"], set()).add(r["slot"])
+        assert 0 <= r["slot"] < _NEG_K
+    assert all(len(s) <= _NEG_K for s in per_anchor.values())
+    # determinism: a re-run is byte-identical (content-hash, no PRNG)
+    again = sorted(map(tuple, QUERIES["q_negative_sampling"](spark, sf_dir).collect()))
+    assert sorted(map(tuple, rows)) == again
+
+
+def test_langid_confusion_fractions(spark, sf_dir):
+    rows = QUERIES["q_langid_confusion"](spark, sf_dir).collect()
+    assert rows
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["frac_of_lang"])
+        assert r["n"] > 0
+    for lang, fracs in by_lang.items():
+        assert sum(fracs) == pytest.approx(1.0), lang
+    # rollup totals equal the per-doc surface it derives from
+    n_docs = QUERIES["q_lang_id"](spark, sf_dir).count()
+    assert sum(r["n"] for r in rows) == n_docs
