@@ -178,3 +178,89 @@ def q_topk_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_topk_ties.__doc__ = q_topk_ties.__doc__.format(k=_TIE_K, b=_BAND)
+
+
+# ---------------------------------------------------------------------------
+# q_approx_quantile_band — the real t-digest sketch under its rank guarantee
+# ---------------------------------------------------------------------------
+_APQ_ACC = 1000  # approx_percentile accuracy: rank error <= n / accuracy
+
+
+@register(
+    "q_approx_quantile_band",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    ),
+    bands AS (
+      SELECT o_orderpriority,
+             CAST(MAX(n) AS BIGINT) AS n,
+             CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN o_totalprice END)
+                  AS DOUBLE) AS exact_median,
+             CAST(MAX(CASE WHEN rn = greatest(1, (n + 1) // 2 - (n // {_APQ_ACC} + 1))
+                           THEN o_totalprice END) AS DOUBLE) AS band_lo,
+             CAST(MAX(CASE WHEN rn = least(n, (n + 1) // 2 + (n // {_APQ_ACC} + 1))
+                           THEN o_totalprice END) AS DOUBLE) AS band_hi
+      FROM ranked GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n, exact_median, band_lo, band_hi,
+           CAST(1 AS BIGINT) AS sketch_within_band
+    FROM bands
+    """,
+)
+def q_approx_quantile_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL percentile sketch under its own contract: Spark's
+    approx_percentile guarantees rank error <= n/accuracy, so the check
+    selects the exact values at ranks median +/- (n div {acc} + 1) — the
+    guarantee translated to value space with exact rank arithmetic — and
+    flags whether the sketch estimate landed inside. Complements
+    q_sample_quantile_error (which swaps the sketch for a deterministic
+    sample): here the engine-specific t-digest RUNS and its guarantee is
+    what's pinned, the q_group_approx calibration move. A sketch
+    violating its rank bound flips the flag and fails the value-hash. At
+    100 TB the sketch side is the one you'd keep: mergeable, one pass, no
+    per-group sort; the exact band derivation is the audit harness."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        "o_orderpriority", "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mid = F.expr("(n + 1) div 2")
+    err = F.expr(f"n div {_APQ_ACC} + 1")
+    bands = ranked.groupBy("o_orderpriority").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(F.when(F.col("rn") == mid, F.col("o_totalprice")))
+        .cast("double")
+        .alias("exact_median"),
+        F.max(
+            F.when(F.col("rn") == F.greatest(F.lit(1), mid - err), F.col("o_totalprice"))
+        )
+        .cast("double")
+        .alias("band_lo"),
+        F.max(
+            F.when(F.col("rn") == F.least(F.col("n"), mid + err), F.col("o_totalprice"))
+        )
+        .cast("double")
+        .alias("band_hi"),
+    )
+    sketch = orders.groupBy("o_orderpriority").agg(
+        F.expr(f"approx_percentile(o_totalprice, 0.5, {_APQ_ACC})").alias("apx")
+    )
+    return bands.join(sketch, "o_orderpriority").select(
+        "o_orderpriority", "n", "exact_median", "band_lo", "band_hi",
+        (
+            (F.col("apx") >= F.col("band_lo")) & (F.col("apx") <= F.col("band_hi"))
+        )
+        .cast("long")
+        .alias("sketch_within_band"),
+    )
+
+
+q_approx_quantile_band.__doc__ = q_approx_quantile_band.__doc__.format(acc=_APQ_ACC)

@@ -67,3 +67,12 @@ def test_langid_confusion_fractions(spark, sf_dir):
     # rollup totals equal the per-doc surface it derives from
     n_docs = QUERIES["q_lang_id"](spark, sf_dir).count()
     assert sum(r["n"] for r in rows) == n_docs
+
+
+def test_approx_quantile_band_geometry(spark, sf_dir):
+    rows = QUERIES["q_approx_quantile_band"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["band_lo"] <= r["exact_median"] <= r["band_hi"], r
+        assert r["sketch_within_band"] == 1, r
+        assert r["n"] > 0
