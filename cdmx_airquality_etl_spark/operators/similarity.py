@@ -1482,3 +1482,90 @@ def q_similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
         .limit(_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_hard_negatives — bucket-bounded highest-cosine cross-label neighbors
+# ---------------------------------------------------------------------------
+_HARD_NEG_K = 2  # hard negatives kept per anchor
+
+
+@register(
+    "q_hard_negatives",
+    oracle=f"""
+    WITH {_SQL_NZ_CTE},
+    nb AS (SELECT {_LSH_BITS_SQL} AS bits FROM nz),
+    e AS (
+      SELECT vec_id, label, embedding, {_SIGN_BUCKET_SQL} AS bucket
+      FROM nz, nb
+    ),
+    cand AS (
+      SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+             b.vec_id AS neg_id, b.label AS neg_label,
+             {_sql_cos('a.embedding', 'b.embedding')} AS cosine_sim,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {_sql_cos('a.embedding', 'b.embedding')} DESC, b.vec_id
+             ) AS rn
+      FROM e a JOIN e b
+        ON a.bucket = b.bucket AND a.label <> b.label
+    )
+    SELECT anchor_id, anchor_label, neg_id, neg_label, cosine_sim
+    FROM cand WHERE rn <= {_HARD_NEG_K}
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    {k} most similar vectors carrying a DIFFERENT label — the examples a
+    random sampler (q_negative_sampling) almost never draws and the ones
+    that actually move an embedding model. Candidates are bounded to the
+    anchor's sign-LSH bucket (the q_dedup_embedding blocking: bit count
+    derived from corpus size in-plan, so expected bucket occupancy stays
+    constant as the corpus grows — never the all-pairs anchor x corpus
+    scan), then ranked by exact cosine with a per-anchor window. An
+    anchor whose bucket holds no cross-label vector emits nothing — the
+    documented LSH recall trade, surfaced by count, never a wrong pair.
+    At 100 TB the bucket equi-join hash-partitions by bucket id and the
+    window sorts only within (anchor, bucket)-bounded candidate sets."""
+    emb = _nonzero(load_table(spark, sf_dir, "embeddings"))
+    e = emb.join(broadcast(lsh_bits_df(emb))).select(
+        "vec_id",
+        "label",
+        "embedding",
+        _norm("embedding").alias("nrm"),
+        _sign_bucket_spark("embedding", "lsh_bits").alias("bucket"),
+    )
+    a = e.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+        "bucket",
+    )
+    b = e.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+        "bucket",
+    )
+    cos = _dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b"))
+    cand = (
+        a.join(b, ["bucket"])
+        .filter(F.col("anchor_label") != F.col("neg_label"))
+        .select(
+            "anchor_id", "anchor_label", "neg_id", "neg_label",
+            cos.alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neg_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _HARD_NEG_K)
+        .select("anchor_id", "anchor_label", "neg_id", "neg_label", "cosine_sim")
+    )
+
+
+q_hard_negatives.__doc__ = q_hard_negatives.__doc__.format(k=_HARD_NEG_K)

@@ -76,3 +76,37 @@ def test_approx_quantile_band_geometry(spark, sf_dir):
         assert r["band_lo"] <= r["exact_median"] <= r["band_hi"], r
         assert r["sketch_within_band"] == 1, r
         assert r["n"] > 0
+
+
+def test_hard_negatives_properties(spark, sf_dir):
+    from cdmx_airquality_etl_spark.operators.similarity import _HARD_NEG_K
+
+    rows = QUERIES["q_hard_negatives"](spark, sf_dir).collect()
+    assert rows
+    per_anchor: dict = {}
+    for r in rows:
+        assert r["neg_label"] != r["anchor_label"]
+        assert -1.0 - 1e-9 <= r["cosine_sim"] <= 1.0 + 1e-9
+        per_anchor.setdefault(r["anchor_id"], []).append(r["cosine_sim"])
+    for sims in per_anchor.values():
+        assert len(sims) <= _HARD_NEG_K
+        assert sims == sorted(sims, reverse=True)
+    # hard negatives are harder than random ones: their mean similarity
+    # must exceed the random sampler's cross-label mean
+    import statistics
+
+    hard_mean = statistics.mean(r["cosine_sim"] for r in rows)
+    from cdmx_airquality_etl_spark.operators.similarity import _dot, _norm  # noqa: F401
+
+    rand = QUERIES["q_negative_sampling"](spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    from pyspark.sql import functions as SF
+
+    a = emb.select(SF.col("vec_id").alias("anchor_id"), SF.col("embedding").alias("ea"))
+    b = emb.select(SF.col("vec_id").alias("neg_id"), SF.col("embedding").alias("eb"))
+    joined = rand.join(a, "anchor_id").join(b, "neg_id")
+    cos = _dot("ea", "eb") / (_norm("ea") * _norm("eb"))
+    rand_mean = joined.select(SF.avg(cos).alias("m")).collect()[0]["m"]
+    assert hard_mean > rand_mean
