@@ -455,3 +455,75 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(_BM25_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_vocab_coverage — token-occurrence coverage of top-k vocabularies
+# ---------------------------------------------------------------------------
+_VOCAB_KS = [100, 500, 2000]  # candidate vocabulary budgets
+
+
+@register(
+    "q_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_TOKS}) AS token FROM documents
+    ),
+    counts AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok
+      WHERE token <> '' GROUP BY token
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
+             CAST(COUNT(*) AS BIGINT) AS vocab_size
+      FROM counts
+    )
+    SELECT k, vocab_size, n_total, covered,
+           CAST(covered AS DOUBLE) / n_total AS coverage
+    FROM tot, (
+      {" UNION ALL ".join(
+          f'''SELECT CAST({k} AS BIGINT) AS k,
+              (SELECT CAST(SUM(cnt) AS BIGINT) FROM
+                 (SELECT cnt FROM counts ORDER BY cnt DESC, token LIMIT {k}))
+                AS covered'''
+          for k in _VOCAB_KS
+      )}
+    ) per_k
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-budget coverage curve: for each candidate vocab size k,
+    the fraction of ALL token occurrences covered by the k most frequent
+    tokens — the table a tokenizer design reads to pick its budget (and
+    the Zipf sanity check: coverage should grow roughly like the harmonic
+    sum). One corpus token-count aggregate, then per checkpoint a
+    TakeOrderedAndProject(k) + scalar sum — each checkpoint is top-k
+    work, NEVER a global ordered prefix-sum (a full-vocab running total
+    would funnel the 10^7-term web vocab through one reducer; fixed
+    budgets keep every step bounded). Counts and totals are exact
+    BIGINTs; coverage is one correctly-rounded division."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    tot = counts.agg(
+        F.sum("cnt").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+    )
+    per_k = None
+    for k in _VOCAB_KS:
+        top = (
+            counts.orderBy(F.col("cnt").desc(), F.col("token"))
+            .limit(k)
+            .agg(F.sum("cnt").cast("long").alias("covered"))
+            .select(F.lit(k).cast("long").alias("k"), "covered")
+        )
+        per_k = top if per_k is None else per_k.unionByName(top)
+    return per_k.crossJoin(F.broadcast(tot)).select(
+        "k",
+        "vocab_size",
+        "n_total",
+        "covered",
+        (F.col("covered").cast("double") / F.col("n_total")).alias("coverage"),
+    )

@@ -110,3 +110,18 @@ def test_hard_negatives_properties(spark, sf_dir):
     cos = _dot("ea", "eb") / (_norm("ea") * _norm("eb"))
     rand_mean = joined.select(SF.avg(cos).alias("m")).collect()[0]["m"]
     assert hard_mean > rand_mean
+
+
+def test_vocab_coverage_curve(spark, sf_dir):
+    rows = sorted(
+        QUERIES["q_vocab_coverage"](spark, sf_dir).collect(), key=lambda r: r["k"]
+    )
+    assert len(rows) == 3
+    prev = 0.0
+    for r in rows:
+        assert 0.0 < r["coverage"] <= 1.0
+        assert r["coverage"] >= prev  # monotone in the vocab budget
+        prev = r["coverage"]
+        # a budget >= the whole vocab must cover everything
+        if r["k"] >= r["vocab_size"]:
+            assert r["covered"] == r["n_total"]
