@@ -45,7 +45,7 @@ from pyspark.sql.functions import broadcast
 
 from ..registry import register
 from ..sources.parquet import load_table
-from .textstats import _sql_toks, _toks
+from .textstats import _SQL_QC_SCORE_MILLI, _sql_toks, _toks, qc_score_milli
 
 # Rule thresholds, chosen to discriminate on the synthetic corpus (observed
 # at sf0.01: n_words 10..99 with quartiles 32/76, mean word length
@@ -92,9 +92,10 @@ _SQL_TOP_COUNT = (
 _SQL_STOPS = ", ".join(f"'{s}'" for s in _STOPWORDS)
 
 
-@register(
-    "q_gopher_rules",
-    oracle=f"""
+# Full Gopher-battery oracle — shared verbatim by q_gopher_rules and (as
+# a nested CTE) by q_classifier_reliability's label derivation, so the
+# rule thresholds can never fork between uses.
+_SQL_GOPHER = f"""
     WITH tok AS (
       SELECT doc_id, lang, {_sql_toks('text')} AS toks
       FROM documents WHERE text IS NOT NULL
@@ -124,8 +125,10 @@ _SQL_STOPS = ", ".join(f"'{s}'" for s in _STOPWORDS)
                  AND stop_hits >= 1
                 THEN 1 ELSE 0 END AS pass_all
     FROM m
-    """,
-)
+    """
+
+
+@register("q_gopher_rules", oracle=_SQL_GOPHER)
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality rule battery, one scan, all native expressions.
 
@@ -334,4 +337,65 @@ def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "weight"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_classifier_reliability — score-band calibration of the quality model
+# ---------------------------------------------------------------------------
+_REL_BAND_MILLI = 1000  # reliability band width: 1.0 score units
+
+
+@register(
+    "q_classifier_reliability",
+    oracle=f"""
+    WITH g AS ({_SQL_GOPHER}),
+    c AS (
+      SELECT doc_id, {_SQL_QC_SCORE_MILLI} AS score_milli
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT CAST(floor(CAST(c.score_milli AS DOUBLE) / {_REL_BAND_MILLI})
+                AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(g.pass_all) AS BIGINT) AS n_pass,
+           CAST(SUM(g.pass_all) AS DOUBLE) / COUNT(*) AS pass_rate,
+           CAST(SUM(c.score_milli) AS DOUBLE) / (COUNT(*) * 1000.0)
+             AS mean_score
+    FROM c JOIN g USING (doc_id)
+    GROUP BY 1
+    """,
+)
+def q_classifier_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for the hashed linear quality model: documents
+    bucket by classifier score band, and each band reports how often the
+    independent Gopher rule battery agrees (pass_rate) — the calibration
+    curve that says whether a higher model score actually means a
+    rule-cleaner document, evaluated WITHOUT held-out labels (the two
+    scorers share no features: hashed token weights vs length/word-shape
+    ratios). Both inputs are the factored single-source derivations
+    (_SQL_QC_SCORE_MILLI, _SQL_GOPHER / their Spark twins), so the table
+    can never drift from the scorers it audits. Everything is exact:
+    integer milli-scores and 0/1 flags aggregate as BIGINTs, the two
+    ratios are single correctly-rounded divisions. Plan: two scan-side
+    scoring passes joined on doc_id (bucket both on doc_id at warehouse
+    scale for a zero-shuffle merge), then a band-cardinality aggregate."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    c = docs.select("doc_id", qc_score_milli().alias("score_milli"))
+    g = q_gopher_rules(spark, sf_dir).select("doc_id", "pass_all")
+    joined = c.join(g, "doc_id")
+    band = (
+        F.floor(F.col("score_milli").cast("double") / F.lit(float(_REL_BAND_MILLI)))
+        .cast("long")
+        .alias("band")
+    )
+    return joined.groupBy(band).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("pass_all").cast("long").alias("n_pass"),
+        (
+            F.sum("pass_all").cast("double") / F.count(F.lit(1))
+        ).alias("pass_rate"),
+        (
+            F.sum("score_milli").cast("double")
+            / (F.count(F.lit(1)) * F.lit(1000.0))
+        ).alias("mean_score"),
     )

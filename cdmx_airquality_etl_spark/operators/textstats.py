@@ -316,17 +316,41 @@ def _qc_weights() -> list[int]:
 
 _QC_W = _qc_weights()
 
+# Milli-score SQL expression over a `text` column — shared by the
+# classifier query and the reliability table (corpus_quality.py), so the
+# model literal can never fork between its uses.
+_SQL_QC_SCORE_MILLI = (
+    f"{_QC_BIAS_MILLI} + CAST(coalesce(list_sum(list_transform("
+    f"{_sql_toks('text')}, "
+    f"t -> [{', '.join(str(w) for w in _QC_W)}]"
+    f"[({_sql_md5_int('t', 8)}) % {_QC_DIM} + 1]"
+    f")), 0) AS BIGINT)"
+)
+
+
+def qc_score_milli() -> Column:
+    """Spark twin of _SQL_QC_SCORE_MILLI: exact integer milli-score of
+    F.col('text') under the embedded hashed linear model."""
+    w_arr = F.array(*[F.lit(w).cast("long") for w in _QC_W])
+    tok_weight = lambda t: F.element_at(  # noqa: E731
+        w_arr, (F.pmod(_md5_int(t, 8), F.lit(_QC_DIM)) + 1).cast("int")
+    )
+    return F.lit(_QC_BIAS_MILLI).cast("long") + F.coalesce(
+        F.aggregate(
+            _toks(F.col("text")),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + tok_weight(t),
+        ),
+        F.lit(0).cast("long"),
+    )
+
 
 @register(
     "q_quality_classifier",
     oracle=f"""
     WITH scored AS (
       SELECT doc_id, lang,
-             {_QC_BIAS_MILLI} + CAST(coalesce(list_sum(list_transform(
-                 {_sql_toks('text')},
-                 t -> [{', '.join(str(w) for w in _QC_W)}]
-                      [({_sql_md5_int('t', 8)}) % {_QC_DIM} + 1]
-             )), 0) AS BIGINT) AS score_milli
+             {_SQL_QC_SCORE_MILLI} AS score_milli
       FROM documents
     )
     SELECT doc_id, lang,
@@ -349,18 +373,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality-gate idea (V-GATE, scrapper.py:139-144) from presence checks to
     a trained-model scoring pass."""
     docs = load_table(spark, sf_dir, "documents")
-    w_arr = F.array(*[F.lit(w).cast("long") for w in _QC_W])
-    tok_weight = lambda t: F.element_at(  # noqa: E731
-        w_arr, (F.pmod(_md5_int(t, 8), F.lit(_QC_DIM)) + 1).cast("int")
-    )
-    score_milli = F.lit(_QC_BIAS_MILLI).cast("long") + F.coalesce(
-        F.aggregate(
-            _toks(F.col("text")),
-            F.lit(0).cast("long"),
-            lambda acc, t: acc + tok_weight(t),
-        ),
-        F.lit(0).cast("long"),
-    )
+    score_milli = qc_score_milli()
     return docs.select(
         "doc_id",
         "lang",

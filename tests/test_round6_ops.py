@@ -125,3 +125,15 @@ def test_vocab_coverage_curve(spark, sf_dir):
         # a budget >= the whole vocab must cover everything
         if r["k"] >= r["vocab_size"]:
             assert r["covered"] == r["n_total"]
+
+
+def test_classifier_reliability_consistency(spark, sf_dir):
+    rows = QUERIES["q_classifier_reliability"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["pass_rate"] <= 1.0
+        assert 0 <= r["n_pass"] <= r["n_docs"]
+        # band geometry: the band's mean score lies inside the band
+        assert r["band"] <= r["mean_score"] < r["band"] + 1
+    n_docs = sum(r["n_docs"] for r in rows)
+    assert n_docs == QUERIES["q_gopher_rules"](spark, sf_dir).count()
