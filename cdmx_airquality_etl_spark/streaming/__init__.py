@@ -1,5 +1,6 @@
 from .corpus_ingest import corpus_ingest_stream, dedup_batch_against_corpus
 from .dedup import content_fingerprint, dedup_stream_within_watermark
+from .drift import batch_drift, category_profile, drift_monitor_stream
 from .hygiene import decontaminate_batch, decontaminate_stream
 from .index_maintenance import assign_cells, ivf_ingest_stream
 from .ingest import ingest_stream
@@ -16,6 +17,9 @@ __all__ = [
     "decontaminate_stream",
     "dedup_within_watermark",
     "assign_cells",
+    "batch_drift",
+    "category_profile",
+    "drift_monitor_stream",
     "ingest_stream",
     "ivf_ingest_stream",
     "interval_join",
