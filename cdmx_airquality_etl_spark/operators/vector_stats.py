@@ -365,8 +365,23 @@ def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     past the confusion matrix is label-cardinality work (|labels|² rows);
     the final crossJoin attaches two scalar aggregates — bounded builds
     under the plan-shape gate."""
+    # Σ_k row_k·col_k ≡ Σ_conf-rows n·col(true_label): attaching the
+    # column marginal to each confusion cell lets ONE final scalar
+    # aggregate produce n_total, n_agree AND pe_num — the confusion
+    # subtree (the expensive part: corpus scoring + argmax window) is
+    # evaluated twice instead of four times, and no crossJoin is needed.
+    # The identity is exact integer arithmetic, so the hash equals the
+    # oracle's marginal-join formulation.
     conf = q_centroid_confusion(spark, sf_dir)
-    tot = conf.agg(
+    cols_ = conf.groupBy(F.col("assigned_label").alias("k")).agg(
+        F.sum("n").cast("long").alias("c")
+    )
+    # left join + coalesce: a label never assigned has col marginal 0 but
+    # its true-side rows must still count toward n_total/n_agree
+    joined = conf.join(
+        F.broadcast(cols_), conf.true_label == cols_.k, "left"
+    ).select("true_label", "assigned_label", "n", F.coalesce("c", F.lit(0)).alias("c"))
+    agg = joined.agg(
         F.sum("n").cast("long").alias("n_total"),
         F.sum(
             F.when(F.col("true_label") == F.col("assigned_label"), F.col("n"))
@@ -374,22 +389,13 @@ def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("n_agree"),
-    )
-    rows_ = conf.groupBy(F.col("true_label").alias("k")).agg(
-        F.sum("n").cast("long").alias("r")
-    )
-    cols_ = conf.groupBy(F.col("assigned_label").alias("k")).agg(
-        F.sum("n").cast("long").alias("c")
-    )
-    pe_ = (
-        rows_.join(cols_, "k")
-        .agg(F.sum(F.col("r") * F.col("c")).cast("long").alias("pe_num"))
+        F.sum(F.col("n") * F.col("c")).cast("long").alias("pe_num"),
     )
     po = F.col("n_agree").cast("double") / F.col("n_total")
     pe = F.col("pe_num").cast("double") / (
         F.col("n_total").cast("double") * F.col("n_total")
     )
-    return tot.crossJoin(F.broadcast(pe_)).select(
+    return agg.select(
         "n_total",
         "n_agree",
         po.alias("po"),
