@@ -372,3 +372,55 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("event_id").cast("long").alias("sum_event_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_set_ops_all — bag semantics: INTERSECT ALL / EXCEPT ALL multiplicities
+# ---------------------------------------------------------------------------
+@register(
+    "q_set_ops_all",
+    oracle="""
+    SELECT 'both_all' AS side, nationkey, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000.0
+      INTERSECT ALL
+      SELECT s_nationkey AS nationkey FROM supplier
+    ) GROUP BY nationkey
+    UNION ALL
+    SELECT 'customer_only_all' AS side, nationkey, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000.0
+      EXCEPT ALL
+      SELECT s_nationkey AS nationkey FROM supplier
+    ) GROUP BY nationkey
+    """,
+)
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations — the multiplicity twin of
+    q_intersect_except's DISTINCT forms and another silent-divergence
+    corner: INTERSECT ALL keeps min(m_left, m_right) copies per value and
+    EXCEPT ALL keeps m_left − m_right (a ported report that swaps
+    ALL/DISTINCT changes row counts without erroring). Spark's
+    intersectAll/exceptAll compile to the same count-min/count-diff
+    aggregate shape the SQL standard prescribes — one hash aggregate per
+    side keyed on the value, no sort, scale-safe like any groupBy. The
+    surviving multiplicities re-aggregate to (side, value, n) so the
+    check pins the COUNTS, not just membership."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    rich = customer.filter(F.col("c_acctbal") > 9000.0).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = supplier.select(F.col("s_nationkey").alias("nationkey"))
+    both = (
+        rich.intersectAll(supp)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.lit("both_all").alias("side"), "nationkey", "n")
+    )
+    only = (
+        rich.exceptAll(supp)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.lit("customer_only_all").alias("side"), "nationkey", "n")
+    )
+    return both.unionByName(only)
