@@ -1000,3 +1000,47 @@ def q_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("weighted_jaccard") >= _WEIGHTED_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dup_size_histogram — duplicate-cluster size distribution
+# ---------------------------------------------------------------------------
+@register(
+    "q_dup_size_histogram",
+    oracle=r"""
+    WITH clusters AS (
+      SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+             CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM documents
+      GROUP BY 1
+    )
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+           CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_removable
+    FROM clusters
+    GROUP BY cluster_size
+    """,
+)
+def q_dup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution over the exact-dedup
+    fingerprint (q_dedup_exact's grain): for each cluster size, how many
+    clusters, how many documents they hold, and how many a keep-one
+    policy removes — the one-page answer to 'is our duplication a long
+    tail of pairs or a few megaclusters?', which decides whether exact
+    dedup alone recovers most of the budget. Two stacked hash aggregates
+    (fingerprint → size, size → histogram), the second over a
+    cluster-size-cardinality key — the same shape as q_degree_distribution
+    one grain up. All counts exact BIGINTs."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "))
+    clusters = docs.select(fp.alias("fp")).groupBy("fp").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return clusters.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+        ((F.col("cluster_size") - 1) * F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_removable"),
+    )

@@ -496,3 +496,50 @@ def q_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("max_r") / F.lit(scale)).alias("max_abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_class_weights — inverse-frequency training weights per label
+# ---------------------------------------------------------------------------
+@register(
+    "q_class_weights",
+    oracle="""
+    WITH counts AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_label
+      FROM embeddings GROUP BY label
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_label) AS BIGINT) AS n_total,
+             CAST(COUNT(*) AS BIGINT) AS n_classes
+      FROM counts
+    )
+    SELECT label, n_label,
+           CAST(n_label AS DOUBLE) / n_total AS frequency,
+           CAST(n_total AS DOUBLE) / (n_classes * n_label) AS class_weight
+    FROM counts, tot
+    """,
+)
+def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced class weights (sklearn's 'balanced' heuristic: w_k =
+    N / (K · n_k)) for the labeled embedding corpus — what a trainer
+    multiplies into the loss so rare labels aren't drowned, and the
+    companion table to q_cohen_kappa's imbalance correction. One
+    label-cardinality hash aggregate plus a broadcast scalar attach;
+    both ratios are single correctly-rounded divisions of exact
+    BIGINTs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    counts = emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_label")
+    )
+    tot = counts.agg(
+        F.sum("n_label").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "label",
+        "n_label",
+        (F.col("n_label").cast("double") / F.col("n_total")).alias("frequency"),
+        (
+            F.col("n_total").cast("double") / (F.col("n_classes") * F.col("n_label"))
+        ).alias("class_weight"),
+    )

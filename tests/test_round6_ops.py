@@ -137,3 +137,31 @@ def test_classifier_reliability_consistency(spark, sf_dir):
         assert r["band"] <= r["mean_score"] < r["band"] + 1
     n_docs = sum(r["n_docs"] for r in rows)
     assert n_docs == QUERIES["q_gopher_rules"](spark, sf_dir).count()
+
+
+def test_dup_size_histogram_mass_balance(spark, sf_dir):
+    rows = QUERIES["q_dup_size_histogram"](spark, sf_dir).collect()
+    assert rows
+    from cdmx_airquality_etl_spark.sources.parquet import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+        assert r["n_removable"] == r["n_docs"] - r["n_clusters"]
+
+
+def test_class_weights_balance(spark, sf_dir):
+    rows = QUERIES["q_class_weights"](spark, sf_dir).collect()
+    assert rows
+    assert sum(r["frequency"] for r in rows) == pytest.approx(1.0)
+    n_total = sum(r["n_label"] for r in rows)
+    # balanced-weights identity: sum_k w_k * n_k == N
+    assert sum(r["class_weight"] * r["n_label"] for r in rows) == pytest.approx(
+        n_total
+    )
+    # rarer label => strictly larger weight
+    ordered = sorted(rows, key=lambda r: r["n_label"])
+    for a, b in zip(ordered, ordered[1:]):
+        if a["n_label"] < b["n_label"]:
+            assert a["class_weight"] > b["class_weight"]
