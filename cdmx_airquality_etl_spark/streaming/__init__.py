@@ -3,6 +3,7 @@ from .dedup import content_fingerprint, dedup_stream_within_watermark
 from .drift import batch_drift, category_profile, drift_monitor_stream
 from .hygiene import decontaminate_batch, decontaminate_stream
 from .index_maintenance import assign_cells, ivf_ingest_stream
+from .kmv_maintenance import kmv_stream, read_kmv_estimate, read_sketch, update_sketch
 from .ingest import ingest_stream
 from .joins import dedup_within_watermark, interval_join
 from .stateful import run_windowed_counts_stream, session_counts, windowed_counts
@@ -22,6 +23,10 @@ __all__ = [
     "drift_monitor_stream",
     "ingest_stream",
     "ivf_ingest_stream",
+    "kmv_stream",
+    "read_kmv_estimate",
+    "read_sketch",
+    "update_sketch",
     "interval_join",
     "run_running_totals_stream",
     "run_windowed_counts_stream",
