@@ -357,3 +357,76 @@ def test_gate_accepts_bounded_builds(spark):
     assert not _bnlj_violations(
         _executed_plan(fact.join(broadcast(top1), fact.uid >= top1.top_uid))
     ), "constant-limit build wrongly flagged"
+
+
+# ---------------------------------------------------------------------------
+# Pure-string classifier units: lock the parser behaviors the live-plan
+# test can't isolate (ReusedExchange resolution, wrapper descent, the
+# unresolved-reuse and non-thin-core rejections).
+# ---------------------------------------------------------------------------
+_PLAN_REUSE_OK = """AdaptiveSparkPlan isFinalPlan=false
++- BroadcastNestedLoopJoin BuildRight, Cross
+   :- FileScan parquet [x#1] Batched: true
+   +- ReusedExchange [n#2L], BroadcastExchange IdentityBroadcastMode, [plan_id=42]
+AdaptiveSparkPlan isFinalPlan=false
++- Project [n#2L]
+   +- BroadcastExchange IdentityBroadcastMode, [plan_id=42]
+      +- HashAggregate(keys=[], functions=[count(1)], output=[n#2L])
+         +- FileScan parquet [y#3] Batched: true
+"""
+
+_PLAN_REUSE_BAD = """AdaptiveSparkPlan isFinalPlan=false
++- BroadcastNestedLoopJoin BuildRight, Cross
+   :- FileScan parquet [x#1] Batched: true
+   +- ReusedExchange [y#3], BroadcastExchange IdentityBroadcastMode, [plan_id=7]
+AdaptiveSparkPlan isFinalPlan=false
++- Project [y#3]
+   +- BroadcastExchange IdentityBroadcastMode, [plan_id=7]
+      +- FileScan parquet [y#3] Batched: true
+"""
+
+_PLAN_REUSE_UNRESOLVED = """AdaptiveSparkPlan isFinalPlan=false
++- BroadcastNestedLoopJoin BuildRight, Cross
+   :- FileScan parquet [x#1] Batched: true
+   +- ReusedExchange [n#2L], BroadcastExchange IdentityBroadcastMode, [plan_id=99]
+"""
+
+_PLAN_WRAPPED_RANGE = """AdaptiveSparkPlan isFinalPlan=false
++- BroadcastNestedLoopJoin BuildRight, Inner
+   :- FileScan parquet [x#1] Batched: true
+   +- BroadcastExchange IdentityBroadcastMode, [plan_id=5]
+      +- Project [id#9L AS lag#10L]
+         +- Filter (id#9L > 2)
+            +- Range (1, 8, step=1, splits=8)
+"""
+
+
+def test_reused_exchange_resolves_to_scalar_target():
+    assert _bnlj_violations(_PLAN_REUSE_OK) == []
+
+
+def test_reused_exchange_resolves_to_corpus_target_is_flagged():
+    assert _bnlj_violations(_PLAN_REUSE_BAD)
+
+
+def test_unresolvable_reused_exchange_is_flagged():
+    assert _bnlj_violations(_PLAN_REUSE_UNRESOLVED)
+
+
+def test_wrapper_chain_descends_to_bounded_core():
+    assert _bnlj_violations(_PLAN_WRAPPED_RANGE) == []
+
+
+def test_scalar_agg_below_corpus_join_is_not_bounded():
+    # ADVICE r5: a corpus-scaling build must not pass just because a
+    # scalar aggregate exists SOMEWHERE beneath it.
+    plan = """AdaptiveSparkPlan isFinalPlan=false
++- BroadcastNestedLoopJoin BuildRight, Cross
+   :- FileScan parquet [x#1] Batched: true
+   +- BroadcastExchange IdentityBroadcastMode, [plan_id=3]
+      +- SortMergeJoin [a#4], [b#5], Inner
+         :- FileScan parquet [a#4] Batched: true
+         +- HashAggregate(keys=[], functions=[count(1)], output=[b#5])
+            +- FileScan parquet [c#6] Batched: true
+"""
+    assert _bnlj_violations(plan)
