@@ -26,11 +26,31 @@ Scale design:
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_REMOTE_SCHEME = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://")
+
+
+def _assert_local_path(path: str) -> None:
+    """This module is EXPLICITLY local/POSIX-only: the M-TXN guarantee
+    rests on os.rename being atomic, which holds for a local filesystem
+    and for nothing behind an object-store scheme (S3 rename is
+    copy+delete; a crash mid-'rename' loses the guarantee silently).
+    Cluster tables get maintenance from their table format instead — the
+    ACID seam (plans/merge.py ACID_PROVIDERS) dispatches to engines whose
+    OPTIMIZE/rewrite own the commit protocol. Fail loudly rather than
+    corrupt quietly."""
+    if _REMOTE_SCHEME.match(path) and not path.startswith("file://"):
+        raise NotImplementedError(
+            f"parquet maintenance is local-filesystem-only (atomic-rename "
+            f"M-TXN guarantee); got {path!r}. On cluster storage use an "
+            f"ACID table format's own maintenance (see plans/merge.py)."
+        )
 
 
 def _data_files(path: str) -> list[tuple[str, int]]:
@@ -46,6 +66,7 @@ def _data_files(path: str) -> list[tuple[str, int]]:
 def table_stats(spark: SparkSession, path: str) -> dict:
     """Layout health: file count, bytes, avg file size — the signal that
     decides whether a compaction pass is worth scheduling."""
+    _assert_local_path(path)
     files = _data_files(path)
     total = sum(sz for _, sz in files)
     return {
@@ -58,6 +79,7 @@ def table_stats(spark: SparkSession, path: str) -> dict:
 def partition_columns(path: str) -> list[str]:
     """Hive-style partition columns of a parquet dir (from `col=value`
     subdirectory names), outermost first; [] for flat tables."""
+    _assert_local_path(path)
     cols: list[str] = []
     cur = path
     while True:
@@ -83,6 +105,7 @@ def _atomic_swap_write(
     previous state survives at ``<path>__old_*`` for manual recovery (true
     atomic dir swap needs a transactional table format — Delta/Iceberg slot
     in here)."""
+    _assert_local_path(path)
     tmp = f"{path}__tmp_{uuid.uuid4().hex}"
     writer = df.write.mode("overwrite")
     if partition_cols:
@@ -100,6 +123,7 @@ def recover_table(path: str) -> bool:
     died between the two renames), restore the newest survivor. Returns True
     when a restore happened. Run before reads on a table whose maintenance
     job may have crashed."""
+    _assert_local_path(path)
     if os.path.exists(path):
         return False
     parent, base = os.path.dirname(path) or ".", os.path.basename(path)
@@ -122,6 +146,7 @@ def vacuum(path: str, max_age_seconds: int = 24 * 3600) -> int:
     write or the post-swap rmtree died). Never touches a survivor that
     recover_table would still need: if ``path`` itself is missing, vacuum
     refuses to delete ``__old_*`` dirs. Returns the number removed."""
+    _assert_local_path(path)
     import time
 
     def tree_mtime(p: str) -> float:

@@ -164,3 +164,30 @@ def test_recover_and_vacuum_after_crashed_swap(spark, sf_dir, tmp_path):
     # healthy table → aged __old_ dirs are garbage
     os.makedirs(f"{path}__old_cafe")
     assert vacuum(path, max_age_seconds=0) == 1
+
+
+def test_remote_schemes_are_rejected(spark, tmp_path):
+    """The local-only pin (round 6): every maintenance entry point must
+    fail loudly on object-store schemes — the atomic-rename M-TXN
+    guarantee does not exist there — and still accept local paths."""
+    import pytest as _pytest
+
+    from cdmx_airquality_etl_spark.plans.maintenance import (
+        partition_columns,
+        recover_table,
+        table_stats,
+        vacuum,
+    )
+
+    for fn in (
+        lambda p: table_stats(spark, p),
+        partition_columns,
+        recover_table,
+        vacuum,
+    ):
+        with _pytest.raises(NotImplementedError, match="local-filesystem-only"):
+            fn("s3a://bucket/table")
+    # file:// and plain paths remain accepted (guard only, no behavior change)
+    d = tmp_path / "t"
+    d.mkdir()
+    assert table_stats(spark, str(d))["n_files"] == 0
