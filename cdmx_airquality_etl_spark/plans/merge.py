@@ -152,8 +152,12 @@ def merge_into_parquet(
     import shutil
     import uuid
 
+    from ..hadoop_fs import path_exists
+
     source = collapse_to_key_grain(source, keys)
-    exists = os.path.exists(path)
+    # scheme-aware probe (round-6 discipline): os.path.exists answers the
+    # wrong question for hdfs://—s3a:// tables
+    exists = path_exists(spark, path)
 
     if not exists:
         if counter_col is not None and counter_col not in source.columns:
@@ -194,6 +198,11 @@ def merge_into_parquet(
         )
     else:
         merged = merge_upsert(target, source, keys, counter_col=counter_col)
+        # the rename swap is POSIX-only — refuse object-store schemes
+        # (the ACID seam below is the cluster path)
+        from .maintenance import _assert_local_path
+
+        _assert_local_path(path)
         tmp = f"{path}__tmp_{uuid.uuid4().hex}"
         merged.write.mode("overwrite").parquet(tmp)
         old = f"{path}__old_{uuid.uuid4().hex}"

@@ -18,7 +18,6 @@ the test asserts).
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -84,10 +83,11 @@ def refresh_rollup(
 ) -> DataFrame:
     """Fold one fact batch into the rollup stored at ``rollup_path``
     (create on first call) and return the refreshed rollup frame."""
+    from ..hadoop_fs import path_exists
     from .maintenance import _atomic_swap_write
 
     delta = batch_partials(batch, keys, spec)
-    if os.path.exists(rollup_path):
+    if path_exists(spark, rollup_path):
         current = spark.read.parquet(rollup_path)
         merged = merge_partials(current, delta, keys, spec)
         _atomic_swap_write(merged, rollup_path)

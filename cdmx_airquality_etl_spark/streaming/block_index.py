@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from ..hadoop_fs import fs_and_path
 from ..operators.dedup import _md5_int
 from ..operators.subdoc import doc_blocks
 
@@ -67,11 +68,8 @@ def _fs_and_path(spark: SparkSession, path: str):
     """Hadoop FileSystem + Path for `path` — resolves whatever scheme the
     path carries (file://, hdfs://, s3a://...), so marker checks and
     listings work on any cluster filesystem, not just the driver's local
-    disk."""
-    jvm = spark.sparkContext._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    return jpath.getFileSystem(hconf), jpath, jvm
+    disk. Delegates to the shared helper (hadoop_fs.fs_and_path)."""
+    return fs_and_path(spark, path)
 
 
 def assert_success_markers_enabled(spark: SparkSession) -> None:

@@ -40,10 +40,12 @@ def dedup_batch_against_corpus(
 ) -> DataFrame:
     """One micro-batch of the corpus-ingest loop (testable without a stream):
     fingerprint → anti-join corpus fingerprints → within-batch keep-first."""
-    import os
+    from ..hadoop_fs import path_exists
 
     fp = batch_df.withColumn("fingerprint", _fingerprint(F.col("text")))
-    if os.path.exists(corpus_path):
+    # scheme-aware probe: os.path.exists answers the wrong question for
+    # hdfs://—s3a:// corpora (round-6 block-index discipline)
+    if path_exists(spark, corpus_path):
         known = spark.read.parquet(corpus_path).select("fingerprint").distinct()
         fp = fp.join(known, "fingerprint", "left_anti")
     w = Window.partitionBy("fingerprint").orderBy("doc_id")
