@@ -1,8 +1,6 @@
 """Query-runner CLI tests: list/run/write/explain paths and the
 unknown-query exit code, driven in-process (one shared SparkSession)."""
 
-import pytest
-
 from cdmx_airquality_etl_spark.query_cli import build_parser, main
 from cdmx_airquality_etl_spark.registry import QUERIES
 

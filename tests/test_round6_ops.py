@@ -4,7 +4,6 @@ language-ID confusion rollup. The DuckDB oracles pin cross-engine value
 equality; these pin the SEMANTIC properties the oracles can't express."""
 
 import pytest
-from pyspark.sql import functions as F
 
 from cdmx_airquality_etl_spark.registry import QUERIES
 
