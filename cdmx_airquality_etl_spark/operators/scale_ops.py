@@ -382,3 +382,85 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_asof_tolerance — AS-OF with a staleness bound (merge_asof tolerance)
+# ---------------------------------------------------------------------------
+_ASOF_TOL_S = 3600  # matches older than 1 hour are void
+
+
+@register(
+    "q_asof_tolerance",
+    oracle=f"""
+    SELECT e.event_id AS error_event_id,
+           e.user_id,
+           CASE WHEN c.ts IS NOT NULL
+                 AND epoch_us(e.ts) - epoch_us(c.ts) <= {_ASOF_TOL_S}::BIGINT * 1000000
+                THEN c.event_id END AS click_event_id,
+           CASE WHEN c.ts IS NOT NULL
+                 AND epoch_us(e.ts) - epoch_us(c.ts) <= {_ASOF_TOL_S}::BIGINT * 1000000
+                THEN strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') END AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join with a tolerance bound (pandas merge_asof's
+    ``tolerance=``): the most recent prior click counts only when it is
+    at most 1 hour stale — the semantics attribution and feature-join
+    pipelines actually need (a click from last week must NOT explain
+    today's error). Same single-shuffle union + ordered carry-forward
+    plan as q_asof_join; the tolerance is a post-carry NULL-out, so the
+    staleness bound adds ZERO shuffles (an inequality-join formulation
+    would be O(errors x clicks) per user). LEFT semantics throughout:
+    unmatched and too-stale errors keep NULLs."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_event_id"),
+        F.col("ts").alias("click_ts"),
+        F.lit(1).alias("is_click"),
+        F.lit(None).cast("long").alias("error_event_id"),
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("click_event_id"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(0).alias("is_click"),
+        F.col("event_id").alias("error_event_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_click").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(errors).select(
+        "user_id",
+        "ts",
+        "error_event_id",
+        "is_click",
+        F.last("click_event_id", ignorenulls=True).over(w).alias("click_event_id"),
+        F.last("click_ts", ignorenulls=True).over(w).alias("click_ts"),
+    )
+    fresh = (
+        F.col("click_ts").isNotNull()
+        & (
+            # exact integer microseconds on BOTH sides: DuckDB's epoch() is
+            # fractional while unix_timestamp truncates — a sub-second
+            # boundary event would diverge
+            F.unix_micros("ts") - F.unix_micros("click_ts")
+            <= F.lit(_ASOF_TOL_S * 1_000_000).cast("long")
+        )
+    )
+    return merged.filter(F.col("is_click") == 0).select(
+        "error_event_id",
+        "user_id",
+        F.when(fresh, F.col("click_event_id")).alias("click_event_id"),
+        F.when(fresh, F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")).alias(
+            "click_ts"
+        ),
+    )

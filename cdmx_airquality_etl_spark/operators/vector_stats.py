@@ -543,3 +543,41 @@ def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_total").cast("double") / (F.col("n_classes") * F.col("n_label"))
         ).alias("class_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_slice_recall — per-class recall of the centroid classifier
+# ---------------------------------------------------------------------------
+@register(
+    "q_slice_recall",
+    oracle=f"""
+    WITH {_SQL_CONF_CTES}
+    SELECT true_label,
+           CAST(SUM(n) AS BIGINT) AS n_class,
+           CAST(SUM(CASE WHEN true_label = assigned_label THEN n ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN true_label = assigned_label THEN n ELSE 0 END)
+                AS DOUBLE) / SUM(n) AS recall
+    FROM conf
+    GROUP BY true_label
+    """,
+)
+def q_slice_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class recall of the nearest-centroid classifier — the sliced
+    view between q_centroid_confusion's full matrix and q_cohen_kappa's
+    single scalar: WHICH labels the embedding space actually separates
+    (the slice-based evaluation that catches a class regression a global
+    accuracy hides). One label-cardinality rollup of the shared
+    confusion derivation; counts exact, recall one correctly-rounded
+    division."""
+    conf = q_centroid_confusion(spark, sf_dir)
+    correct = F.sum(
+        F.when(F.col("true_label") == F.col("assigned_label"), F.col("n")).otherwise(
+            F.lit(0)
+        )
+    )
+    return conf.groupBy("true_label").agg(
+        F.sum("n").cast("long").alias("n_class"),
+        correct.cast("long").alias("n_correct"),
+        (correct.cast("double") / F.sum("n")).alias("recall"),
+    )

@@ -104,6 +104,11 @@ ALLOWLIST: dict[str, str] = {
         "centroid broadcast — |labels| rows, label cardinality is "
         "data-size-independent"
     ),
+    "q_slice_recall": (
+        "derives from q_centroid_confusion, inheriting its per-label "
+        "centroid broadcast — |labels| rows, label cardinality is "
+        "data-size-independent"
+    ),
     "q_centroid_confusion": (
         "build is the per-label centroid matrix (group-by label, "
         "operators/vector_stats.py) — |labels| rows, label cardinality is "

@@ -164,3 +164,32 @@ def test_class_weights_balance(spark, sf_dir):
     for a, b in zip(ordered, ordered[1:]):
         if a["n_label"] < b["n_label"]:
             assert a["class_weight"] > b["class_weight"]
+
+
+def test_asof_tolerance_never_matches_more_than_plain_asof(spark, sf_dir):
+    plain = {
+        r["error_event_id"]: r["click_event_id"]
+        for r in QUERIES["q_asof_join"](spark, sf_dir).collect()
+    }
+    tol = {
+        r["error_event_id"]: r["click_event_id"]
+        for r in QUERIES["q_asof_tolerance"](spark, sf_dir).collect()
+    }
+    assert set(tol) == set(plain)  # LEFT semantics: same error rows
+    for eid, cid in tol.items():
+        # tolerance can only void a match, never change or invent one
+        assert cid is None or cid == plain[eid]
+    assert sum(v is not None for v in tol.values()) <= sum(
+        v is not None for v in plain.values()
+    )
+
+
+def test_slice_recall_consistent_with_kappa(spark, sf_dir):
+    slices = QUERIES["q_slice_recall"](spark, sf_dir).collect()
+    assert slices
+    for r in slices:
+        assert 0 <= r["n_correct"] <= r["n_class"]
+        assert r["recall"] == pytest.approx(r["n_correct"] / r["n_class"])
+    kappa = QUERIES["q_cohen_kappa"](spark, sf_dir).collect()[0]
+    assert sum(r["n_class"] for r in slices) == kappa["n_total"]
+    assert sum(r["n_correct"] for r in slices) == kappa["n_agree"]
