@@ -469,3 +469,55 @@ def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).alias("cum_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_hopping_window — sliding-window rollup, native F.window(slide) pinned
+# ---------------------------------------------------------------------------
+_HOP_SIZE_US = 3600 * 1_000_000  # 1-hour windows
+_HOP_SLIDE_US = 900 * 1_000_000  # sliding every 15 minutes → 4 windows/event
+
+
+@register(
+    "q_hopping_window",
+    oracle=f"""
+    WITH hopped AS (
+      SELECT (CAST(floor(epoch_us(ts) / {_HOP_SLIDE_US}) AS BIGINT) - u.i)
+               * {_HOP_SLIDE_US} AS window_start_us,
+             event_type, value
+      FROM events, unnest(range(0, {_HOP_SIZE_US // _HOP_SLIDE_US})) AS u(i)
+    )
+    SELECT window_start_us, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM hopped
+    GROUP BY 1, 2
+    """,
+)
+def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window rollup — 1-hour windows every 15 minutes,
+    the overlapping-window twin of q_time_bucket's tumbling buckets and
+    the batch form of a sliding streaming aggregation. Spark side is the
+    NATIVE ``F.window(ts, size, slide)`` generator (each event explodes
+    into size/slide = 4 window rows inside codegen); the oracle derives
+    the same windows from first principles — start_us = (floor(t/slide)
+    − i)·slide for i < size/slide, epoch-aligned exactly like Spark's
+    default origin — so the native generator's alignment and
+    inclusive-start/exclusive-end semantics are value-pinned, not
+    assumed. Window starts emit as exact BIGINT epoch-microseconds
+    (timestamp columns canonicalize differently across the two pandas
+    bridges). One 4× explode + one hash aggregate; at 100 TB the slide
+    ratio bounds the blow-up and the aggregate is the only shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "15 minutes")
+    return (
+        events.select(win.alias("w"), "event_type", "value")
+        .groupBy(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )

@@ -193,3 +193,15 @@ def test_slice_recall_consistent_with_kappa(spark, sf_dir):
     kappa = QUERIES["q_cohen_kappa"](spark, sf_dir).collect()[0]
     assert sum(r["n_class"] for r in slices) == kappa["n_total"]
     assert sum(r["n_correct"] for r in slices) == kappa["n_agree"]
+
+
+def test_hopping_window_mass_conservation(spark, sf_dir):
+    from cdmx_airquality_etl_spark.sources.parquet import load_table
+
+    rows = QUERIES["q_hopping_window"](spark, sf_dir).collect()
+    assert rows
+    n_events = load_table(spark, sf_dir, "events").count()
+    # every event lands in exactly size/slide = 4 windows
+    assert sum(r["n_events"] for r in rows) == 4 * n_events
+    for r in rows:
+        assert r["window_start_us"] % (900 * 1_000_000) == 0  # slide-aligned
