@@ -462,26 +462,33 @@ def q_group_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     drifting estimator flips the flag to 0 and the value-hash compare
     fails — the estimate is checked without demanding bitwise equality."""
     orders = load_table(spark, sf_dir, "orders")
-    approx = F.approx_count_distinct("o_custkey", rsd=_HLL_RSD)
-    exact = F.countDistinct("o_custkey")
-    return (
-        orders.groupBy("o_orderpriority")
-        .agg(
-            exact.alias("n_distinct_exact"),
-            approx.alias("n_approx"),
-            F.count(F.lit(1)).alias("n_orders"),
+    # exact distinct via TWO-LEVEL aggregation, approx in its own branch,
+    # joined on the 5-row group key: mixing countDistinct with other
+    # aggregates makes Catalyst Expand every input row (2x scan mass, and
+    # the 2^14-register HLL partials ride the expanded rows too) — A/B
+    # measured 2.65 s -> 0.8 s warm at sf0.1. The two-level form is also
+    # the shape that scales: no Expand, both branches plain hash
+    # aggregates, the join is group-cardinality rows.
+    per_key = orders.groupBy("o_orderpriority", "o_custkey").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    exact = per_key.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_exact"),
+        F.sum("c").cast("long").alias("n_orders"),
+    )
+    approx = orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=_HLL_RSD).alias("n_approx")
+    )
+    return exact.join(approx, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_distinct_exact",
+        "n_orders",
+        (
+            F.abs(F.col("n_approx") - F.col("n_distinct_exact"))
+            <= F.col("n_distinct_exact") * F.lit(_HLL_BAND)
         )
-        .select(
-            "o_orderpriority",
-            "n_distinct_exact",
-            "n_orders",
-            (
-                F.abs(F.col("n_approx") - F.col("n_distinct_exact"))
-                <= F.col("n_distinct_exact") * F.lit(_HLL_BAND)
-            )
-            .cast("long")
-            .alias("hll_within_band"),
-        )
+        .cast("long")
+        .alias("hll_within_band"),
     )
 
 
