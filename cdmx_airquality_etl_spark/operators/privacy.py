@@ -192,3 +192,95 @@ def q_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("n") < _K_ANON, 1).otherwise(0)).alias("n_violating"),
         F.sum(F.when(F.col("n") < _K_ANON, F.col("n")).otherwise(0)).alias("n_records_at_risk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_t_closeness — sensitive-distribution distance per QI group
+# ---------------------------------------------------------------------------
+_T_CLOSE = 0.2  # max allowed total-variation distance from the global mix
+
+
+@register(
+    "q_t_closeness",
+    oracle=f"""
+    WITH a AS (
+      SELECT c_nationkey AS g, c_mktsegment AS s, CAST(COUNT(*) AS BIGINT) AS a
+      FROM customer GROUP BY 1, 2
+    ),
+    ng AS (
+      SELECT c_nationkey AS g, CAST(COUNT(*) AS BIGINT) AS n_g
+      FROM customer GROUP BY 1
+    ),
+    b AS (
+      SELECT c_mktsegment AS s, CAST(COUNT(*) AS BIGINT) AS b
+      FROM customer GROUP BY 1
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer),
+    cells AS (
+      SELECT ng.g, ng.n_g, tot.n,
+             abs(COALESCE(a.a, 0) * tot.n - b.b * ng.n_g) AS num
+      FROM ng CROSS JOIN b CROSS JOIN tot
+      LEFT JOIN a ON a.g = ng.g AND a.s = b.s
+    )
+    SELECT g AS c_nationkey,
+           n_g AS group_size,
+           CAST(SUM(num) AS DOUBLE) / (2.0 * n_g * n) AS t_distance,
+           CAST(CASE WHEN CAST(SUM(num) AS DOUBLE) / (2.0 * n_g * n)
+                          <= {_T_CLOSE} THEN 1 ELSE 0 END AS BIGINT)
+             AS within_t
+    FROM cells
+    GROUP BY g, n_g, n
+    """,
+)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the member k-anonymity and l-diversity miss: a
+    group can be large (k) and diverse (l) while its SENSITIVE-value mix
+    still leaks (90% of one nation in one segment reveals the segment for
+    that nation's members). Distance is total variation between each QI
+    group's segment distribution and the global one, computed on the
+    common denominator n_g·N so the summed numerator |a·N − b·n_g| is an
+    exact integer — the one division (and the t compare) happens once per
+    group on exact operands, identical in both engines (the weighted-
+    median/q_mixing_weights determinism discipline). Plan: two QI-grain
+    hash aggregates plus bounded |nations|x|segments| grid joins — the
+    numerator would need DECIMAL sums past ~10^9 rows-per-side scale, a
+    one-line change. The t-closeness of Li et al. (ICDE'07) with equal
+    ground distance (categorical TV form)."""
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.groupBy(
+        F.col("c_nationkey").alias("g"), F.col("c_mktsegment").alias("s")
+    ).agg(F.count(F.lit(1)).cast("long").alias("a"))
+    ng = cust.groupBy(F.col("c_nationkey").alias("g")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_g")
+    )
+    b = cust.groupBy(F.col("c_mktsegment").alias("s")).agg(
+        F.count(F.lit(1)).cast("long").alias("b")
+    )
+    tot = cust.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    grid = ng.crossJoin(F.broadcast(b)).crossJoin(F.broadcast(tot))
+    cells = grid.join(a, ["g", "s"], "left").select(
+        "g",
+        "n_g",
+        "n",
+        F.abs(
+            F.coalesce(F.col("a"), F.lit(0)) * F.col("n")
+            - F.col("b") * F.col("n_g")
+        ).alias("num"),
+    )
+    return cells.groupBy("g", "n_g", "n").agg(
+        F.sum("num").alias("__sn")
+    ).select(
+        F.col("g").alias("c_nationkey"),
+        F.col("n_g").alias("group_size"),
+        (F.col("__sn").cast("double") / (F.lit(2.0) * F.col("n_g") * F.col("n"))).alias(
+            "t_distance"
+        ),
+        F.when(
+            F.col("__sn").cast("double") / (F.lit(2.0) * F.col("n_g") * F.col("n"))
+            <= F.lit(_T_CLOSE),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("within_t"),
+    )

@@ -114,6 +114,11 @@ ALLOWLIST: dict[str, str] = {
         "operators/vector_stats.py) — |labels| rows, label cardinality is "
         "data-size-independent"
     ),
+    "q_t_closeness": (
+        "build is the global segment-marginal table (group-by "
+        "c_mktsegment — 5 rows, sensitive-attribute cardinality) crossed "
+        "onto the QI grid — data-size-independent"
+    ),
     "q_dense_grid": (
         "build is the nation dimension scan — fixed 25-row TPC-H "
         "dimension, independent of fact-table scale"

@@ -54,3 +54,19 @@ def test_generalization_ladder_monotone(spark, sf_dir):
     k_rows = QUERIES["q_k_anonymity"](spark, sf_dir).collect()
     at_risk0 = sum(r["group_size"] for r in k_rows if not r["is_k_anonymous"])
     assert rows[0]["n_records_at_risk"] == at_risk0
+
+
+def test_t_closeness_bounds_and_degenerate_group(spark, sf_dir):
+    from cdmx_airquality_etl_spark.registry import QUERIES
+
+    rows = QUERIES["q_t_closeness"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["t_distance"] <= 1.0  # TV distance over distributions
+        assert r["within_t"] == (1 if r["t_distance"] <= 0.2 else 0)
+    # mass check: group sizes sum to the table
+    from cdmx_airquality_etl_spark.sources.parquet import load_table
+
+    assert sum(r["group_size"] for r in rows) == load_table(
+        spark, sf_dir, "customer"
+    ).count()
