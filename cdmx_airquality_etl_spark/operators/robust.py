@@ -384,3 +384,72 @@ def q_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mad",
         (F.col("dev") > _ANOM_K * F.col("mad")).alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_winsorized_mean — clamp to positional [p5, p95] bounds, then mean
+# ---------------------------------------------------------------------------
+@register(
+    "q_winsorized_mean",
+    oracle="""
+    WITH bounds AS (
+      SELECT o_orderpriority,
+             quantile_disc(o_totalprice, 0.05) AS lo,
+             quantile_disc(o_totalprice, 0.95) AS hi
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             AS raw_mean,
+           CAST(SUM(CAST(LEAST(GREATEST(o_totalprice, lo), hi)
+                         AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             AS winsorized_mean,
+           CAST(SUM(CASE WHEN o_totalprice < lo OR o_totalprice > hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+    FROM orders o JOIN bounds USING (o_orderpriority)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per group — the robust-location estimator that
+    CLAMPS tails instead of dropping them (q_outlier_mad's flag-only
+    twin): values below/above the positional p5/p95 move to the bound,
+    then a plain mean. Bounds come from percentile_disc, which returns a
+    MEMBER of the data (no interpolation arithmetic — bitwise-identical
+    across engines, the q_percentile_disc discipline); clamping is exact
+    comparison; both means are DECIMAL sums with one final double
+    division each. Plan: one per-group sorted-state aggregate for the
+    bounds (group-cardinality rows, broadcast back), then one hash
+    aggregate over the clamped scan — at fact scale swap the bounds pass
+    to approx_percentile and keep the rest unchanged."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__ord_wins")
+    bounds = spark.sql(
+        """
+        SELECT o_orderpriority,
+               percentile_disc(0.05) WITHIN GROUP (ORDER BY o_totalprice) AS lo,
+               percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice) AS hi
+        FROM __ord_wins GROUP BY o_orderpriority
+        """
+    )
+    clamped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+    out_of_band = (F.col("o_totalprice") < F.col("lo")) | (
+        F.col("o_totalprice") > F.col("hi")
+    )
+    return (
+        orders.join(F.broadcast(bounds), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("raw_mean"),
+            (
+                F.sum(clamped.cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("winsorized_mean"),
+            F.sum(out_of_band.cast("int")).cast("long").alias("n_clamped"),
+        )
+    )

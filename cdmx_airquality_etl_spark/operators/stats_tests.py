@@ -484,3 +484,121 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         dcg.crossJoin(F.broadcast(idcg))
         .select("dcg", "idcg", (F.col("dcg") / F.col("idcg")).alias("ndcg"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q_cramers_v — contingency chi-square + Cramér's V on an ordered fold
+# ---------------------------------------------------------------------------
+@register(
+    "q_cramers_v",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type,
+             CAST((datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7)
+                  AS BIGINT) AS dow
+      FROM events
+    ),
+    o AS (
+      SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS o
+      FROM ev GROUP BY event_type, dow
+    ),
+    r AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS r FROM ev GROUP BY 1),
+    c AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS c FROM ev GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ev),
+    grid AS (
+      SELECT r.event_type, c.dow, r.r, c.c, tot.n,
+             COALESCE(o.o, 0) AS o
+      FROM r CROSS JOIN c CROSS JOIN tot
+      LEFT JOIN o ON o.event_type = r.event_type AND o.dow = c.dow
+    ),
+    terms AS (
+      SELECT n,
+             CAST((o * n - r * c) * (o * n - r * c) AS DOUBLE)
+               / (CAST(n AS DOUBLE) * r * c) AS term,
+             event_type, dow
+      FROM grid
+    ),
+    folded AS (
+      SELECT n,
+             list_reduce(
+               list_prepend(0.0, list(term ORDER BY event_type, dow)),
+               (a, b) -> a + b) AS chi2,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM r) AS n_rows,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_cols
+      FROM terms GROUP BY n
+    )
+    SELECT n, n_rows, n_cols, chi2,
+           sqrt(chi2 / (n * least(n_rows - 1, n_cols - 1))) AS cramers_v
+    FROM folded
+    """,
+)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way contingency chi-square (event_type × day-of-week) with
+    Cramér's V — the effect-size companion to q_chi_square's
+    goodness-of-fit: V = sqrt(chi2 / (n·min(r−1, c−1))) in [0, 1] says
+    HOW associated the two categoricals are, comparable across table
+    sizes. Exactness discipline: each cell's term uses the integer
+    numerator (o·n − r·c)² over the exact marginal product (DECIMAL past
+    ~10^9-row marginals), empty cells enter via the dense marginal grid
+    (they contribute r·c/n² — dropping them biases chi2 low), and the
+    35 float terms fold in ONE PINNED ORDER on both engines (Spark
+    aggregate / DuckDB list_reduce over the (event_type, dow)-sorted
+    list — the similarity batch's dot-product rule), so the sum is
+    bitwise-identical; sqrt is one correctly-rounded op. Plan: three
+    hash aggregates + bounded grid joins; nothing scales past the
+    category cardinalities."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) % 7)
+        .cast("long")
+        .alias("dow"),
+    )
+    o = ev.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    r = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("r"))
+    c = ev.groupBy("dow").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = ev.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    grid = (
+        r.crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(tot))
+        .join(o, ["event_type", "dow"], "left")
+        .select(
+            "event_type",
+            "dow",
+            "n",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+            "r",
+            "c",
+        )
+    )
+    num = F.col("o") * F.col("n") - F.col("r") * F.col("c")
+    terms = grid.select(
+        "n",
+        "event_type",
+        "dow",
+        ((num * num).cast("double") / (F.col("n").cast("double") * F.col("r") * F.col("c"))).alias(
+            "term"
+        ),
+    )
+    folded = terms.groupBy("n").agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("event_type", "dow", "term"))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("chi2"),
+        F.count_distinct("event_type").cast("long").alias("n_rows"),
+        F.count_distinct("dow").cast("long").alias("n_cols"),
+    )
+    return folded.select(
+        "n",
+        "n_rows",
+        "n_cols",
+        "chi2",
+        F.sqrt(
+            F.col("chi2")
+            / (F.col("n") * F.least(F.col("n_rows") - 1, F.col("n_cols") - 1))
+        ).alias("cramers_v"),
+    )

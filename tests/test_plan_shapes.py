@@ -114,6 +114,10 @@ ALLOWLIST: dict[str, str] = {
         "operators/vector_stats.py) — |labels| rows, label cardinality is "
         "data-size-independent"
     ),
+    "q_cramers_v": (
+        "build is the day-of-week marginal table (group-by dow — exactly "
+        "7 rows) crossed onto the contingency grid — data-size-independent"
+    ),
     "q_t_closeness": (
         "build is the global segment-marginal table (group-by "
         "c_mktsegment — 5 rows, sensitive-attribute cardinality) crossed "

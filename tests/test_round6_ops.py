@@ -205,3 +205,21 @@ def test_hopping_window_mass_conservation(spark, sf_dir):
     assert sum(r["n_events"] for r in rows) == 4 * n_events
     for r in rows:
         assert r["window_start_us"] % (900 * 1_000_000) == 0  # slide-aligned
+
+
+def test_winsorized_mean_pulls_toward_center(spark, sf_dir):
+    rows = QUERIES["q_winsorized_mean"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["n_clamped"] < r["n_orders"]  # ~10% of a smooth dist
+        # clamping strictly reduces spread contribution; with a right-skewed
+        # price distribution the winsorized mean moves, and stays positive
+        assert r["winsorized_mean"] > 0
+        assert abs(r["winsorized_mean"] - r["raw_mean"]) < r["raw_mean"]
+
+
+def test_cramers_v_bounds(spark, sf_dir):
+    r = QUERIES["q_cramers_v"](spark, sf_dir).collect()[0]
+    assert r["chi2"] >= 0.0
+    assert 0.0 <= r["cramers_v"] <= 1.0
+    assert r["n_rows"] >= 2 and r["n_cols"] >= 2
