@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
+from .dedup import _md5_int, _sql_md5_int
 from ..sources.parquet import load_table
 from .similarity import _SQL_NZ_CTE, _dot, _nonzero, _sql_cos
 
@@ -602,3 +603,137 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * F.least(F.col("n_rows") - 1, F.col("n_cols") - 1))
         ).alias("cramers_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_bootstrap_ci — deterministic Poisson bootstrap confidence intervals
+# ---------------------------------------------------------------------------
+_BOOT_B = 32  # resamples
+
+# Poisson(1) inverse-CDF thresholds, computed once in Python and rendered
+# as literals into BOTH plans (the _bm25_idf convention): weight w is the
+# smallest k with cumulative P(X<=k) > u. Tail capped at 9 (P ~ 1e-7).
+_POIS_CUM = []
+_acc, _term = 0.0, math.exp(-1.0)
+for _k in range(9):
+    _acc += _term
+    _POIS_CUM.append(_acc)
+    _term /= _k + 1
+
+
+def _pois_w_sql(u: str) -> str:
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN {u} <= {c!r} THEN {k}" for k, c in enumerate(_POIS_CUM)
+        )
+        + " ELSE 9 END"
+    )
+
+
+@register(
+    "q_bootstrap_ci",
+    oracle=f"""
+    WITH draws AS (
+      SELECT event_type, value, b.b,
+             {_sql_md5_int("event_id || '|' || b.b", 12)} / 281474976710656.0
+               AS u
+      FROM events, unnest(range(0, {_BOOT_B})) AS b(b)
+    ),
+    weighted AS (
+      SELECT event_type, b, value,
+             {_pois_w_sql('u')} AS w
+      FROM draws
+    ),
+    resample_means AS (
+      SELECT event_type, b,
+             CAST(SUM(w * CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / SUM(w) AS m
+      FROM weighted GROUP BY event_type, b
+      HAVING SUM(w) > 0
+    ),
+    point AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+               AS mean_value
+      FROM events GROUP BY event_type
+    )
+    SELECT p.event_type, p.n_events, p.mean_value,
+           quantile_disc(r.m, 0.05) AS boot_lo,
+           quantile_disc(r.m, 0.95) AS boot_hi
+    FROM point p JOIN resample_means r USING (event_type)
+    GROUP BY p.event_type, p.n_events, p.mean_value
+    """,
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for each group's mean — THE
+    at-scale bootstrap (Chamandy et al., 'Estimating Uncertainty for
+    Massive Data Streams', Google 2012): instead of resampling n rows
+    with replacement (a global operation), each row independently enters
+    resample b with Poisson(1) multiplicity, which matches multinomial
+    resampling to O(1/n) and is embarrassingly parallel. Determinism:
+    the multiplicity is the Poisson inverse-CDF of a hash-uniform draw
+    md5(event_id, b) — no PRNG, re-runs byte-identical, and the SAME
+    literal thresholds render into both engines (the q_global_shuffle /
+    BM25-constant convention). Resample means are DECIMAL-weighted exact
+    sums with one division; the CI picks positional members of the
+    {b}-value resample distribution (percentile_disc — no interpolation).
+    Plan: a {b}x map-side explode, one hash aggregate on (group, b),
+    then a group-cardinality quantile — nothing scales past B x groups."""
+    events = load_table(spark, sf_dir, "events")
+    draws = events.select(
+        "event_type",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        "event_id",
+    ).select(
+        "event_type",
+        "value",
+        "b",
+        (
+            _md5_int(
+                F.concat(
+                    F.col("event_id").cast("string"),
+                    F.lit("|"),
+                    F.col("b").cast("string"),
+                ),
+                12,
+            )
+            / F.lit(281474976710656.0)
+        ).alias("u"),
+    )
+    w = F.lit(9)
+    for k in reversed(range(9)):
+        w = F.when(F.col("u") <= F.lit(_POIS_CUM[k]), F.lit(k)).otherwise(w)
+    weighted = draws.select("event_type", "b", "value", w.alias("w"))
+    resample_means = (
+        weighted.groupBy("event_type", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sw"),
+            F.sum("w").alias("nw"),
+        )
+        .filter(F.col("nw") > 0)
+        .select("event_type", (F.col("sw") / F.col("nw")).alias("m"))
+    )
+    point = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_value"),
+    )
+    point.join(resample_means, "event_type").createOrReplaceTempView("__boot_ci")
+    return spark.sql(
+        """
+        SELECT event_type, n_events, mean_value,
+               percentile_disc(0.05) WITHIN GROUP (ORDER BY m) AS boot_lo,
+               percentile_disc(0.95) WITHIN GROUP (ORDER BY m) AS boot_hi
+        FROM __boot_ci
+        GROUP BY event_type, n_events, mean_value
+        """
+    )
+
+
+q_bootstrap_ci.__doc__ = q_bootstrap_ci.__doc__.format(b=_BOOT_B)

@@ -223,3 +223,17 @@ def test_cramers_v_bounds(spark, sf_dir):
     assert r["chi2"] >= 0.0
     assert 0.0 <= r["cramers_v"] <= 1.0
     assert r["n_rows"] >= 2 and r["n_cols"] >= 2
+
+
+def test_bootstrap_ci_brackets_the_mean(spark, sf_dir):
+    rows = QUERIES["q_bootstrap_ci"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["boot_lo"] <= r["boot_hi"]
+        # the point estimate should lie inside (or at worst graze) the CI
+        assert r["boot_lo"] <= r["mean_value"] <= r["boot_hi"], r
+        # CI width shrinks with n: sanity-bound it to a loose fraction
+        assert (r["boot_hi"] - r["boot_lo"]) < abs(r["mean_value"]) * 2 + 1e9
+    # determinism: identical on re-run
+    again = QUERIES["q_bootstrap_ci"](spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
