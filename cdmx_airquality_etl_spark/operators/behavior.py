@@ -339,3 +339,113 @@ def q_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.max("n_events").cast("double")
         ).alias("power_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_kaplan_meier — survival curve over user lifetimes (ordered-fold product)
+# ---------------------------------------------------------------------------
+@register(
+    "q_kaplan_meier",
+    oracle="""
+    WITH life AS (
+      SELECT user_id,
+             CAST(datediff('day', DATE '1970-01-01', CAST(MIN(ts) AS DATE))
+                  AS BIGINT) AS first_day,
+             CAST(datediff('day', DATE '1970-01-01', CAST(MAX(ts) AS DATE))
+                  AS BIGINT) AS last_day
+      FROM events GROUP BY user_id
+    ),
+    horizon AS (SELECT MAX(last_day) AS h FROM life),
+    spans AS (
+      SELECT last_day - first_day AS t,
+             CASE WHEN last_day < h THEN 1 ELSE 0 END AS churned
+      FROM life, horizon
+    ),
+    deaths AS (
+      SELECT t, CAST(SUM(churned) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS leaving
+      FROM spans GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d,
+             CAST(SUM(leaving) OVER (ORDER BY t DESC) AS BIGINT) AS n_at_risk
+      FROM deaths
+    ),
+    factors AS (
+      SELECT t, d, n_at_risk,
+             CAST(n_at_risk - d AS DOUBLE) / n_at_risk AS f
+      FROM risk
+    )
+    SELECT x.t AS lifetime_days, x.d AS n_churned, x.n_at_risk,
+           list_reduce(
+             list_prepend(1.0, list(y.f ORDER BY y.t2)),
+             (a, b) -> a * b) AS survival
+    FROM factors x JOIN (SELECT t AS t2, f FROM factors) y
+      ON y.t2 <= x.t
+    GROUP BY x.t, x.d, x.n_at_risk
+    """,
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival over user lifetimes: S(t) = prod_{t_i <= t}
+    (1 − d_i/n_i) with users whose last activity touches the corpus
+    horizon treated as CENSORED (still alive — the estimator's point;
+    naive churn curves count them dead). Lifetimes are day-grain, so the
+    event-time axis is calendar-bounded and the per-t factor table is
+    tiny; the cumulative product folds the t-ORDERED factor list
+    identically in both engines (Spark aggregate / DuckDB list_reduce —
+    the q_cramers_v ordered-fold rule; NO exp-sum-log, whose libm calls
+    aren't correctly rounded). The prefix-product-per-row shape is the
+    triangular self-join over the bounded factor table — |days|² pairs at
+    most, data-size-independent. n_at_risk is a descending running sum of
+    exact counts."""
+    events = load_table(spark, sf_dir, "events")
+    life = events.groupBy("user_id").agg(
+        F.datediff(F.to_date(F.min("ts")), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("first_day"),
+        F.datediff(F.to_date(F.max("ts")), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("last_day"),
+    )
+    horizon = life.agg(F.max("last_day").alias("h"))
+    spans = life.crossJoin(F.broadcast(horizon)).select(
+        (F.col("last_day") - F.col("first_day")).alias("t"),
+        F.when(F.col("last_day") < F.col("h"), 1).otherwise(0).alias("churned"),
+    )
+    deaths = spans.groupBy("t").agg(
+        F.sum("churned").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("leaving"),
+    )
+    w = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = deaths.select(
+        "t", "d", F.sum("leaving").over(w).cast("long").alias("n_at_risk")
+    )
+    factors = risk.select(
+        "t",
+        "d",
+        "n_at_risk",
+        ((F.col("n_at_risk") - F.col("d")).cast("double") / F.col("n_at_risk")).alias(
+            "f"
+        ),
+    )
+    x = factors.alias("x")
+    y = factors.select(F.col("t").alias("t2"), F.col("f").alias("f2")).alias("y")
+    return (
+        x.join(F.broadcast(y), F.col("y.t2") <= F.col("x.t"))
+        .groupBy("x.t", "x.d", "x.n_at_risk")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct(F.col("y.t2"), F.col("y.f2")))),
+                F.lit(1.0),
+                lambda acc, s: acc * s["f2"],
+            ).alias("survival")
+        )
+        .select(
+            F.col("t").alias("lifetime_days"),
+            F.col("d").alias("n_churned"),
+            "n_at_risk",
+            "survival",
+        )
+    )

@@ -91,6 +91,10 @@ ALLOWLIST: dict[str, str] = {
         "build is the observed-count table grouped by day-of-week — "
         "exactly 7 rows at any corpus size"
     ),
+    "q_kaplan_meier": (
+        "build is the per-lifetime factor table (group-by day-grain "
+        "lifetime t) — bounded by calendar span, not corpus size"
+    ),
     "q_ewma_daily": (
         "build is the day-grain count series — |distinct days| rows, "
         "bounded by calendar span, not corpus size"

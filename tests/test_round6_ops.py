@@ -237,3 +237,20 @@ def test_bootstrap_ci_brackets_the_mean(spark, sf_dir):
     # determinism: identical on re-run
     again = QUERIES["q_bootstrap_ci"](spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_kaplan_meier_is_a_survival_curve(spark, sf_dir):
+    rows = sorted(
+        QUERIES["q_kaplan_meier"](spark, sf_dir).collect(),
+        key=lambda r: r["lifetime_days"],
+    )
+    assert rows
+    prev = 1.0
+    for r in rows:
+        assert 0.0 < r["survival"] <= 1.0
+        assert r["survival"] <= prev + 1e-12  # non-increasing in t
+        prev = r["survival"]
+        assert 0 <= r["n_churned"] <= r["n_at_risk"]
+    # risk sets shrink as t grows
+    risks = [r["n_at_risk"] for r in rows]
+    assert risks == sorted(risks, reverse=True)
