@@ -42,6 +42,8 @@ _NON_CORPUS = {
     "q_chi_square",
     "q_ks_binned",
     "q_benford",
+    "q_cramers_v",
+    "q_bootstrap_ci",
 }
 
 CORPUS_QUERIES = sorted(
