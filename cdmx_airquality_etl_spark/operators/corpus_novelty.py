@@ -45,6 +45,43 @@ def _dec(col: Column) -> Column:
     return col.cast("decimal(38,0)")
 
 
+def _doc_gram_fps(docs: DataFrame, *carry: str) -> DataFrame:
+    """Distinct (carry..., fp) word-5-gram fingerprints per document.
+    Shared by q_ngram_novelty and q_split_leakage so the gram grain and
+    fingerprint derivation can never drift apart. ``carry`` must include
+    doc_id (the distinct is per document)."""
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        *carry,
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("ts"),
+    ).filter(F.size("ts") >= _NOV_N)
+    return (
+        toks.select(
+            *carry,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(ts) - {_NOV_N - 1}), "
+                    f"i -> array_join(slice(ts, i, {_NOV_N}), ' '))"
+                )
+            ).alias("gram"),
+        )
+        .select(*carry, _md5_int(F.col("gram"), _NOV_HEX).alias("fp"))
+        .distinct()
+    )
+
+
+# oracle-side twin of _doc_gram_fps: distinct (cols..., fp) from documents
+def _sql_gram_fps(cols: str) -> str:
+    return f"""
+      SELECT DISTINCT {cols},
+             {_sql_md5_int("array_to_string(ts[i:i+4], ' ')", _NOV_HEX)} AS fp
+      FROM (
+        SELECT doc_id, lang, source, {_TOKS_SQL} AS ts
+        FROM documents WHERE text IS NOT NULL
+      ), UNNEST(range(1, len(ts) - 3)) AS u(i)
+      WHERE len(ts) >= {_NOV_N}
+    """
+
+
 # ---------------------------------------------------------------------------
 # q_ngram_novelty — per-source first-occurrence share of distinct 5-grams
 # ---------------------------------------------------------------------------
@@ -91,32 +128,8 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB this is the same fingerprint-shuffle discipline as
     q_dedup_exact. novelty_rate is ONE BIGINT/BIGINT division (registry
     float rules)."""
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull()
-    )
-    toks = docs.select(
-        "doc_id",
-        "source",
-        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("ts"),
-    ).filter(F.size("ts") >= _NOV_N)
-    dg = (
-        toks.select(
-            "doc_id",
-            "source",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(ts) - {_NOV_N - 1}), "
-                    f"i -> array_join(slice(ts, i, {_NOV_N}), ' '))"
-                )
-            ).alias("gram"),
-        )
-        .select(
-            "doc_id",
-            "source",
-            _md5_int(F.col("gram"), _NOV_HEX).alias("fp"),
-        )
-        .distinct()
-    )
+    docs = load_table(spark, sf_dir, "documents")
+    dg = _doc_gram_fps(docs, "doc_id", "source")
     first = dg.groupBy("fp").agg(F.min("doc_id").alias("first_doc"))
     novel = F.count_if(F.col("doc_id") == F.col("first_doc"))
     return (
@@ -313,4 +326,92 @@ def q_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .orderBy(F.col("c").desc(), "pair")
         .limit(_BPE_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_split_leakage — n-gram leakage audit between the content-hash splits
+# ---------------------------------------------------------------------------
+_SPLIT_SQL = (
+    "CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 10 < 8 "
+    "THEN 'train' ELSE 'eval' END"
+)
+
+
+def _split_col():
+    from pyspark.sql import functions as F  # local alias for readability
+
+    bucket = (
+        F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) % 10
+    )
+    return F.when(bucket < 8, "train").otherwise("eval")
+
+
+@register(
+    "q_split_leakage",
+    oracle=f"""
+    WITH dg AS ({_sql_gram_fps("doc_id, lang")}),
+    split_g AS (
+      SELECT dg.*, {_SPLIT_SQL} AS split FROM dg
+    ),
+    train_fp AS (SELECT DISTINCT fp FROM split_g WHERE split = 'train'),
+    eval_docs AS (
+      SELECT doc_id, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(COUNT(*) FILTER (WHERE fp IN (SELECT fp FROM train_fp))
+                  AS BIGINT) AS n_shared
+      FROM split_g WHERE split = 'eval'
+      GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_docs,
+           CAST(COUNT(*) FILTER (WHERE n_shared > 0) AS BIGINT)
+             AS n_leaked_docs,
+           CAST(SUM(n_grams) AS BIGINT) AS n_eval_grams,
+           CAST(SUM(n_shared) AS BIGINT) AS n_shared_grams,
+           CAST(SUM(n_shared) AS DOUBLE) / SUM(n_grams) AS gram_leak_rate
+    FROM eval_docs
+    GROUP BY lang
+    """,
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval split integrity audit: for the content-hash split
+    q_train_test_split defines (same md5 bucket rule, re-rendered here so
+    the two queries pin the SAME split), count how many eval documents
+    share at least one word 5-gram with ANY train document, and what
+    fraction of eval gram mass is train-contaminated. This is
+    q_decontaminate pointed at the pipeline's own split instead of an
+    external benchmark — the audit that catches near-duplicate pairs
+    straddling the split boundary and silently inflating eval scores.
+
+    Scale shape: gram fingerprints are int64 (shared _doc_gram_fps grain
+    with q_ngram_novelty); the train-gram set and the eval grams join on
+    the fp key — a hash semi-join marking each eval gram, never an
+    all-pairs doc comparison. Per-doc rollup then a 5-row lang rollup.
+    The train side at 100 TB is NOT broadcastable (unlike
+    q_decontaminate's benchmark side) — this plan shuffles both sides on
+    fp, which is exactly the degradation path that query's docstring
+    promises past broadcast size. gram_leak_rate is ONE BIGINT division
+    (registry float rules)."""
+    docs = load_table(spark, sf_dir, "documents")
+    dg = _doc_gram_fps(docs, "doc_id", "lang").withColumn(
+        "split", _split_col()
+    )
+    train_fp = dg.filter(F.col("split") == "train").select("fp").distinct()
+    eval_g = dg.filter(F.col("split") == "eval")
+    marked = eval_g.join(
+        train_fp.withColumn("shared", F.lit(1)), "fp", "left"
+    )
+    per_doc = marked.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count_if(F.col("shared").isNotNull()).alias("n_shared"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_eval_docs"),
+        F.count_if(F.col("n_shared") > 0).alias("n_leaked_docs"),
+        F.sum("n_grams").cast("long").alias("n_eval_grams"),
+        F.sum("n_shared").cast("long").alias("n_shared_grams"),
+        (
+            F.sum("n_shared").cast("double") / F.sum("n_grams")
+        ).alias("gram_leak_rate"),
     )

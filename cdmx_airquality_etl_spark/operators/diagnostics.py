@@ -560,3 +560,125 @@ def q_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return late.groupBy("late_bucket_min").agg(
         F.count(F.lit(1)).cast("long").alias("n_events")
     ).select(F.col("late_bucket_min").cast("long"), "n_events")
+
+
+# ---------------------------------------------------------------------------
+# q_zorder_layout — Z-order vs linear clustering, measured by zone-map prune
+# ---------------------------------------------------------------------------
+_Z_BITS = 12  # 12 bits per dimension -> 24-bit morton space
+_Z_DIM = 1 << _Z_BITS
+_Z_FILE = 4096  # codes per simulated file
+_Z_EPOCH = "1992-01-01"
+# probe: a 1/16 slice of the customer-key dimension
+_Z_PROBE_LO, _Z_PROBE_HI = 1024, 1280
+
+
+def _morton_sql(x: str, y: str, div: str) -> str:
+    """Bit-interleave two {_Z_BITS}-bit ints using only integer div/mod —
+    the same literal arithmetic renders into Spark (div='DIV') and DuckDB
+    (div='//'), so both engines assign every row the identical code."""
+    terms = []
+    for b in range(_Z_BITS):
+        p2, p4 = 1 << b, 1 << (2 * b)
+        terms.append(f"((({x}) {div} {p2}) % 2) * {p4}")
+        terms.append(f"((({y}) {div} {p2}) % 2) * {2 * p4}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _zorder_oracle() -> str:
+    x = f"(o_custkey % {_Z_DIM})"
+    y = f"(datediff('day', DATE '{_Z_EPOCH}', CAST(o_orderdate AS DATE)) % {_Z_DIM})"
+    morton = _morton_sql(x, y, "//")
+    linear = f"({y} * {_Z_DIM} + {x})"
+    return f"""
+    WITH keys AS (
+      SELECT {x} AS x, {morton} AS zkey, {linear} AS lkey FROM orders
+    ),
+    zfiles AS (
+      SELECT zkey // {_Z_FILE} AS f, COUNT(*) AS n,
+             MIN(x) AS min_x, MAX(x) AS max_x
+      FROM keys GROUP BY f
+    ),
+    lfiles AS (
+      SELECT lkey // {_Z_FILE} AS f, COUNT(*) AS n,
+             MIN(x) AS min_x, MAX(x) AS max_x
+      FROM keys GROUP BY f
+    ),
+    z AS (
+      SELECT 'zorder' AS layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) FILTER (WHERE min_x < {_Z_PROBE_HI}
+                                     AND max_x >= {_Z_PROBE_LO}) AS BIGINT)
+               AS n_files_kept
+      FROM zfiles
+    ),
+    l AS (
+      SELECT 'linear' AS layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) FILTER (WHERE min_x < {_Z_PROBE_HI}
+                                     AND max_x >= {_Z_PROBE_LO}) AS BIGINT)
+               AS n_files_kept
+      FROM lfiles
+    )
+    SELECT layout, n_files, n_rows, n_files_kept,
+           CAST(n_files_kept AS DOUBLE) / n_files AS keep_rate
+    FROM (SELECT * FROM z UNION ALL SELECT * FROM l)
+    """
+
+
+@register("q_zorder_layout", oracle=_zorder_oracle())
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering vs a date-linear layout, graded by the
+    zone-map prune rate each layout buys for a customer-key range probe —
+    the decision query behind ``OPTIMIZE ... ZORDER BY`` (Delta) /
+    ``rewrite_data_files(sort_order => zorder(...))`` (Iceberg): interleave
+    the bits of (custkey bucket, orderdate bucket), simulate key-range
+    files, and count how many files a 1/16 custkey slice must read under
+    each layout. On the linear layout every date-file spans the whole
+    custkey domain (keep_rate ~1.0 — zero pruning); under Z-order each
+    file covers a 2-D tile so ~1/16 of files survive the probe — the
+    quantified argument for re-clustering.
+
+    The morton code is pure integer div/mod arithmetic (
+    _morton_sql — identical literals in both engines, stays in
+    whole-stage codegen); the production write is
+    ``repartitionByRange(F.expr(morton))`` + sortWithinPartitions, which
+    this query deliberately does NOT execute — it measures the layout's
+    value from per-file min/max stats alone: two hash aggregates on
+    constant-bounded file ids (≤{_Z_DIM}²/{_Z_FILE} groups) and two scalar
+    rollups, no sort, no shuffle wider than the file-id aggregate.
+    keep_rate is ONE BIGINT division (registry float rules)."""
+    orders = load_table(spark, sf_dir, "orders")
+    x = f"(o_custkey % {_Z_DIM})"
+    y = (
+        f"(datediff(o_orderdate, DATE '{_Z_EPOCH}') % {_Z_DIM})"
+    )
+    keys = orders.select(
+        F.expr(x).alias("x"),
+        F.expr(_morton_sql(x, y, "DIV")).alias("zkey"),
+        F.expr(f"({y} * {_Z_DIM} + {x})").alias("lkey"),
+    )
+
+    def files(key: str) -> DataFrame:
+        return keys.groupBy(
+            F.expr(f"{key} DIV {_Z_FILE}").alias("f")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+        )
+
+    def summary(fdf: DataFrame, layout: str) -> DataFrame:
+        kept = F.count_if(
+            (F.col("min_x") < _Z_PROBE_HI) & (F.col("max_x") >= _Z_PROBE_LO)
+        )
+        return fdf.agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n").cast("long").alias("n_rows"),
+            kept.alias("n_files_kept"),
+            (kept.cast("double") / F.count(F.lit(1))).alias("keep_rate"),
+        ).select(F.lit(layout).alias("layout"), "*")
+
+    return summary(files("zkey"), "zorder").unionByName(
+        summary(files("lkey"), "linear")
+    )

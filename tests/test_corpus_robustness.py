@@ -14,6 +14,7 @@ from cdmx_airquality_etl_spark.registry import QUERIES
 
 CORPUS_MODULES = {
     "textstats",
+    "corpus_novelty",
     "llm_ops",
     "corpus_quality",
     "corpus_stats",
