@@ -581,3 +581,229 @@ def q_slice_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         correct.cast("long").alias("n_correct"),
         (correct.cast("double") / F.sum("n")).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_pca_top_component — power iteration on exact covariance sufficient stats
+# ---------------------------------------------------------------------------
+_PCA_DIMS = 8  # leading subspace (matches the q_dim_covariance block)
+_PCA_ITERS = 24  # fixed power-iteration count (no data-dependent stopping)
+_PCA_LSHIFT = 20  # loading fixed-point scale 2^20 for the projection pass
+_PCA_L = 1 << _PCA_LSHIFT
+
+
+def _pca_cov_from_stats(stats):
+    """(n, {(i,j): (si, sj, sij)}) -> dense DxD covariance, computed with
+    ONE fixed-shape double expression per entry over exact BIGINT inputs —
+    both engines' sufficient statistics are identical integers, so this
+    matrix (and everything iterated from it) is bitwise-identical however
+    the stats were aggregated."""
+    n, pairs = stats
+    d = _PCA_DIMS
+    c = [[0.0] * d for _ in range(d)]
+    for (i, j), (si, sj, sij) in pairs.items():
+        cov = (float(n) * float(sij) - float(si) * float(sj)) / (
+            float(n) * float(n) * float(_Q) * float(_Q)
+        )
+        c[i][j] = cov
+        c[j][i] = cov
+    return c
+
+
+def _pca_power(c):
+    """Fixed-iteration power method -> (loadings, eigenvalue, trace).
+    Deterministic: fixed init, fixed iteration count, fixed reduction
+    shapes; IEEE double ops on identical inputs give identical outputs in
+    any process."""
+    import math
+
+    d = len(c)
+    v = [1.0 / math.sqrt(float(d))] * d
+    for _ in range(_PCA_ITERS):
+        u = [sum(c[i][j] * v[j] for j in range(d)) for i in range(d)]
+        nrm = math.sqrt(sum(x * x for x in u))
+        if nrm == 0.0:
+            break
+        v = [x / nrm for x in u]
+    lam = sum(v[i] * sum(c[i][j] * v[j] for j in range(d)) for i in range(d))
+    trace = sum(c[i][i] for i in range(d))
+    return v, lam, trace
+
+
+def _pca_train_spark(spark: SparkSession, sf_dir: str):
+    emb = _nonzero(load_table(spark, sf_dir, "embeddings"))
+    comp = emb.select(
+        "vec_id",
+        F.posexplode(F.slice(F.col("embedding"), 1, _PCA_DIMS)).alias(
+            "dim", "x"
+        ),
+    ).select(
+        "vec_id",
+        "dim",
+        F.floor(F.col("x").cast("double") * _Q).cast("bigint").alias("w"),
+    )
+    a, b = comp.alias("a"), comp.alias("b")
+    prod = (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id"))
+            & (F.col("a.dim") <= F.col("b.dim")),
+        )
+        .groupBy(
+            F.col("a.dim").alias("i"), F.col("b.dim").alias("j")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("a.w").cast("long").alias("si"),
+            F.sum("b.w").cast("long").alias("sj"),
+            F.sum(F.col("a.w") * F.col("b.w")).cast("long").alias("sij"),
+        )
+    )
+    rows = prod.collect()  # bounded: D(D+1)/2 = 36 rows, data-size-free
+    n = max(r["n"] for r in rows)
+    pairs = {(r["i"], r["j"]): (r["si"], r["sj"], r["sij"]) for r in rows}
+    return n, pairs
+
+
+def _pca_train_duck(sf_dir: str):
+    import os
+
+    import duckdb
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    con = duckdb.connect()
+    try:
+        con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{path}'")
+        rows = con.sql(
+            f"""
+            WITH {_SQL_NZ_CTE},
+            comp AS (
+              SELECT vec_id, dim - 1 AS dim,
+                     CAST(floor(CAST(embedding[dim] AS DOUBLE) * {_Q})
+                          AS BIGINT) AS w
+              FROM nz, unnest(range(1, {_PCA_DIMS} + 1)) AS t(dim)
+            )
+            SELECT a.dim AS i, b.dim AS j,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(a.w) AS BIGINT) AS si,
+                   CAST(SUM(b.w) AS BIGINT) AS sj,
+                   CAST(SUM(a.w * b.w) AS BIGINT) AS sij
+            FROM comp a JOIN comp b
+              ON a.vec_id = b.vec_id AND a.dim <= b.dim
+            GROUP BY a.dim, b.dim
+            """
+        ).fetchall()
+    finally:
+        con.close()
+    if not rows:
+        raise ValueError("PCA oracle: no usable embeddings after the guard")
+    n = max(r[2] for r in rows)
+    pairs = {(r[0], r[1]): (r[3], r[4], r[5]) for r in rows}
+    return n, pairs
+
+
+def _pca_loadings_int(v):
+    import math
+
+    return [int(math.floor(x * _PCA_L)) for x in v]
+
+
+def pca_oracle_sql(sf_dir: str) -> str:
+    """Rendered DuckDB oracle: retrains the component from the parquet via
+    the identical exact-integer sufficient statistics and emits the same
+    literal-loading projection the Spark side runs (the IVF/PQ
+    generated-oracle convention, registry.py ORACLE_FACTORIES)."""
+    v, lam, trace = _pca_power(_pca_cov_from_stats(_pca_train_duck(sf_dir)))
+    lv = _pca_loadings_int(v)
+    score = " + ".join(
+        f"CAST(floor(CAST(embedding[{d + 1}] AS DOUBLE) * {_Q}) AS BIGINT)"
+        f" * {lv[d]}"
+        for d in range(_PCA_DIMS)
+    )
+    ratio = lam / trace if trace != 0.0 else 0.0
+    return f"""
+    WITH {_SQL_NZ_CTE},
+    scored AS (
+      SELECT label, CAST({score} AS HUGEINT) AS s FROM nz
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(s) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * {float(_Q) * float(_PCA_L)!r})
+             AS mean_score,
+           CAST({lam!r} AS DOUBLE) AS eigenvalue,
+           CAST({ratio!r} AS DOUBLE) AS explained_ratio
+    FROM scored
+    GROUP BY label
+    """
+
+
+@register("q_pca_top_component", oracle_factory=pca_oracle_sql)
+def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the leading {d}-dim embedding subspace —
+    trained by {it} fixed power-iteration steps on the EXACT covariance
+    sufficient statistics (the q_dim_covariance integer grid), then pushed
+    back down as a distributed projection: per-label mean component score,
+    with the eigenvalue and explained-variance ratio as audit columns.
+    This is the embedding-drift / index-subspace primitive (is one
+    component dominating? did a model update rotate the space?) and the
+    engine's demonstration of the train-then-score idiom for iterative
+    algorithms the IVF/PQ family also uses.
+
+    Scale shape: training reduces the corpus to D(D+1)/2 = {np} BIGINT
+    sufficient-statistic rows (one bounded hash aggregate over the
+    component self-join at fixed D — map-side combinable, shuffle is 36
+    rows), the {it}-step iteration runs on that 8x8 driver matrix (a
+    data-size-independent driver step, like the IVF centroid train), and
+    scoring is ONE scan with a literal-coefficient integer dot product —
+    Σ lv_d·w_d stays in int64 (|lv|≤2^{ls}, |w|≤2^{qs} ⇒ |term|≤2^36,
+    D=8 ⇒ |s|≤2^39), summed per label in DECIMAL(38,0) (exact past 1e12
+    rows/label) with ONE final double division. Cross-engine equality
+    holds because both engines aggregate the SAME integers and both
+    iterate the SAME doubles (_pca_cov_from_stats/_pca_power are shared
+    by the Spark path and the oracle factory)."""
+    v, lam, trace = _pca_power(
+        _pca_cov_from_stats(_pca_train_spark(spark, sf_dir))
+    )
+    lv = _pca_loadings_int(v)
+    ratio = lam / trace if trace != 0.0 else 0.0
+    emb = _nonzero(load_table(spark, sf_dir, "embeddings"))
+    term = lambda d: (  # noqa: E731
+        F.floor(
+            F.element_at("embedding", d + 1).cast("double") * _Q
+        ).cast("long")
+        * F.lit(lv[d])
+    )
+    score = term(0)
+    for d in range(1, _PCA_DIMS):
+        score = score + term(d)
+    return (
+        emb.select("label", score.cast("decimal(38,0)").alias("s"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (
+                F.sum("s").cast("double")
+                / (
+                    F.count(F.lit(1)).cast("double")
+                    * F.lit(float(_Q) * float(_PCA_L))
+                )
+            ).alias("mean_score"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "mean_score",
+            F.lit(lam).cast("double").alias("eigenvalue"),
+            F.lit(ratio).cast("double").alias("explained_ratio"),
+        )
+    )
+
+
+q_pca_top_component.__doc__ = q_pca_top_component.__doc__.format(
+    d=_PCA_DIMS,
+    it=_PCA_ITERS,
+    np=_PCA_DIMS * (_PCA_DIMS + 1) // 2,
+    ls=_PCA_LSHIFT,
+    qs=_Q_SHIFT,
+)

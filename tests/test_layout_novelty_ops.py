@@ -122,3 +122,27 @@ def test_zorder_layout_beats_linear_at_density(spark):
     z, l = rows["zorder"], rows["linear"]
     assert z["keep_rate"] < l["keep_rate"]
     assert z["n_files_kept"] > 0  # probe is populated — pruning, not absence
+
+
+def test_pca_top_component_dominates_variances(spark, sf_dir):
+    from cdmx_airquality_etl_spark.operators.vector_stats import (
+        _PCA_DIMS,
+        _pca_cov_from_stats,
+        _pca_power,
+        _pca_train_spark,
+    )
+
+    rows = QUERIES["q_pca_top_component"](spark, sf_dir).collect()
+    assert rows
+    lam = rows[0]["eigenvalue"]
+    ratio = rows[0]["explained_ratio"]
+    assert all(r["eigenvalue"] == lam for r in rows)  # constant audit cols
+    assert 0.0 < ratio <= 1.0 + 1e-12
+    # Rayleigh-quotient maximality: the top eigenvalue dominates every
+    # coordinate variance (C_ii is the quotient of the i-th basis vector)
+    c = _pca_cov_from_stats(_pca_train_spark(spark, sf_dir))
+    assert lam >= max(c[i][i] for i in range(_PCA_DIMS)) - 1e-12
+    # unit-norm loadings out of the shared iteration
+    v, lam2, _ = _pca_power(c)
+    assert lam2 == lam
+    assert sum(x * x for x in v) == pytest.approx(1.0)
