@@ -1050,6 +1050,105 @@ def q_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_mrr_eval — mean-reciprocal-rank retrieval quality without a global sort
+# ---------------------------------------------------------------------------
+@register(
+    "q_mrr_eval",
+    oracle=f"""
+    WITH {_SQL_NZ_CTE},
+    qs AS (
+      SELECT vec_id AS query_id, label AS q_label, embedding AS qe
+      FROM nz WHERE vec_id < {_BATCH_QUERIES}
+    ),
+    scored AS (
+      SELECT qs.query_id, qs.q_label, e.vec_id, e.label,
+             {_sql_cos('e.embedding', 'qs.qe')} AS s
+      FROM nz e, qs
+      WHERE e.vec_id >= {_BATCH_QUERIES}
+    ),
+    hit0 AS (
+      SELECT query_id, MAX(s) AS hit_s
+      FROM scored WHERE label = q_label
+      GROUP BY query_id
+    ),
+    hit AS (
+      SELECT s.query_id, hit0.hit_s, MIN(s.vec_id) AS hit_id
+      FROM scored s JOIN hit0 USING (query_id)
+      WHERE s.label = s.q_label AND s.s = hit0.hit_s
+      GROUP BY s.query_id, hit0.hit_s
+    )
+    SELECT s.query_id, ANY_VALUE(s.q_label) AS q_label,
+           CAST(COUNT(*) FILTER (
+             WHERE s.s > hit.hit_s
+                OR (s.s = hit.hit_s AND s.vec_id <= hit.hit_id)
+           ) AS BIGINT) AS first_hit_rank,
+           1.0 / COUNT(*) FILTER (
+             WHERE s.s > hit.hit_s
+                OR (s.s = hit.hit_s AND s.vec_id <= hit.hit_id)
+           ) AS reciprocal_rank
+    FROM scored s JOIN hit USING (query_id)
+    GROUP BY s.query_id
+    """,
+)
+def q_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank of the first same-label neighbor for each of the
+    {q} fixed query vectors — the retrieval-eval metric MRR decomposed per
+    query (complements q_ndcg's graded relevance and q_ann_recall's
+    exact-vs-approx agreement with the classic 'how deep is the first
+    relevant hit' number).
+
+    Scale shape — rank WITHOUT a global sort: ranking the whole corpus per
+    query (row_number over N) is a per-query total sort a 100 TB corpus
+    can't afford; instead the best same-label neighbor is found with one
+    max aggregate, and its rank is recovered as 1 + |better pairs| via a
+    count_if against the broadcast 1-row-per-query hit table — two hash
+    aggregates over the same broadcast-scored scan, no sort anywhere (the
+    oracle mirrors the same count formulation; the tie-break is the
+    (cosine DESC, vec_id ASC) order every ranking query here pins).
+    reciprocal_rank is ONE division of an exact BIGINT rank."""
+    emb = _nonzero(load_table(spark, sf_dir, "embeddings"))
+    qs = emb.filter(F.col("vec_id") < _BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        _norm("embedding").alias("q_nrm"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= _BATCH_QUERIES).select(
+        "vec_id", "label", "embedding", _norm("embedding").alias("nrm")
+    )
+    cos = _dot("embedding", "q_emb") / (F.col("nrm") * F.col("q_nrm"))
+    scored = corpus.join(broadcast(qs)).select(
+        "query_id", "q_label", "vec_id", "label", cos.alias("s")
+    )
+    hit = (
+        scored.filter(F.col("label") == F.col("q_label"))
+        .groupBy("query_id")
+        .agg(
+            F.max_by("vec_id", F.struct(F.col("s"), -F.col("vec_id"))).alias(
+                "hit_id"
+            ),
+            F.max("s").alias("hit_s"),
+        )
+    )
+    better = F.count_if(
+        (F.col("s") > F.col("hit_s"))
+        | ((F.col("s") == F.col("hit_s")) & (F.col("vec_id") <= F.col("hit_id")))
+    )
+    return (
+        scored.join(broadcast(hit), "query_id")
+        .groupBy("query_id")
+        .agg(
+            F.any_value("q_label").alias("q_label"),
+            better.alias("first_hit_rank"),
+            (F.lit(1.0) / better).alias("reciprocal_rank"),
+        )
+    )
+
+
+q_mrr_eval.__doc__ = q_mrr_eval.__doc__.format(q=_BATCH_QUERIES)
+
+
+# ---------------------------------------------------------------------------
 # q_similarity_ann_pq — product-quantization ANN (ADC shortlist + exact
 # re-rank). Like IVF, training is fully deterministic, so the codebooks are
 # a pure function of the corpus and the whole approximate search carries a

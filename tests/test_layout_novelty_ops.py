@@ -146,3 +146,49 @@ def test_pca_top_component_dominates_variances(spark, sf_dir):
     v, lam2, _ = _pca_power(c)
     assert lam2 == lam
     assert sum(x * x for x in v) == pytest.approx(1.0)
+
+
+def test_mrr_eval_rank_consistency(spark, sf_dir):
+    # the count-based rank must equal the row_number rank of the first
+    # same-label neighbor under the pinned (cosine DESC, vec_id ASC) order
+    from pyspark.sql.window import Window
+
+    rows = QUERIES["q_mrr_eval"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["first_hit_rank"] >= 1
+        assert r["reciprocal_rank"] == pytest.approx(
+            1.0 / r["first_hit_rank"]
+        )
+    from cdmx_airquality_etl_spark.operators.similarity import (
+        _BATCH_QUERIES,
+        _dot,
+        _nonzero,
+        _norm,
+    )
+
+    emb = _nonzero(load_table(spark, sf_dir, "embeddings"))
+    qs = emb.filter(F.col("vec_id") < _BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        _norm("embedding").alias("q_nrm"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= _BATCH_QUERIES).select(
+        "vec_id", "label", "embedding", _norm("embedding").alias("nrm")
+    )
+    cos = _dot("embedding", "q_emb") / (F.col("nrm") * F.col("q_nrm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("vec_id").asc()
+    )
+    ranked = (
+        corpus.join(F.broadcast(qs))
+        .select("query_id", "q_label", "vec_id", "label", cos.alias("s"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("label") == F.col("q_label"))
+        .groupBy("query_id")
+        .agg(F.min("rn").alias("rank_by_sort"))
+    )
+    by_sort = {r["query_id"]: r["rank_by_sort"] for r in ranked.collect()}
+    for r in rows:
+        assert by_sort[r["query_id"]] == r["first_hit_rank"], r
