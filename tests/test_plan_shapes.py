@@ -69,6 +69,11 @@ ALLOWLIST: dict[str, str] = {
         "build is the fixed query set (vec_id < _BATCH_QUERIES constant, "
         "operators/similarity.py:1031) — constant row count"
     ),
+    "q_mrr_eval": (
+        "build is the fixed query set (vec_id < _BATCH_QUERIES constant "
+        "pushed filter, operators/similarity.py) — constant row count; the "
+        "per-query hit table joins back on the query_id equi-key"
+    ),
     "q_similarity_ann_lsh": (
         "build is the single query vector (pushed vec_id equality filter) "
         "crossed with the scalar lsh_bits count — 1 row regardless of "
