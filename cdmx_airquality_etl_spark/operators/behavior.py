@@ -449,3 +449,84 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "survival",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_burstiness — per-user inter-arrival dispersion (CV² of gaps)
+# ---------------------------------------------------------------------------
+_BURST_MIN_GAPS = 8  # dispersion over fewer gaps is noise, not behavior
+
+
+@register(
+    "q_burstiness",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS d
+      FROM events
+    ),
+    stats AS (
+      SELECT user_id,
+             CAST(COUNT(d) AS BIGINT) AS n_gaps,
+             CAST(SUM(CAST(d AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sd,
+             CAST(SUM(CAST(d AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS sd2
+      FROM gaps WHERE d IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT user_id, n_gaps,
+           CAST(sd AS DOUBLE) / n_gaps / 1000000.0 AS mean_gap_s,
+           (n_gaps * CAST(sd2 AS DOUBLE))
+             / (CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)) - 1.0 AS cv2
+    FROM stats
+    WHERE n_gaps >= {_BURST_MIN_GAPS} AND sd > 0
+    """,
+)
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user burstiness: the squared coefficient of variation of
+    inter-event gaps (CV² = Var/Mean² = n·Σd²/(Σd)² − 1). CV² ≈ 1 is a
+    memoryless Poisson visitor; CV² ≫ 1 is a bursty one — the standard
+    dispersion feature for bot filtering and engagement modeling, and the
+    behavioral twin of q_outlier_mad's magnitude outliers. Lineage: the
+    reference's hourly re-scrape cadence check (scrapper.py:249-267) is
+    this statistic's degenerate fixed-interval case.
+
+    Scale shape: ONE window pass partitioned by user_id (the same shuffle
+    grain every per-user feature here rides), then a hash aggregate to the
+    three sufficient statistics. Determinism (SURVEY §5.1): gaps are exact
+    epoch-microsecond BIGINTs, Σd and Σd² accumulate in DECIMAL(38,0)
+    (order-independent — gaps ≤ ~1e13 µs so Σd² ≤ ~1e30 over any real
+    user), and cv2/mean_gap_s are each ONE final fixed-shape double
+    expression over those exact stats. The sd > 0 guard drops the
+    all-events-same-instant degenerate user in both engines."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = ev.select(
+        "user_id", (F.col("us") - F.lag("us").over(w)).alias("d")
+    ).filter(F.col("d").isNotNull())
+    dd = F.col("d").cast("decimal(38,0)")
+    stats = gaps.groupBy("user_id").agg(
+        F.count("d").alias("n_gaps"),
+        F.sum(dd).cast("decimal(38,0)").alias("sd"),
+        F.sum(dd * dd).cast("decimal(38,0)").alias("sd2"),
+    )
+    return stats.filter(
+        (F.col("n_gaps") >= _BURST_MIN_GAPS) & (F.col("sd") > 0)
+    ).select(
+        "user_id",
+        "n_gaps",
+        (F.col("sd").cast("double") / F.col("n_gaps") / 1000000.0).alias(
+            "mean_gap_s"
+        ),
+        (
+            F.col("n_gaps") * F.col("sd2").cast("double")
+            / (F.col("sd").cast("double") * F.col("sd").cast("double"))
+            - 1.0
+        ).alias("cv2"),
+    )

@@ -284,3 +284,103 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("within_t"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dp_histogram — ε-DP count release via the discrete geometric mechanism
+# ---------------------------------------------------------------------------
+_DP_EPS = 1.0  # privacy budget; sensitivity of a count histogram is 1
+_DP_TAIL = 16  # noise support clamp: ±16 carries all but ~2e-7 of the mass
+
+
+def _geom_cum() -> list[float]:
+    """Cumulative P(N ≤ k) for the two-sided geometric ('discrete
+    Laplace') distribution P(N = k) ∝ α^|k| with α = e^-ε — the
+    universally utility-maximizing ε-DP mechanism for integer counts
+    (Ghosh–Roughgarden–Sundararajan 2009). Computed once in Python and
+    rendered as the SAME literal thresholds into both engines, exactly
+    like the q_bootstrap_ci Poisson table — so the 'draw' is a CASE
+    ladder, not libm on data-dependent values."""
+    import math
+
+    a = math.exp(-_DP_EPS)
+    ks = range(-_DP_TAIL, _DP_TAIL + 1)
+    mass = [a ** abs(k) for k in ks]
+    tot = sum(mass)
+    cum, acc = [], 0.0
+    for m in mass:
+        acc += m / tot
+        cum.append(acc)
+    return cum
+
+
+_DP_CUM = _geom_cum()
+
+
+def _dp_noise_sql(u: str) -> str:
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN {u} <= {c!r} THEN {k - _DP_TAIL}"
+            for k, c in enumerate(_DP_CUM[:-1])
+        )
+        + f" ELSE {_DP_TAIL} END"
+    )
+
+
+@register(
+    "q_dp_histogram",
+    oracle=f"""
+    WITH raw AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_raw
+      FROM events GROUP BY event_type
+    ),
+    noised AS (
+      SELECT event_type, n_raw,
+             {_dp_noise_sql("((strpos('0123456789abcdef', substr(md5('dp:' || event_type), 1, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5('dp:' || event_type), 2, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('dp:' || event_type), 3, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('dp:' || event_type), 4, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('dp:' || event_type), 5, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('dp:' || event_type), 6, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('dp:' || event_type), 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('dp:' || event_type), 8, 1)) - 1)) / 4294967296.0")} AS dp_noise
+      FROM raw
+    )
+    SELECT event_type, n_raw, CAST(dp_noise AS BIGINT) AS dp_noise,
+           CAST(greatest(n_raw + dp_noise, 0) AS BIGINT) AS n_released
+    FROM noised
+    """,
+)
+def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private histogram release (ε = {eps}): exact
+    per-type counts plus two-sided geometric noise — the discrete-Laplace
+    mechanism that is provably optimal for integer counts — clamped at
+    zero for publication. Completes the governance ladder: k-anonymity /
+    l-diversity / t-closeness AUDIT a release; this one actually
+    PERTURBS it. (n_raw rides along only because this is a correctness
+    artifact — a real release would drop it.)
+
+    Scale shape: the noise is applied AFTER the hash aggregate, on
+    |distinct event_type| rows — the 100 TB cost is the count scan, which
+    partial-aggregates map-side. Determinism: the 'draw' is the inverse
+    CDF of a 32-bit md5-slice uniform through a rendered literal CASE
+    ladder (the q_bootstrap_ci convention) — no PRNG, no libm on
+    data-dependent values; re-runs and both engines are byte-identical.
+    A seeded draw is of course not cryptographic DP — it stands in for
+    the sampler so the MECHANISM's plumbing (sensitivity-1 counts, α =
+    e^-ε ladder, post-processing clamp) is what's under test."""
+    raw = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("dp:"), F.col("event_type"))), 1, 8), 16, 10).cast("long")
+        / F.lit(4294967296.0)
+    )
+    noise = F.lit(_DP_TAIL)
+    for k in reversed(range(len(_DP_CUM) - 1)):
+        noise = F.when(u <= F.lit(_DP_CUM[k]), F.lit(k - _DP_TAIL)).otherwise(noise)
+    return raw.select(
+        "event_type",
+        "n_raw",
+        noise.cast("long").alias("dp_noise"),
+        F.greatest(F.col("n_raw") + noise, F.lit(0)).cast("long").alias("n_released"),
+    )
+
+
+q_dp_histogram.__doc__ = q_dp_histogram.__doc__.format(eps=_DP_EPS)

@@ -807,3 +807,110 @@ q_pca_top_component.__doc__ = q_pca_top_component.__doc__.format(
     ls=_PCA_LSHIFT,
     qs=_Q_SHIFT,
 )
+
+
+# ---------------------------------------------------------------------------
+# q_random_projection — Johnson–Lindenstrauss distortion audit
+# ---------------------------------------------------------------------------
+_JL_DIM = 64  # corpus embedding dimensionality
+_JL_K = 16  # target dimensionality of the sketch
+_JL_BUCKET = 0.125  # distortion-ratio histogram bin width (2^-3: exact)
+
+
+def _jl_signs() -> list[list[int]]:
+    """The ±1 Achlioptas projection matrix, derived from md5 so both
+    engines see the SAME literal rows: sign(i, j) = +1 iff the j-th hex
+    nibble of md5('jl:<i>') chains is even. Pure stdlib, computed once at
+    import, rendered as literals into the Spark expression and the oracle
+    SQL alike (the q_bootstrap_ci rendered-constant convention)."""
+    import hashlib
+
+    rows = []
+    for i in range(_JL_K):
+        hexs = ""
+        blk = 0
+        while len(hexs) < _JL_DIM:
+            hexs += hashlib.md5(f"jl:{i}:{blk}".encode()).hexdigest()
+            blk += 1
+        rows.append([1 if int(c, 16) % 2 == 0 else -1 for c in hexs[:_JL_DIM]])
+    return rows
+
+
+_JL_ROWS = _jl_signs()
+
+
+def _jl_spark_y(i: int) -> str:
+    arr = ", ".join(f"{s}.0D" for s in _JL_ROWS[i])
+    return (
+        f"aggregate(zip_with(embedding, array({arr}), "
+        f"(x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def _jl_sql_y(i: int) -> str:
+    arr = ", ".join(f"{s}.0" for s in _JL_ROWS[i])
+    return (
+        f"list_reduce(list_transform(range(1, {_JL_DIM} + 1), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * ([{arr}][i])), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+@register(
+    "q_random_projection",
+    oracle=f"""
+    WITH {_SQL_NZ_CTE},
+    proj AS (
+      SELECT {_sql_dot('embedding', 'embedding')} AS ss_x,
+             {' + '.join(f'({_jl_sql_y(i)} * {_jl_sql_y(i)})' for i in range(_JL_K))}
+               AS ss_y
+      FROM nz
+    ),
+    ratio AS (
+      SELECT ss_y / ({_JL_K}.0 * ss_x) AS r FROM proj
+    )
+    SELECT CAST(floor(r / {_JL_BUCKET}) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           MIN(r) AS min_ratio, MAX(r) AS max_ratio
+    FROM ratio GROUP BY 1
+    """,
+)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss distortion audit: project every embedding
+    through a fixed ±1 sign matrix (Achlioptas 2003's database-friendly
+    JL variant) from {d} to {k} dims and histogram the norm-distortion
+    ratio ‖Px‖² / (k·‖x‖²), whose expectation is exactly 1. This is the
+    go/no-go check before swapping an ANN index onto sketched vectors:
+    the histogram's spread IS the recall you give up. Complements
+    q_scalar_quantization (precision loss per component) with the loss
+    per *dimension drop*.
+
+    Scale shape: pure map-side arithmetic — {k} order-stable folds per
+    row (the _dot contract), zero joins, one tiny hash aggregate (≈ a
+    dozen buckets). On 100 TB this is a single scan at full codegen
+    throughput; the sign matrix is {k}×{d} rendered literals, not data.
+    Determinism: both engines fold the same literals in the same order →
+    bitwise-identical doubles; the bucket edge is a power of two, so
+    floor(r/2⁻³) agrees; min/max are order-independent."""
+    emb = _nonzero(load_table(spark, sf_dir, "embeddings"))
+    ys = [F.expr(_jl_spark_y(i)).alias(f"y{i}") for i in range(_JL_K)]
+    proj = emb.select(_dot("embedding", "embedding").alias("ss_x"), *ys)
+    ss_y = proj["y0"] * proj["y0"]
+    for i in range(1, _JL_K):
+        ss_y = ss_y + proj[f"y{i}"] * proj[f"y{i}"]
+    ratio = proj.select(
+        (ss_y / (float(_JL_K) * F.col("ss_x"))).alias("r")
+    )
+    return ratio.groupBy(
+        F.floor(F.col("r") / _JL_BUCKET).cast("bigint").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("r").alias("min_ratio"),
+        F.max("r").alias("max_ratio"),
+    )
+
+
+q_random_projection.__doc__ = q_random_projection.__doc__.format(
+    d=_JL_DIM, k=_JL_K
+)

@@ -254,3 +254,57 @@ def test_kaplan_meier_is_a_survival_curve(spark, sf_dir):
     # risk sets shrink as t grows
     risks = [r["n_at_risk"] for r in rows]
     assert risks == sorted(risks, reverse=True)
+
+
+def test_burstiness_matches_pandas_reference(spark, sf_dir):
+    rows = QUERIES["q_burstiness"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_gaps"] >= 8
+        assert r["mean_gap_s"] > 0
+        assert r["cv2"] >= 0 - 1e-12  # Var >= 0 always
+    # independent per-user reference on the raw parquet
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    uid = rows[0]["user_id"]
+    g = ev[ev.user_id == uid].copy()
+    # pyarrow surfaces the TIMESTAMP(NANOS) column at datetime64[us], so
+    # the raw int64 IS epoch-microseconds — identical to unix_micros(ts)
+    g["us"] = g.ts.astype("int64")
+    d = g.sort_values(["us", "event_id"]).us.diff().dropna()
+    cv2 = len(d) * float((d.astype(object) ** 2).sum()) / float(d.sum()) ** 2 - 1
+    got = {r["user_id"]: r for r in rows}[uid]
+    assert got["n_gaps"] == len(d)
+    assert got["cv2"] == pytest.approx(cv2, rel=1e-9)
+
+
+def test_random_projection_distortion_concentrates(spark, sf_dir):
+    rows = QUERIES["q_random_projection"](spark, sf_dir).collect()
+    assert rows
+    n = sum(r["n_vectors"] for r in rows)
+    # the JL expectation: ratio mass concentrates around 1 (bucket 8 at
+    # width 1/8); every bucket's min/max must live inside the bucket
+    for r in rows:
+        assert r["min_ratio"] >= r["bucket"] * 0.125
+        assert r["max_ratio"] < (r["bucket"] + 1) * 0.125
+        assert r["min_ratio"] <= r["max_ratio"]
+        assert r["min_ratio"] > 0
+    # k=16 ±1 projection: ratio stddev ≈ sqrt(2/k) ≈ 0.35, so ±2σ is
+    # roughly [0.3, 1.7] — demand ≥95% of mass inside [0.25, 2.125)
+    center = sum(r["n_vectors"] for r in rows if 2 <= r["bucket"] <= 16)
+    assert center / n > 0.95, "JL distortion mass not concentrated near 1"
+
+
+def test_dp_histogram_mechanism_invariants(spark, sf_dir):
+    rows = QUERIES["q_dp_histogram"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["dp_noise"]) <= 16
+        assert r["n_released"] == max(r["n_raw"] + r["dp_noise"], 0)
+    # seeded mechanism: a re-run is byte-identical
+    again = {
+        r["event_type"]: r for r in QUERIES["q_dp_histogram"](spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert again[r["event_type"]]["dp_noise"] == r["dp_noise"]
