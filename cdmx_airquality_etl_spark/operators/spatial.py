@@ -224,3 +224,119 @@ def q_spatial_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("id", "nn_id", F.col("d2").cast("bigint").alias("dist2"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q_spatial_dbscan — DBSCAN point classification on the hash grid
+# ---------------------------------------------------------------------------
+_MIN_PTS = 4  # core point: >= MIN_PTS neighbors within the radius
+
+
+@register(
+    "q_spatial_dbscan",
+    oracle=f"""
+    WITH {_SQL_POINTS},
+    nbr AS (
+      SELECT a.id, CAST(COUNT(*) AS BIGINT) AS n_neighbors
+      FROM pts a JOIN pts b
+        ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+       AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+       AND a.id <> b.id
+       AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {_RADIUS2}
+      GROUP BY a.id
+    ),
+    graded AS (
+      SELECT p.id, COALESCE(n.n_neighbors, 0) AS n_neighbors,
+             COALESCE(n.n_neighbors, 0) >= {_MIN_PTS} AS is_core
+      FROM pts p LEFT JOIN nbr n USING (id)
+    ),
+    border AS (
+      SELECT DISTINCT g.id
+      FROM graded g
+      JOIN pts p ON p.id = g.id
+      JOIN pts b
+        ON b.cx BETWEEN p.cx - 1 AND p.cx + 1
+       AND b.cy BETWEEN p.cy - 1 AND p.cy + 1
+       AND b.id <> p.id
+       AND (p.x - b.x) * (p.x - b.x) + (p.y - b.y) * (p.y - b.y) <= {_RADIUS2}
+      JOIN graded gb ON gb.id = b.id AND gb.is_core
+      WHERE NOT g.is_core
+    )
+    SELECT g.id, g.n_neighbors,
+           CASE WHEN g.is_core THEN 'core'
+                WHEN br.id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role
+    FROM graded g LEFT JOIN border br ON br.id = g.id
+    """,
+)
+def q_spatial_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN's point classification (Ester et al. 1996): a point is
+    CORE when ≥ {mp} neighbors lie within the radius, BORDER when it is
+    not core but some core point covers it, NOISE otherwise. (The cluster
+    labels themselves are connected components over core points — the
+    q_dedup_clusters machinery; this query materializes the part DBSCAN
+    adds on top of CC: the density grades.)
+
+    Scale shape: both density passes are the SAME 9-cell probe-key
+    equi-join as q_spatial_grid_join — hash-partitioned by cell id,
+    density-bounded candidates, no nested-loop anywhere (gate-checked).
+    Pass 1 counts radius-neighbors per point; pass 2 re-probes the grid
+    joining only the NON-core points against the core flag. Exact integer
+    distance arithmetic throughout, no sqrt."""
+    pts = _points(spark, sf_dir)
+    a = _explode_probes(pts, "id", "x", "y").alias("a")
+    b = pts.alias("b")
+    d2 = (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x")) + (
+        F.col("a.y") - F.col("b.y")
+    ) * (F.col("a.y") - F.col("b.y"))
+    nbr = (
+        a.join(
+            b,
+            (F.col("a.pcx") == F.col("b.cx")) & (F.col("a.pcy") == F.col("b.cy")),
+        )
+        .filter((F.col("a.id") != F.col("b.id")) & (d2 <= _RADIUS2))
+        .groupBy(F.col("a.id").alias("id"))
+        .agg(F.count(F.lit(1)).alias("n_neighbors"))
+    )
+    graded = (
+        pts.join(nbr, "id", "left")
+        .select(
+            "id", "x", "y", "cx", "cy",
+            F.coalesce(F.col("n_neighbors"), F.lit(0)).alias("n_neighbors"),
+        )
+        .withColumn("is_core", F.col("n_neighbors") >= _MIN_PTS)
+    )
+    noncore = graded.filter(~F.col("is_core"))
+    core = graded.filter(F.col("is_core")).select(
+        F.col("id").alias("core_id"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.col("cx").alias("bcx"),
+        F.col("cy").alias("bcy"),
+    )
+    nprobe = _explode_probes(noncore, "id", "x", "y").alias("n")
+    cd2 = (F.col("n.x") - F.col("bx")) * (F.col("n.x") - F.col("bx")) + (
+        F.col("n.y") - F.col("by")
+    ) * (F.col("n.y") - F.col("by"))
+    border_ids = (
+        nprobe.join(
+            core,
+            (F.col("n.pcx") == F.col("bcx")) & (F.col("n.pcy") == F.col("bcy")),
+        )
+        .filter((F.col("n.id") != F.col("core_id")) & (cd2 <= _RADIUS2))
+        .select(F.col("n.id").alias("bid"))
+        .distinct()
+    )
+    return graded.join(
+        border_ids, graded.id == border_ids.bid, "left"
+    ).select(
+        "id",
+        "n_neighbors",
+        F.when(F.col("is_core"), F.lit("core"))
+        .when(F.col("bid").isNotNull(), F.lit("border"))
+        .otherwise(F.lit("noise"))
+        .alias("role"),
+    )
+
+
+q_spatial_dbscan.__doc__ = q_spatial_dbscan.__doc__.format(mp=_MIN_PTS)

@@ -770,3 +770,74 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_bootstrap_ci.__doc__ = q_bootstrap_ci.__doc__.format(b=_BOOT_B)
+
+
+# ---------------------------------------------------------------------------
+# q_pass_at_k — the unbiased pass@k estimator over per-user attempt sets
+# ---------------------------------------------------------------------------
+_PASS_K = 3
+_PASS_MIN_N = _PASS_K  # the estimator needs at least k attempts
+
+
+@register(
+    "q_pass_at_k",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_attempts,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS n_correct
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_attempts, n_correct,
+           CASE WHEN n_attempts - n_correct < {_PASS_K} THEN 1.0
+                ELSE 1.0 - ({' * '.join(f'(CAST(n_attempts - n_correct - {i} AS DOUBLE) / CAST(n_attempts - {i} AS DOUBLE))' for i in range(_PASS_K))})
+           END AS pass_at_k
+    FROM per_user
+    WHERE n_attempts >= {_PASS_MIN_N}
+    """,
+)
+def q_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unbiased pass@k estimator (Chen et al. 2021, Codex eval,
+    eq. 1): given n sampled attempts of which c succeed, pass@k =
+    1 − C(n−c, k)/C(n, k) — the probability that at least one of k drawn
+    attempts succeeds. THE headline metric of every LLM eval harness,
+    here per user over the events stream with 'purchase' as success
+    (k = {k}); the plumbing is the point — per-task attempt/success
+    counting at corpus scale.
+
+    Scale shape: ONE hash aggregate (conditional count rides the same
+    pass), then a per-row closed form; no second pass, no join.
+    Determinism: the binomial ratio telescopes to k factors
+    (n−c−i)/(n−i), evaluated as the SAME left-to-right double product in
+    both engines — never as factorials (which overflow) nor lgamma
+    (libm). The n−c < k branch pins the combinatorial zero exactly."""
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_attempts"),
+            F.count_if(F.col("event_type") == "purchase")
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .filter(F.col("n_attempts") >= _PASS_MIN_N)
+    )
+    nf = F.col("n_attempts")
+    cf = F.col("n_correct")
+    prod = F.lit(1.0)
+    for i in range(_PASS_K):
+        prod = prod * (
+            (nf - cf - F.lit(i)).cast("double") / (nf - F.lit(i)).cast("double")
+        )
+    return per_user.select(
+        "user_id",
+        "n_attempts",
+        "n_correct",
+        F.when(nf - cf < _PASS_K, F.lit(1.0))
+        .otherwise(F.lit(1.0) - prod)
+        .alias("pass_at_k"),
+    )
+
+
+q_pass_at_k.__doc__ = q_pass_at_k.__doc__.format(k=_PASS_K)

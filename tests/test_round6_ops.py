@@ -308,3 +308,39 @@ def test_dp_histogram_mechanism_invariants(spark, sf_dir):
     }
     for r in rows:
         assert again[r["event_type"]]["dp_noise"] == r["dp_noise"]
+
+
+def test_spatial_dbscan_roles_are_consistent(spark, sf_dir):
+    rows = QUERIES["q_spatial_dbscan"](spark, sf_dir).collect()
+    assert rows
+    by_role = {}
+    for r in rows:
+        by_role.setdefault(r["role"], []).append(r)
+        if r["role"] == "core":
+            assert r["n_neighbors"] >= 4
+        else:
+            assert r["n_neighbors"] < 4
+    # every point classified exactly once; all three grades exist at this
+    # density or at least no unknown grade appears
+    assert set(by_role) <= {"core", "border", "noise"}
+    assert len(rows) == len({r["id"] for r in rows})
+
+
+def test_pass_at_k_estimator_properties(spark, sf_dir):
+    import math
+
+    rows = QUERIES["q_pass_at_k"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        n, c = r["n_attempts"], r["n_correct"]
+        assert n >= 3 and 0 <= c <= n
+        assert 0.0 <= r["pass_at_k"] <= 1.0
+        # exact combinatorial reference
+        want = (
+            1.0
+            if n - c < 3
+            else 1.0 - math.comb(n - c, 3) / math.comb(n, 3)
+        )
+        assert r["pass_at_k"] == pytest.approx(want, rel=1e-12)
+        if c == 0:
+            assert r["pass_at_k"] == pytest.approx(0.0, abs=1e-15)
