@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.parquet import load_table
+from .dedup import _md5_int, _sql_md5_int
 
 _MIN_PAIR_DOCS = 25  # support floor: pair must co-occur in ≥ this many docs
 _TOP_PAIRS = 20
@@ -526,4 +527,148 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total",
         "covered",
         (F.col("covered").cast("double") / F.col("n_total")).alias("coverage"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_feature_hash_collisions — hashing-trick bucket-occupancy audit
+# ---------------------------------------------------------------------------
+_FH_BITS = 8  # 2^8 feature buckets: sized so source×token interactions collide
+_FH_BUCKETS = 1 << _FH_BITS
+
+
+@register(
+    "q_feature_hash_collisions",
+    oracle=f"""
+    WITH feat AS (
+      SELECT DISTINCT source, t
+      FROM (SELECT source, unnest({_TOKS}) AS t FROM documents)
+      WHERE t <> ''
+    ),
+    bucketed AS (
+      SELECT {{h}} % {_FH_BUCKETS} AS bucket
+      FROM feat
+    ),
+    occ AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS occupancy
+      FROM bucketed GROUP BY bucket
+    )
+    SELECT occupancy,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(occupancy) AS BIGINT) AS n_features,
+           CAST(SUM(occupancy - 1) AS BIGINT) AS n_collided
+    FROM occ GROUP BY occupancy
+    """.format(h=_sql_md5_int("'fh|' || source || '#' || t", 12)),
+)
+def q_feature_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick audit (Weinberger et al. 2009): project the
+    source×token INTERACTION features — the cross features the hashing
+    trick exists for, since materializing every pairing is what blows up
+    a one-hot vocabulary — into 2^{b} buckets and histogram bucket
+    occupancy. Occupancy 1 is a clean feature; occupancy k>1 means k
+    features alias into one learned weight. The table answers the
+    feature-engineering question directly: how many hash bits before
+    collisions stop distorting a linear model trained on this corpus.
+
+    Scale shape: distinct-(source, token) aggregate (the shuffle is the
+    feature space, not the corpus), then two nested hash aggregates over
+    feature-sized and bucket-sized inputs. All exact integers; the hash
+    is the portable md5-prefix both engines share (dedup._md5_int
+    contract)."""
+    feats = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("t"),
+        )
+        .filter(F.col("t") != "")
+        .distinct()
+    )
+    occ = (
+        feats.select(
+            (
+                _md5_int(
+                    F.concat(F.lit("fh|"), F.col("source"), F.lit("#"), F.col("t")),
+                    12,
+                )
+                % _FH_BUCKETS
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("occupancy"))
+    )
+    return occ.groupBy("occupancy").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("occupancy").alias("n_features"),
+        F.sum(F.col("occupancy") - 1).alias("n_collided"),
+    )
+
+
+q_feature_hash_collisions.__doc__ = q_feature_hash_collisions.__doc__.format(
+    b=_FH_BITS
+)
+
+
+# ---------------------------------------------------------------------------
+# q_simpson_diversity — exact lexical diversity per source
+# ---------------------------------------------------------------------------
+@register(
+    "q_simpson_diversity",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, t
+      FROM (SELECT source, unnest({_TOKS}) AS t FROM documents)
+      WHERE t <> ''
+    ),
+    tc AS (
+      SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, t
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(c * (c - 1)) AS DOUBLE)
+             / (CAST(SUM(c) AS DOUBLE) * (CAST(SUM(c) AS DOUBLE) - 1.0))
+             AS simpson_lambda,
+           1.0 - (CAST(SUM(c * (c - 1)) AS DOUBLE)
+             / (CAST(SUM(c) AS DOUBLE) * (CAST(SUM(c) AS DOUBLE) - 1.0)))
+             AS gini_simpson
+    FROM tc GROUP BY source
+    """,
+)
+def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's diversity index per source: λ = Σcᵢ(cᵢ−1) / N(N−1), the
+    probability two tokens drawn without replacement are the same type —
+    the log-free lexical-diversity measure (unlike Shannon entropy it
+    needs NO libm, so it hash-compares exactly; zipf/vocab queries give
+    the distribution's shape, this gives its concentration in one
+    number). Low gini_simpson flags template-dominated sources before
+    they flood a training mix.
+
+    Scale shape: two stacked hash aggregates — (source, token) counts,
+    then per-source sufficient statistics Σc and Σc(c−1), both exact
+    BIGINTs with a single final double division per output column."""
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("t"),
+        )
+        .filter(F.col("t") != "")
+    )
+    tc = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    agg = tc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("rep_pairs"),
+    )
+    lam = F.col("rep_pairs").cast("double") / (
+        F.col("n_tokens").cast("double") * (F.col("n_tokens").cast("double") - 1.0)
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        lam.alias("simpson_lambda"),
+        (F.lit(1.0) - lam).alias("gini_simpson"),
     )

@@ -344,3 +344,45 @@ def test_pass_at_k_estimator_properties(spark, sf_dir):
         assert r["pass_at_k"] == pytest.approx(want, rel=1e-12)
         if c == 0:
             assert r["pass_at_k"] == pytest.approx(0.0, abs=1e-15)
+
+
+def test_feature_hash_collision_mass_balance(spark, sf_dir):
+    rows = QUERIES["q_feature_hash_collisions"](spark, sf_dir).collect()
+    assert rows
+    n_features = sum(r["n_features"] for r in rows)
+    n_buckets = sum(r["n_buckets"] for r in rows)
+    assert n_buckets <= 256
+    for r in rows:
+        assert r["n_features"] == r["occupancy"] * r["n_buckets"]
+        assert r["n_collided"] == r["n_features"] - r["n_buckets"]
+    # interaction features = distinct (source, token) pairs
+    from pyspark.sql import functions as SF
+
+    from cdmx_airquality_etl_spark.sources.parquet import load_table
+
+    want = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            SF.explode(SF.split(SF.trim(SF.lower(SF.col("text"))), r"\s+")).alias("t"),
+        )
+        .filter(SF.col("t") != "")
+        .distinct()
+        .count()
+    )
+    assert n_features == want
+    # with ~20x31 features in 256 buckets, collisions MUST exist
+    assert any(r["occupancy"] > 1 for r in rows)
+
+
+def test_simpson_diversity_bounds(spark, sf_dir):
+    rows = QUERIES["q_simpson_diversity"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_types"] <= r["n_tokens"]
+        # lambda lives in [1/S-ish, 1]; gini-simpson is its complement
+        assert 0.0 <= r["simpson_lambda"] <= 1.0
+        assert r["gini_simpson"] == pytest.approx(1.0 - r["simpson_lambda"])
+        # a source with more than one type cannot be fully concentrated
+        if r["n_types"] > 1:
+            assert r["simpson_lambda"] < 1.0
