@@ -386,3 +386,52 @@ def test_simpson_diversity_bounds(spark, sf_dir):
         # a source with more than one type cannot be fully concentrated
         if r["n_types"] > 1:
             assert r["simpson_lambda"] < 1.0
+
+
+def test_hilbert_encoder_matches_canonical_walk(spark, sf_dir):
+    """The unrolled div/mod/CASE encoder must agree cell-for-cell with
+    the canonical bitwise xy2d implementation over the whole grid."""
+    from cdmx_airquality_etl_spark.operators.diagnostics import (
+        _H_DIM,
+        _hilbert_level,
+    )
+
+    def rot(n, x, y, rx, ry):
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        return x, y
+
+    def xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            x, y = rot(n, x, y, rx, ry)
+            s //= 2
+        return d
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(_H_DIM) for y in range(_H_DIM)], "px int, py int"
+    ).selectExpr("px", "py", "px AS x", "py AS y", "0 AS d")
+    s = _H_DIM // 2
+    while s > 0:
+        xn, yn, dn = _hilbert_level(s, "DIV")
+        grid = grid.selectExpr("px", "py", f"{xn} AS x", f"{yn} AS y", f"{dn} AS d")
+        s //= 2
+    got = {(r["px"], r["py"]): r["d"] for r in grid.collect()}
+    for x in range(_H_DIM):
+        for y in range(_H_DIM):
+            assert got[(x, y)] == xy2d(_H_DIM, x, y), (x, y)
+
+
+def test_hilbert_beats_zorder_on_the_probe(spark, sf_dir):
+    rows = {r["layout"]: r for r in QUERIES["q_hilbert_layout"](spark, sf_dir).collect()}
+    assert set(rows) == {"hilbert", "zorder"}
+    h, z = rows["hilbert"], rows["zorder"]
+    assert h["n_rows"] == z["n_rows"]
+    assert 0.0 < h["keep_rate"] <= z["keep_rate"]  # the curve's whole point
+    for r in rows.values():
+        assert r["n_files_kept"] <= r["n_files"]
