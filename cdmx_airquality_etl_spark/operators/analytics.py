@@ -470,3 +470,94 @@ def q_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("dof_satterthwaite"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_cuped — CUPED variance reduction from a pre-period covariate
+# ---------------------------------------------------------------------------
+_CUPED_CUT = "2024-01-16"  # pre-period/measurement split (corpus spans Jan 2024)
+
+
+@register(
+    "q_cuped",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '{_CUPED_CUT}'
+                           THEN CAST(FLOOR(value) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '{_CUPED_CUT}'
+                           THEN CAST(FLOOR(value) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(x * x) AS BIGINT) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(x * y) AS BIGINT) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(y * y) AS BIGINT) AS DOUBLE) AS syy
+      FROM per_user
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+           (n * syy - sy * sy) / (n * n) AS var_y,
+           (n * syy - sy * sy) / (n * n)
+             - ((n * sxy - sx * sy) / (n * n))
+               * ((n * sxy - sx * sy) / (n * sxx - sx * sx)) AS var_cuped,
+           (((n * sxy - sx * sy) / (n * n))
+               * ((n * sxy - sx * sy) / (n * sxx - sx * sx)))
+             / ((n * syy - sy * sy) / (n * n)) AS var_reduction
+    FROM m
+    """,
+)
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data, Deng et
+    al. 2013): regress each user's measurement-period metric y on their
+    pre-period covariate x and report how much metric variance the
+    adjustment y − θx removes — var_reduction is exactly the squared
+    x↔y correlation, the number an experimentation platform quotes when
+    it promises 'this test needs 40% less traffic'. Complements
+    q_ab_welch (the test itself) with the variance-reduction preprocessing
+    every production A/B engine bolts in front of it.
+
+    Scale shape: one per-user conditional hash aggregate (the same
+    user-grain shuffle every feature here rides), one scalar moment
+    rollup, closed-form doubles at the end. Exactness: x and y are BIGINT
+    floor-dollars, the six moments are exact integer sums, and θ /
+    var_y / var_cuped are fixed-shape expression trees written
+    identically in both engines (the q_corr_manual discipline —
+    population-variance form, no libm)."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit(_CUPED_CUT).cast("date")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("ts").cast("date") < cut, F.floor("value").cast("long"))
+            .otherwise(0)
+        ).cast("long").alias("x"),
+        F.sum(
+            F.when(F.col("ts").cast("date") >= cut, F.floor("value").cast("long"))
+            .otherwise(0)
+        ).cast("long").alias("y"),
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("long").cast("double").alias("sx"),
+        F.sum("y").cast("long").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").cast("double").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    cov = (n * sxy - sx * sy) / (n * n)
+    var_y = (n * syy - sy * sy) / (n * n)
+    return m.select(
+        n.cast("long").alias("n_users"),
+        theta.alias("theta"),
+        var_y.alias("var_y"),
+        (var_y - cov * theta).alias("var_cuped"),
+        ((cov * theta) / var_y).alias("var_reduction"),
+    )

@@ -435,3 +435,15 @@ def test_hilbert_beats_zorder_on_the_probe(spark, sf_dir):
     assert 0.0 < h["keep_rate"] <= z["keep_rate"]  # the curve's whole point
     for r in rows.values():
         assert r["n_files_kept"] <= r["n_files"]
+
+
+def test_cuped_is_a_variance_reduction(spark, sf_dir):
+    row = QUERIES["q_cuped"](spark, sf_dir).collect()[0]
+    assert row["n_users"] > 0
+    assert row["var_y"] > 0
+    # var_cuped = var_y(1 - rho^2): never negative, never above var_y
+    assert 0.0 <= row["var_cuped"] <= row["var_y"] + 1e-12
+    assert 0.0 <= row["var_reduction"] <= 1.0
+    assert row["var_cuped"] == pytest.approx(
+        row["var_y"] * (1.0 - row["var_reduction"])
+    )
