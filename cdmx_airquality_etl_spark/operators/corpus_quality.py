@@ -399,3 +399,123 @@ def q_classifier_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)) * F.lit(1000.0))
         ).alias("mean_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_brier_decomposition — Murphy decomposition of the quality model's Brier
+# ---------------------------------------------------------------------------
+# milli-score -> milli-probability: clamp FIRST (so the integer division
+# only ever sees a non-negative argument — Spark's DIV truncates toward
+# zero where DuckDB's // floors, and they agree only for non-negatives),
+# then an exact /4 rescale of [-2000, 2000] onto [0, 1000].
+_BR_CLAMP = 2000
+_BR_BIN = 100  # decile bins on the milli-probability
+
+
+@register(
+    "q_brier_decomposition",
+    oracle=f"""
+    WITH g AS ({_SQL_GOPHER}),
+    c AS (
+      SELECT doc_id, {_SQL_QC_SCORE_MILLI} AS score_milli
+      FROM documents WHERE text IS NOT NULL
+    ),
+    p AS (
+      SELECT c.doc_id,
+             (least(greatest(c.score_milli, -{_BR_CLAMP}), {_BR_CLAMP})
+              + {_BR_CLAMP}) // 4 AS p_milli,
+             g.pass_all AS o
+      FROM c JOIN g USING (doc_id)
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(SUM(o) AS BIGINT) AS n_pass_total
+      FROM p
+    ),
+    bins AS (
+      SELECT p_milli // {_BR_BIN} AS band,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(p_milli) AS BIGINT) AS sum_p_milli,
+             CAST(SUM(o) AS BIGINT) AS n_pass,
+             CAST(SUM((p_milli - 1000 * o) * (p_milli - 1000 * o))
+                  AS BIGINT) AS sq_err_milli2
+      FROM p GROUP BY 1
+    )
+    SELECT band, n_docs, sum_p_milli, n_pass,
+           CAST(sum_p_milli AS DOUBLE) / (n_docs * 1000.0) AS mean_p,
+           CAST(n_pass AS DOUBLE) / n_docs AS obs_rate,
+           CAST(sq_err_milli2 AS DOUBLE) / (n_docs * 1000000.0)
+             AS brier_bin,
+           (CAST(sum_p_milli AS DOUBLE) / (n_docs * 1000.0)
+              - CAST(n_pass AS DOUBLE) / n_docs)
+           * (CAST(sum_p_milli AS DOUBLE) / (n_docs * 1000.0)
+              - CAST(n_pass AS DOUBLE) / n_docs)
+           * n_docs / n_total AS rel_term,
+           (CAST(n_pass AS DOUBLE) / n_docs
+              - CAST(n_pass_total AS DOUBLE) / n_total)
+           * (CAST(n_pass AS DOUBLE) / n_docs
+              - CAST(n_pass_total AS DOUBLE) / n_total)
+           * n_docs / n_total AS res_term
+    FROM bins, tot
+    """,
+)
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the quality classifier's Brier score
+    against the Gopher rule battery (Brier = reliability − resolution +
+    uncertainty): per probability-decile band, the bin's raw Brier mass
+    and its reliability / resolution terms — the table behind an ECE-style
+    'is the score a probability' audit, one level deeper than
+    q_classifier_reliability's calibration curve (same factored scorers,
+    so it can never drift from them).
+
+    Determinism: the forecast is an exact INTEGER milli-probability
+    (clamp-then-/4 of the milli-score, division only ever of a
+    non-negative — Spark DIV vs DuckDB // agree there); every band
+    statistic is a BIGINT sufficient sum (Σp, Σo, Σ(p−1000o)²,
+    ≤ 10⁶·rows so no overflow until ~10¹² docs per band), and each
+    output double is ONE fixed-shape expression of those exact integers.
+    The per-BAND grain (11 bins) is what keeps the decomposition
+    hash-exact — a scalar REL/RES would be an order-dependent float sum;
+    consumers fold the bounded bins at read time. Plan: two scan-side
+    scorers joined on doc_id, one band aggregate, one broadcast scalar."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    c = docs.select("doc_id", qc_score_milli().alias("score_milli"))
+    g = q_gopher_rules(spark, sf_dir).select("doc_id", F.col("pass_all").alias("o"))
+    p = c.join(g, "doc_id").select(
+        F.expr(
+            f"(least(greatest(score_milli, -{_BR_CLAMP}), {_BR_CLAMP})"
+            f" + {_BR_CLAMP}) DIV 4"
+        ).alias("p_milli"),
+        "o",
+    )
+    tot = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum("o").cast("long").alias("n_pass_total"),
+    )
+    err = F.col("p_milli") - 1000 * F.col("o")
+    bins = p.groupBy(F.expr(f"p_milli DIV {_BR_BIN}").alias("band")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("p_milli").cast("long").alias("sum_p_milli"),
+        F.sum("o").cast("long").alias("n_pass"),
+        F.sum(err * err).cast("long").alias("sq_err_milli2"),
+    )
+    mean_p = F.col("sum_p_milli").cast("double") / (F.col("n_docs") * 1000.0)
+    obs = F.col("n_pass").cast("double") / F.col("n_docs")
+    obs_tot = F.col("n_pass_total").cast("double") / F.col("n_total")
+    return bins.crossJoin(F.broadcast(tot)).select(
+        "band",
+        "n_docs",
+        "sum_p_milli",
+        "n_pass",
+        mean_p.alias("mean_p"),
+        obs.alias("obs_rate"),
+        (F.col("sq_err_milli2").cast("double") / (F.col("n_docs") * 1000000.0)).alias(
+            "brier_bin"
+        ),
+        ((mean_p - obs) * (mean_p - obs) * F.col("n_docs") / F.col("n_total")).alias(
+            "rel_term"
+        ),
+        ((obs - obs_tot) * (obs - obs_tot) * F.col("n_docs") / F.col("n_total")).alias(
+            "res_term"
+        ),
+    )

@@ -447,3 +447,36 @@ def test_cuped_is_a_variance_reduction(spark, sf_dir):
     assert row["var_cuped"] == pytest.approx(
         row["var_y"] * (1.0 - row["var_reduction"])
     )
+
+
+def test_brier_decomposition_identity(spark, sf_dir):
+    """Murphy identity with binned forecasts: total Brier == REL - RES +
+    UNC + within-bin variance; with integer milli-probabilities all four
+    reassemble exactly from the emitted sufficient statistics."""
+    rows = QUERIES["q_brier_decomposition"](spark, sf_dir).collect()
+    assert rows
+    n = sum(r["n_docs"] for r in rows)
+    n_pass = sum(r["n_pass"] for r in rows)
+    obar = n_pass / n
+    brier = sum(r["brier_bin"] * r["n_docs"] for r in rows) / n
+    rel = sum(r["rel_term"] for r in rows)
+    res = sum(r["res_term"] for r in rows)
+    unc = obar * (1.0 - obar)
+    for r in rows:
+        pbar = r["sum_p_milli"] / (r["n_docs"] * 1000.0)
+        assert 0.0 <= r["brier_bin"] <= 1.0
+        assert r["rel_term"] >= 0.0 and r["res_term"] >= 0.0
+        assert 0.0 <= pbar <= 1.0
+        assert 0.0 <= r["obs_rate"] <= 1.0
+    # decomposition bound: REL - RES + UNC differs from Brier only by the
+    # (nonnegative) within-bin variance minus covariance residue; with
+    # 100-milli bins that residue is < one bin width
+    assert abs(brier - (rel - res + unc)) < 0.1
+    assert 0.0 <= brier <= 1.0
+
+
+def test_brier_bins_cover_all_scored_docs(spark, sf_dir):
+    rows = QUERIES["q_brier_decomposition"](spark, sf_dir).collect()
+    rel = QUERIES["q_classifier_reliability"](spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in rows) == sum(r["n_docs"] for r in rel)
+    assert sum(r["n_pass"] for r in rows) == sum(r["n_pass"] for r in rel)
