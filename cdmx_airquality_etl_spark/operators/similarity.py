@@ -1668,3 +1668,102 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_hard_negatives.__doc__ = q_hard_negatives.__doc__.format(k=_HARD_NEG_K)
+
+
+# ---------------------------------------------------------------------------
+# q_triplet_margin — hardest-positive / hardest-negative margins per anchor
+# ---------------------------------------------------------------------------
+_SEMI_HARD_BAND = 0.2  # semi-hard negatives: within this cosine of the positive
+
+
+@register(
+    "q_triplet_margin",
+    oracle=f"""
+    WITH {_SQL_NZ_CTE},
+    qs AS (
+      SELECT vec_id AS anchor_id, label AS q_label, embedding AS qe
+      FROM nz WHERE vec_id < {_BATCH_QUERIES}
+    ),
+    scored AS (
+      SELECT qs.anchor_id, qs.q_label, e.label,
+             {_sql_cos('e.embedding', 'qs.qe')} AS s
+      FROM nz e, qs
+      WHERE e.vec_id >= {_BATCH_QUERIES}
+    ),
+    pos AS (
+      SELECT anchor_id, MAX(s) AS hardest_pos
+      FROM scored WHERE label = q_label GROUP BY anchor_id
+    )
+    SELECT s.anchor_id, ANY_VALUE(s.q_label) AS q_label,
+           ANY_VALUE(p.hardest_pos) AS hardest_pos,
+           MAX(s.s) FILTER (WHERE s.label <> s.q_label) AS hardest_neg,
+           ANY_VALUE(p.hardest_pos)
+             - MAX(s.s) FILTER (WHERE s.label <> s.q_label) AS margin,
+           CAST(COUNT(*) FILTER (
+             WHERE s.label <> s.q_label
+               AND s.s > p.hardest_pos - {_SEMI_HARD_BAND}
+               AND s.s < p.hardest_pos
+           ) AS BIGINT) AS n_semi_hard
+    FROM scored s JOIN pos p USING (anchor_id)
+    GROUP BY s.anchor_id
+    """,
+)
+def q_triplet_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet-mining audit (FaceNet, Schroff et al. 2015): per anchor,
+    the hardest positive (max same-label cosine), the hardest negative
+    (max cross-label cosine), their margin, and the count of SEMI-HARD
+    negatives — negatives inside the (pos − {band}, pos) band, the ones
+    triplet training actually wants (harder than the positive is
+    degenerate, far easier contributes no gradient). Margin < 0 flags
+    anchors whose class structure the embedding hasn't separated —
+    complements q_hard_negatives (which emits the negatives themselves)
+    with the per-anchor health summary.
+
+    Scale shape: one broadcast-scored corpus scan (fixed {q}-anchor build
+    side, the q_topk_batch discipline) feeding one conditional aggregate;
+    the hardest-positive table is 1 row per anchor, broadcast back for
+    the band count. max/count against bitwise-identical fold-order
+    cosines (the _dot contract), so both engines agree on every
+    comparison."""
+    emb = _nonzero(load_table(spark, sf_dir, "embeddings"))
+    qs = emb.filter(F.col("vec_id") < _BATCH_QUERIES).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        _norm("embedding").alias("q_nrm"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= _BATCH_QUERIES).select(
+        "label", "embedding", _norm("embedding").alias("nrm")
+    )
+    cos = _dot("embedding", "q_emb") / (F.col("nrm") * F.col("q_nrm"))
+    scored = corpus.join(broadcast(qs)).select(
+        "anchor_id", "q_label", "label", cos.alias("s")
+    )
+    pos = (
+        scored.filter(F.col("label") == F.col("q_label"))
+        .groupBy("anchor_id")
+        .agg(F.max("s").alias("hardest_pos"))
+    )
+    is_neg = F.col("label") != F.col("q_label")
+    return (
+        scored.join(broadcast(pos), "anchor_id")
+        .groupBy("anchor_id")
+        .agg(
+            F.any_value("q_label").alias("q_label"),
+            F.any_value("hardest_pos").alias("hardest_pos"),
+            F.max(F.when(is_neg, F.col("s"))).alias("hardest_neg"),
+            (
+                F.any_value("hardest_pos") - F.max(F.when(is_neg, F.col("s")))
+            ).alias("margin"),
+            F.count_if(
+                is_neg
+                & (F.col("s") > F.col("hardest_pos") - _SEMI_HARD_BAND)
+                & (F.col("s") < F.col("hardest_pos"))
+            ).alias("n_semi_hard"),
+        )
+    )
+
+
+q_triplet_margin.__doc__ = q_triplet_margin.__doc__.format(
+    band=_SEMI_HARD_BAND, q=_BATCH_QUERIES
+)

@@ -74,6 +74,11 @@ ALLOWLIST: dict[str, str] = {
         "pushed filter, operators/similarity.py) — constant row count; the "
         "per-query hit table joins back on the query_id equi-key"
     ),
+    "q_triplet_margin": (
+        "build is the fixed anchor set (vec_id < _BATCH_QUERIES constant "
+        "pushed filter, operators/similarity.py) — constant row count; the "
+        "hardest-positive table joins back on the anchor_id equi-key"
+    ),
     "q_similarity_ann_lsh": (
         "build is the single query vector (pushed vec_id equality filter) "
         "crossed with the scalar lsh_bits count — 1 row regardless of "

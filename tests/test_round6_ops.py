@@ -480,3 +480,46 @@ def test_brier_bins_cover_all_scored_docs(spark, sf_dir):
     rel = QUERIES["q_classifier_reliability"](spark, sf_dir).collect()
     assert sum(r["n_docs"] for r in rows) == sum(r["n_docs"] for r in rel)
     assert sum(r["n_pass"] for r in rows) == sum(r["n_pass"] for r in rel)
+
+
+def test_triplet_margin_consistency(spark, sf_dir):
+    rows = QUERIES["q_triplet_margin"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["margin"] == pytest.approx(r["hardest_pos"] - r["hardest_neg"])
+        assert -1.0 - 1e-9 <= r["hardest_pos"] <= 1.0 + 1e-9
+        assert r["n_semi_hard"] >= 0
+    # brute-force reference for one anchor (exact over the same corpus
+    # split; q_hard_negatives is LSH-bucket-bounded so NOT comparable)
+    from pyspark.sql import functions as SF
+
+    from cdmx_airquality_etl_spark.operators.similarity import (
+        _BATCH_QUERIES,
+        _dot,
+        _nonzero,
+        _norm,
+    )
+    from cdmx_airquality_etl_spark.sources.parquet import load_table
+
+    emb = _nonzero(load_table(spark, sf_dir, "embeddings"))
+    anchor = emb.filter(SF.col("vec_id") == 0).select(
+        SF.col("label").alias("q_label"),
+        SF.col("embedding").alias("q_emb"),
+        _norm("embedding").alias("q_nrm"),
+    )
+    cos = _dot("embedding", "q_emb") / (SF.col("nrm") * SF.col("q_nrm"))
+    scored = (
+        emb.filter(SF.col("vec_id") >= _BATCH_QUERIES)
+        .select("label", "embedding", _norm("embedding").alias("nrm"))
+        .join(SF.broadcast(anchor))
+        .select("label", "q_label", cos.alias("s"))
+    )
+    want_pos = scored.filter(SF.col("label") == SF.col("q_label")).agg(
+        SF.max("s")
+    ).collect()[0][0]
+    want_neg = scored.filter(SF.col("label") != SF.col("q_label")).agg(
+        SF.max("s")
+    ).collect()[0][0]
+    got = {r["anchor_id"]: r for r in rows}[0]
+    assert got["hardest_pos"] == pytest.approx(want_pos, rel=1e-12)
+    assert got["hardest_neg"] == pytest.approx(want_neg, rel=1e-12)
