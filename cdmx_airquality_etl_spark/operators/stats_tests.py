@@ -841,3 +841,146 @@ def q_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_pass_at_k.__doc__ = q_pass_at_k.__doc__.format(k=_PASS_K)
+
+
+# ---------------------------------------------------------------------------
+# q_permutation_test — user-level randomization test for the cohort metric
+# ---------------------------------------------------------------------------
+_PERM_B = 128  # permutations; p-value resolution 1/(B+1)
+
+
+@register(
+    "q_permutation_test",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+             (user_id % 2) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    obs AS (
+      SELECT CAST(SUM(CASE WHEN cohort = 0 THEN cents ELSE 0 END) AS DOUBLE)
+               / SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)
+             - CAST(SUM(CASE WHEN cohort = 1 THEN cents ELSE 0 END) AS DOUBLE)
+               / SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS t_obs
+      FROM per_user
+    ),
+    hashed AS (
+      SELECT user_id, cents, jj.j,
+             md5(user_id || '~' || jj.j) AS h
+      FROM per_user, unnest(range(0, {_PERM_B // 4})) AS jj(j)
+    ),
+    draws AS (
+      SELECT user_id, cents, (j * 4 + ii.i) AS b,
+             CASE WHEN {_sql_hexslice_u('h', 'ii.i * 8 + 1')} < 0.5
+                  THEN 0 ELSE 1 END AS side
+      FROM hashed, unnest(range(0, 4)) AS ii(i)
+    ),
+    perms AS (
+      SELECT b,
+             CAST(SUM(CASE WHEN side = 0 THEN cents ELSE 0 END) AS DOUBLE)
+               / SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+             - CAST(SUM(CASE WHEN side = 1 THEN cents ELSE 0 END) AS DOUBLE)
+               / SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS t_b
+      FROM draws GROUP BY b
+      HAVING SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) > 0
+         AND SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) > 0
+    )
+    SELECT obs.t_obs / 100.0 AS t_obs_usd,
+           CAST(COUNT(*) AS BIGINT) AS n_perms,
+           CAST(COUNT(*) FILTER (WHERE abs(t_b) >= abs(obs.t_obs)) AS BIGINT)
+             AS n_extreme,
+           (1.0 + COUNT(*) FILTER (WHERE abs(t_b) >= abs(obs.t_obs)))
+             / (1.0 + COUNT(*)) AS p_value
+    FROM perms, obs
+    GROUP BY obs.t_obs
+    """,
+)
+def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test for the A/B metric (difference of per-user mean
+    spend between the hash cohorts): re-randomize the USER-level
+    assignment {b} times and report how often a permuted |T| reaches the
+    observed one — the assumption-free companion to q_ab_welch (no
+    normality, no variance formula; randomization at the experiment's
+    actual unit). p uses the add-one convention (Phipson & Smyth 2010),
+    permutations with an empty side are dropped from the denominator.
+
+    Determinism and scale follow q_bootstrap_ci exactly: assignments are
+    hash-uniform draws (four 32-bit slices per md5, so each user hashes
+    {b}/4 times), user values ride as exact integer cents, each T_b is a
+    closed form over BIGINT conditional sums, and the plan is per-user
+    aggregate → {b}x map-side explode → hash aggregate on b → one scalar
+    rollup. Nothing scales past B x users; the observed statistic is the
+    same closed form both engines evaluate bitwise-identically."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents"),
+    ).withColumn("cohort", F.col("user_id") % 2)
+
+    def side_mean(side_col: Column, side: int) -> Column:
+        s = F.sum(F.when(side_col == side, F.col("cents")).otherwise(0)).cast(
+            "double"
+        )
+        n = F.sum(F.when(side_col == side, 1).otherwise(0))
+        return s / n
+
+    obs = per_user.agg(
+        (side_mean(F.col("cohort"), 0) - side_mean(F.col("cohort"), 1)).alias(
+            "t_obs"
+        )
+    )
+    hashes = F.expr(
+        f"transform(sequence(0, {_PERM_B // 4 - 1}), "
+        "j -> md5(concat(cast(user_id as string), '~', cast(j as string))))"
+    )
+    slices = F.expr(
+        "flatten(transform(hh, h -> transform(sequence(0, 3), "
+        "i -> substring(h, i * 8 + 1, 8))))"
+    )
+    draws = (
+        per_user.select("cents", hashes.alias("hh"))
+        .select("cents", F.posexplode(slices).alias("b", "hx"))
+        .select(
+            "cents",
+            "b",
+            F.when(
+                F.conv("hx", 16, 10).cast("long") / F.lit(4294967296.0) < 0.5, 0
+            )
+            .otherwise(1)
+            .alias("side"),
+        )
+    )
+    n0 = F.sum(F.when(F.col("side") == 0, 1).otherwise(0))
+    n1 = F.sum(F.when(F.col("side") == 1, 1).otherwise(0))
+    perms = (
+        draws.groupBy("b")
+        .agg(
+            (side_mean(F.col("side"), 0) - side_mean(F.col("side"), 1)).alias(
+                "t_b"
+            ),
+            n0.alias("n0"),
+            n1.alias("n1"),
+        )
+        .filter((F.col("n0") > 0) & (F.col("n1") > 0))
+    )
+    extreme = F.count_if(F.abs(F.col("t_b")) >= F.abs(F.col("t_obs")))
+    return (
+        perms.crossJoin(F.broadcast(obs))
+        .groupBy("t_obs")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_perms"),
+            extreme.cast("long").alias("n_extreme"),
+            (
+                (F.lit(1.0) + extreme) / (F.lit(1.0) + F.count(F.lit(1)))
+            ).alias("p_value"),
+        )
+        .select(
+            (F.col("t_obs") / 100.0).alias("t_obs_usd"),
+            "n_perms",
+            "n_extreme",
+            "p_value",
+        )
+    )
+
+
+q_permutation_test.__doc__ = q_permutation_test.__doc__.format(b=_PERM_B)

@@ -521,3 +521,87 @@ def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_changepoint — binary-segmentation first split over the daily series
+# ---------------------------------------------------------------------------
+@register(
+    "q_changepoint",
+    oracle=f"""
+    WITH {_SQL_DAILY},
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(y) AS BIGINT) AS t
+      FROM daily
+    ),
+    pre AS (
+      SELECT d, y,
+             CAST(SUM(y) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s,
+             CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS k
+      FROM daily
+    ),
+    gains AS (
+      SELECT d, k, nd, s, t,
+             (CAST(k AS DOUBLE) * (nd - k) / nd)
+             * (CAST(s AS DOUBLE) / k - CAST(t - s AS DOUBLE) / (nd - k))
+             * (CAST(s AS DOUBLE) / k - CAST(t - s AS DOUBLE) / (nd - k))
+               AS gain
+      FROM pre, tot
+      WHERE k < nd
+    )
+    SELECT d AS split_day, k AS n_before, (nd - k) AS n_after,
+           CAST(s AS DOUBLE) / k AS mean_before,
+           CAST(t - s AS DOUBLE) / (nd - k) AS mean_after,
+           gain
+    FROM gains
+    ORDER BY gain DESC, split_day ASC
+    LIMIT 1
+    """,
+)
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary segmentation's first split (the root step of the classic
+    changepoint recursion, Scott & Knott 1974 lineage): the day k whose
+    prefix/suffix partition maximizes the between-segment variance term
+    G(k) = k(N−k)/N · (μ₁−μ₂)² — equivalently the largest SSE drop any
+    single split buys. Complements q_cusum_shift (drift EXISTENCE as a
+    ramp) by LOCATING the shift and quantifying its two levels.
+
+    Scale shape: the corpus-sized work is the day-grain count aggregate
+    (one hash agg); everything after runs on the |days| series — one
+    calendar-bounded window prefix sum, a scalar broadcast, a per-row
+    closed form, and a top-1. Determinism: prefix sums are exact BIGINTs
+    ordered by the unique day key; G(k) is ONE fixed-shape double
+    expression; the top-1 tiebreak (gain DESC, day ASC) compares doubles
+    both engines computed bitwise-identically."""
+    daily = _daily(spark, sf_dir)
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("y").cast("long").alias("t"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wk = Window.orderBy("d")
+    pre = daily.select(
+        "d",
+        F.sum("y").over(w).cast("long").alias("s"),
+        F.row_number().over(wk).cast("long").alias("k"),
+    )
+    k, s = F.col("k").cast("double"), F.col("s").cast("double")
+    nd, t = F.col("nd"), F.col("t")
+    mean_b = s / F.col("k")
+    mean_a = (t - F.col("s")).cast("double") / (nd - F.col("k"))
+    gain = (k * (nd - F.col("k")) / nd) * (mean_b - mean_a) * (mean_b - mean_a)
+    return (
+        pre.crossJoin(F.broadcast(tot))
+        .filter(F.col("k") < nd)
+        .select(
+            F.col("d").alias("split_day"),
+            F.col("k").alias("n_before"),
+            (nd - F.col("k")).alias("n_after"),
+            mean_b.alias("mean_before"),
+            mean_a.alias("mean_after"),
+            gain.alias("gain"),
+        )
+        .orderBy(F.col("gain").desc(), F.col("split_day").asc())
+        .limit(1)
+    )

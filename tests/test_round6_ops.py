@@ -523,3 +523,39 @@ def test_triplet_margin_consistency(spark, sf_dir):
     got = {r["anchor_id"]: r for r in rows}[0]
     assert got["hardest_pos"] == pytest.approx(want_pos, rel=1e-12)
     assert got["hardest_neg"] == pytest.approx(want_neg, rel=1e-12)
+
+
+def test_changepoint_maximizes_gain(spark, sf_dir):
+    row = QUERIES["q_changepoint"](spark, sf_dir).collect()[0]
+    assert row["n_before"] >= 1 and row["n_after"] >= 1
+    assert row["gain"] >= 0.0
+    # independent reference: enumerate every split over the daily series
+    from cdmx_airquality_etl_spark.operators.timeseries import _daily
+
+    days = sorted(
+        (r["d"], r["y"]) for r in _daily(spark, sf_dir).collect()
+    )
+    ys = [y for _, y in days]
+    nd, t = len(ys), sum(ys)
+    best = None
+    for k in range(1, nd):
+        s = sum(ys[:k])
+        g = (k * (nd - k) / nd) * (s / k - (t - s) / (nd - k)) ** 2
+        if best is None or g > best[1] + 1e-12:
+            best = (days[k - 1][0], g)
+    assert row["split_day"] == best[0]
+    assert row["gain"] == pytest.approx(best[1], rel=1e-9)
+    assert row["n_before"] + row["n_after"] == nd
+
+
+def test_permutation_test_properties(spark, sf_dir):
+    row = QUERIES["q_permutation_test"](spark, sf_dir).collect()[0]
+    assert 1 <= row["n_perms"] <= 128
+    assert 0 <= row["n_extreme"] <= row["n_perms"]
+    assert 0.0 < row["p_value"] <= 1.0
+    assert row["p_value"] == pytest.approx(
+        (1.0 + row["n_extreme"]) / (1.0 + row["n_perms"])
+    )
+    # the null is TRUE here (cohort = user_id % 2 is unrelated to spend),
+    # so the test must not report significance at the 1% level
+    assert row["p_value"] > 0.01
