@@ -605,3 +605,190 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("gain").desc(), F.col("split_day").asc())
         .limit(1)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_sax_symbols — symbolic aggregate approximation of the daily series
+# ---------------------------------------------------------------------------
+# 4-symbol SAX breakpoints: the standard N(0,1) quartiles (Lin et al. 2003).
+_SAX_Q = 0.6745
+
+
+@register(
+    "q_sax_symbols",
+    oracle=f"""
+    WITH {_SQL_DAILY},
+    st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+             CAST(SUM(y) AS BIGINT) AS s,
+             CAST(SUM(y * y) AS BIGINT) AS q
+      FROM daily
+    ),
+    z AS (
+      SELECT d, y,
+             (CAST(y AS DOUBLE) - CAST(s AS DOUBLE) / nd)
+               / sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / nd) / nd)
+               AS zs
+      FROM daily, st
+      WHERE q * nd > s * s
+    ),
+    sym AS (
+      SELECT d // 7 AS week, d,
+             CASE WHEN zs < -{_SAX_Q} THEN 'a'
+                  WHEN zs < 0 THEN 'b'
+                  WHEN zs < {_SAX_Q} THEN 'c'
+                  ELSE 'd' END AS c
+      FROM z
+    )
+    SELECT week,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           string_agg(c, '' ORDER BY d) AS sax_word
+    FROM sym GROUP BY week
+    """,
+)
+def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX (Symbolic Aggregate approXimation, Lin et al. 2003): z-score
+    each day against the whole series and quantize into the 4-symbol
+    alphabet at the standard N(0,1) quartile breakpoints, emitting one
+    word per epoch-week — the discretization under every classic motif /
+    anomaly-grammar miner. 'dddd' weeks are sustained highs; a week whose
+    word differs from all others is a candidate discord.
+
+    Scale shape: the corpus pays one day-grain count aggregate; the
+    z-scores, symbols and weekly words all run on the |days| series
+    (scalar moment broadcast + per-row closed form + a week-grain
+    aggregate). Determinism: μ and σ come from exact BIGINT Σy/Σy²
+    (the guard q·n > s² doubles as the σ>0 filter and is exact integer
+    arithmetic), each z is ONE fixed-shape double expression, breakpoint
+    literals render identically, and the word's letter order is pinned by
+    the unique day key (array_sort on (d, c) structs / ORDER BY d)."""
+    daily = _daily(spark, sf_dir)
+    st = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("q"),
+    )
+    nd, s, q = F.col("nd"), F.col("s"), F.col("q")
+    zs = (F.col("y").cast("double") - s.cast("double") / nd) / F.sqrt(
+        (q.cast("double") - s.cast("double") * s / nd) / nd
+    )
+    sym = (
+        daily.crossJoin(F.broadcast(st))
+        .filter(q * nd > s * s)
+        .select(
+            F.expr("d DIV 7").alias("week"),
+            "d",
+            F.when(zs < -_SAX_Q, "a")
+            .when(zs < 0, "b")
+            .when(zs < _SAX_Q, "c")
+            .otherwise("d")
+            .alias("c"),
+        )
+    )
+    return sym.groupBy("week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "c"))),
+                lambda x: x["c"],
+            ),
+            "",
+        ).alias("sax_word"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_corr_matrix — pairwise correlation of the per-type daily series
+# ---------------------------------------------------------------------------
+@register(
+    "q_corr_matrix",
+    oracle="""
+    WITH dt AS (
+      SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS d,
+             event_type, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    days AS (SELECT DISTINCT d FROM dt),
+    types AS (SELECT DISTINCT event_type FROM dt),
+    dense AS (
+      SELECT days.d, types.event_type, COALESCE(dt.y, 0) AS y
+      FROM days CROSS JOIN types
+      LEFT JOIN dt ON dt.d = days.d AND dt.event_type = types.event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(a.y) AS BIGINT) AS sa,
+             CAST(SUM(b.y) AS BIGINT) AS sb,
+             CAST(SUM(a.y * a.y) AS BIGINT) AS qa,
+             CAST(SUM(b.y * b.y) AS BIGINT) AS qb,
+             CAST(SUM(a.y * b.y) AS BIGINT) AS sab
+      FROM dense a JOIN dense b
+        ON a.d = b.d AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n,
+           (CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)
+             / (sqrt(CAST(n AS DOUBLE) * qa - CAST(sa AS DOUBLE) * sa)
+                * sqrt(CAST(n AS DOUBLE) * qb - CAST(sb AS DOUBLE) * sb))
+             AS corr
+    FROM pairs
+    WHERE n * qa > sa * sa AND n * qb > sb * sb
+    """,
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle correlation matrix of the per-event-type daily
+    count series — do purchases track views day-to-day, do errors move
+    with clicks (the metric-graph edge weights an anomaly correlator
+    uses). Densified with explicit zeros first: a day where one type is
+    silent is SIGNAL, and the inner-join-only version would silently
+    condition on co-activity.
+
+    Scale shape: the corpus pays ONE (day × type) count aggregate; the
+    densify cross join and the pair self-join run on |days|·|types| rows
+    (calendar × enum-bounded, never corpus-sized). All five moments per
+    pair are exact BIGINTs off a single pass; corr is ONE fixed-shape
+    double expression per output row with the exact-integer positivity
+    guard filtering degenerate (constant) series in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).cast(
+        "bigint"
+    )
+    dt = ev.groupBy(d.alias("d"), F.col("event_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    days = dt.select("d").distinct()
+    types = dt.select("event_type").distinct()
+    dense = (
+        days.crossJoin(F.broadcast(types))
+        .join(dt, ["d", "event_type"], "left")
+        .select("d", "event_type", F.coalesce(F.col("y"), F.lit(0)).alias("y"))
+    )
+    a = dense.select(
+        F.col("d").alias("da"), F.col("event_type").alias("type_a"), F.col("y").alias("ya")
+    )
+    b = dense.select(
+        F.col("d").alias("db"), F.col("event_type").alias("type_b"), F.col("y").alias("yb")
+    )
+    pairs = (
+        a.join(b, (F.col("da") == F.col("db")) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("ya").cast("long").alias("sa"),
+            F.sum("yb").cast("long").alias("sb"),
+            F.sum(F.col("ya") * F.col("ya")).cast("long").alias("qa"),
+            F.sum(F.col("yb") * F.col("yb")).cast("long").alias("qb"),
+            F.sum(F.col("ya") * F.col("yb")).cast("long").alias("sab"),
+        )
+    )
+    n, sa, sb = F.col("n"), F.col("sa"), F.col("sb")
+    qa, qb, sab = F.col("qa"), F.col("qb"), F.col("sab")
+    corr = (n.cast("double") * sab - sa.cast("double") * sb) / (
+        F.sqrt(n.cast("double") * qa - sa.cast("double") * sa)
+        * F.sqrt(n.cast("double") * qb - sb.cast("double") * sb)
+    )
+    return pairs.filter((n * qa > sa * sa) & (n * qb > sb * sb)).select(
+        "type_a", "type_b", "n", corr.alias("corr")
+    )

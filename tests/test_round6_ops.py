@@ -559,3 +559,33 @@ def test_permutation_test_properties(spark, sf_dir):
     # the null is TRUE here (cohort = user_id % 2 is unrelated to spend),
     # so the test must not report significance at the 1% level
     assert row["p_value"] > 0.01
+
+
+def test_sax_words_cover_every_day(spark, sf_dir):
+    rows = QUERIES["q_sax_symbols"](spark, sf_dir).collect()
+    assert rows
+    from cdmx_airquality_etl_spark.operators.timeseries import _daily
+
+    n_days = _daily(spark, sf_dir).count()
+    assert sum(r["n_days"] for r in rows) == n_days
+    for r in rows:
+        assert len(r["sax_word"]) == r["n_days"]
+        assert set(r["sax_word"]) <= set("abcd")
+    # z-scores of a real series hit both halves of the alphabet
+    letters = "".join(r["sax_word"] for r in rows)
+    assert set(letters) & {"a", "b"} and set(letters) & {"c", "d"}
+
+
+def test_corr_matrix_is_upper_triangle_and_bounded(spark, sf_dir):
+    rows = QUERIES["q_corr_matrix"](spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    types = set()
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        assert (r["type_a"], r["type_b"]) not in seen
+        seen.add((r["type_a"], r["type_b"]))
+        types.update((r["type_a"], r["type_b"]))
+        assert -1.0 - 1e-9 <= r["corr"] <= 1.0 + 1e-9
+    k = len(types)
+    assert len(rows) == k * (k - 1) // 2  # full upper triangle, no gaps
