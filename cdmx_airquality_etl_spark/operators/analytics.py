@@ -561,3 +561,75 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         (var_y - cov * theta).alias("var_cuped"),
         ((cov * theta) / var_y).alias("var_reduction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_power_analysis — required sample size per arm from measured variance
+# ---------------------------------------------------------------------------
+# normal quantiles as rendered literals (no libm on either engine):
+# z_{0.975} and z_{0.8} to full double precision
+_PWR_Z_ALPHA = 1.959963984540054  # two-sided alpha = 0.05
+_PWR_Z_BETA = 0.8416212335729143  # power = 0.80
+_PWR_MDE_REL = 0.02  # minimum detectable effect: 2% of the mean
+
+
+@register(
+    "q_power_analysis",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT)
+                  AS DOUBLE) AS s,
+             CAST(CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)
+                           * CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT)
+                  AS DOUBLE) AS q
+      FROM orders
+    )
+    SELECT CAST(n AS BIGINT) AS n_pop,
+           s / n AS mean_usd,
+           (q - s * s / n) / (n - 1.0) AS var_usd,
+           (s / n) * {_PWR_MDE_REL!r} AS mde_usd,
+           CAST(ceil(
+             ({_PWR_Z_ALPHA!r} + {_PWR_Z_BETA!r})
+             * ({_PWR_Z_ALPHA!r} + {_PWR_Z_BETA!r})
+             * 2.0 * ((q - s * s / n) / (n - 1.0))
+             / (((s / n) * {_PWR_MDE_REL!r}) * ((s / n) * {_PWR_MDE_REL!r}))
+           ) AS BIGINT) AS n_required_per_arm
+    FROM m
+    """,
+)
+def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size planning from the metric's MEASURED variance:
+    n per arm = (z_α/2 + z_β)²·2σ²/δ² for a {mde:.0%} minimum detectable
+    effect at α=0.05, power 0.8 — the question asked before q_ab_welch
+    is ever run, and the baseline q_cuped's var_reduction discounts
+    (required traffic scales by 1 − ρ²). Normal quantiles are rendered
+    double literals, NOT libm calls, so both engines evaluate the same
+    closed form bitwise-identically.
+
+    Scale shape: ONE scalar hash aggregate over exact BIGINT
+    floor-dollar moments (map-side combinable), then a single-row closed
+    form. ceil of a shared double is unambiguous in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    usd = F.floor("o_totalprice").cast("long")
+    m = orders.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(usd).cast("long").cast("double").alias("s"),
+        F.sum(usd * usd).cast("long").cast("double").alias("q"),
+    )
+    n, s, q = F.col("n"), F.col("s"), F.col("q")
+    var = (q - s * s / n) / (n - F.lit(1.0))
+    mde = (s / n) * F.lit(_PWR_MDE_REL)
+    z2 = F.lit(_PWR_Z_ALPHA + _PWR_Z_BETA) * F.lit(_PWR_Z_ALPHA + _PWR_Z_BETA)
+    return m.select(
+        n.cast("long").alias("n_pop"),
+        (s / n).alias("mean_usd"),
+        var.alias("var_usd"),
+        mde.alias("mde_usd"),
+        F.ceil(z2 * F.lit(2.0) * var / (mde * mde)).cast("long").alias(
+            "n_required_per_arm"
+        ),
+    )
+
+
+q_power_analysis.__doc__ = q_power_analysis.__doc__.format(mde=_PWR_MDE_REL)

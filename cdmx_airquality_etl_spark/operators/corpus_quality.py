@@ -519,3 +519,102 @@ def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "res_term"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_roc_points — exact ROC table for the quality classifier vs the rules
+# ---------------------------------------------------------------------------
+@register(
+    "q_roc_points",
+    oracle=f"""
+    WITH g AS ({_SQL_GOPHER}),
+    c AS (
+      SELECT doc_id, {_SQL_QC_SCORE_MILLI} AS score_milli
+      FROM documents WHERE text IS NOT NULL
+    ),
+    p AS (
+      SELECT (least(greatest(c.score_milli, -{_BR_CLAMP}), {_BR_CLAMP})
+              + {_BR_CLAMP}) // 4 AS p_milli,
+             g.pass_all AS o
+      FROM c JOIN g USING (doc_id)
+    ),
+    bands AS (
+      SELECT p_milli // {_BR_BIN} AS band,
+             CAST(SUM(o) AS BIGINT) AS pos,
+             CAST(COUNT(*) - SUM(o) AS BIGINT) AS neg
+      FROM p GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(neg) AS BIGINT) AS n_neg
+      FROM bands
+    ),
+    cum AS (
+      SELECT band, pos, neg,
+             CAST(SUM(pos) OVER (ORDER BY band DESC) AS BIGINT) AS tp,
+             CAST(SUM(neg) OVER (ORDER BY band DESC) AS BIGINT) AS fp
+      FROM bands
+    )
+    SELECT band AS threshold_band, tp, fp,
+           CAST(tp AS DOUBLE) / n_pos AS tpr,
+           CAST(fp AS DOUBLE) / n_neg AS fpr,
+           CAST(tp AS DOUBLE) / n_pos - CAST(fp AS DOUBLE) / n_neg
+             AS youden_j
+    FROM cum, tot
+    WHERE n_pos > 0 AND n_neg > 0
+    """,
+)
+def q_roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC operating points for the quality classifier against the
+    Gopher rule battery — one row per decile threshold band ('keep every
+    doc scoring ≥ this band'), with TPR, FPR and Youden's J (the
+    threshold picker). Ties q_auc_rank (the curve's area), the
+    reliability table (calibration) and the Brier decomposition
+    (accuracy) into the piece a curation pipeline actually consumes: WHICH
+    cutoff to run.
+
+    Scale shape: same banded probability as q_brier_decomposition (exact
+    integer milli-p), so the corpus pays the two scorer scans once more
+    and then an 11-row band aggregate; the cumulative TP/FP run as a
+    window over those 11 rows (never over documents). All counts exact
+    BIGINTs via the unique band key; ratios are single divisions."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    c = docs.select("doc_id", qc_score_milli().alias("score_milli"))
+    g = q_gopher_rules(spark, sf_dir).select("doc_id", F.col("pass_all").alias("o"))
+    p = c.join(g, "doc_id").select(
+        F.expr(
+            f"(least(greatest(score_milli, -{_BR_CLAMP}), {_BR_CLAMP})"
+            f" + {_BR_CLAMP}) DIV 4"
+        ).alias("p_milli"),
+        "o",
+    )
+    bands = p.groupBy(F.expr(f"p_milli DIV {_BR_BIN}").alias("band")).agg(
+        F.sum("o").cast("long").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("o")).cast("long").alias("neg"),
+    )
+    tot = bands.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+    )
+    from pyspark.sql.window import Window as W
+
+    wd = W.orderBy(F.col("band").desc()).rowsBetween(W.unboundedPreceding, 0)
+    cum = bands.select(
+        "band",
+        F.sum("pos").over(wd).cast("long").alias("tp"),
+        F.sum("neg").over(wd).cast("long").alias("fp"),
+    )
+    tpr = F.col("tp").cast("double") / F.col("n_pos")
+    fpr = F.col("fp").cast("double") / F.col("n_neg")
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .select(
+            F.col("band").alias("threshold_band"),
+            "tp",
+            "fp",
+            tpr.alias("tpr"),
+            fpr.alias("fpr"),
+            (tpr - fpr).alias("youden_j"),
+        )
+    )

@@ -589,3 +589,37 @@ def test_corr_matrix_is_upper_triangle_and_bounded(spark, sf_dir):
         assert -1.0 - 1e-9 <= r["corr"] <= 1.0 + 1e-9
     k = len(types)
     assert len(rows) == k * (k - 1) // 2  # full upper triangle, no gaps
+
+
+def test_roc_points_are_a_monotone_staircase(spark, sf_dir):
+    rows = sorted(
+        QUERIES["q_roc_points"](spark, sf_dir).collect(),
+        key=lambda r: -r["threshold_band"],
+    )
+    assert rows
+    prev_tp, prev_fp = -1, -1
+    for r in rows:
+        # lowering the threshold only adds kept docs
+        assert r["tp"] >= prev_tp and r["fp"] >= prev_fp
+        prev_tp, prev_fp = r["tp"], r["fp"]
+        assert 0.0 <= r["tpr"] <= 1.0 and 0.0 <= r["fpr"] <= 1.0
+        assert r["youden_j"] == pytest.approx(r["tpr"] - r["fpr"])
+    # the lowest threshold keeps everything
+    assert rows[-1]["tpr"] == pytest.approx(1.0)
+    assert rows[-1]["fpr"] == pytest.approx(1.0)
+    # totals agree with the Brier table (same banded population)
+    brier = QUERIES["q_brier_decomposition"](spark, sf_dir).collect()
+    assert rows[-1]["tp"] == sum(r["n_pass"] for r in brier)
+    assert rows[-1]["tp"] + rows[-1]["fp"] == sum(r["n_docs"] for r in brier)
+
+
+def test_power_analysis_closed_form(spark, sf_dir):
+    import math
+
+    row = QUERIES["q_power_analysis"](spark, sf_dir).collect()[0]
+    assert row["n_pop"] > 0 and row["var_usd"] > 0 and row["mde_usd"] > 0
+    z = 1.959963984540054 + 0.8416212335729143
+    want = math.ceil(z * z * 2.0 * row["var_usd"] / row["mde_usd"] ** 2)
+    assert row["n_required_per_arm"] == want
+    # a 2% MDE on a high-variance metric needs real traffic
+    assert row["n_required_per_arm"] > row["n_pop"] // 100
