@@ -45,6 +45,8 @@ _NON_CORPUS = {
     "q_benford",
     "q_cramers_v",
     "q_bootstrap_ci",
+    "q_pass_at_k",
+    "q_permutation_test",
 }
 
 CORPUS_QUERIES = sorted(

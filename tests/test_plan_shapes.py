@@ -141,6 +141,11 @@ ALLOWLIST: dict[str, str] = {
         "build is the nation dimension scan — fixed 25-row TPC-H "
         "dimension, independent of fact-table scale"
     ),
+    "q_corr_matrix": (
+        "build is the distinct event-type dimension (group-by event_type "
+        "— enum cardinality, 5 values) crossed onto the day spine to "
+        "densify with explicit zeros — data-size-independent"
+    ),
 }
 
 _PREFIX_RE = re.compile(r"^((?::  |:- |\+- |   )*)(.*)$")
