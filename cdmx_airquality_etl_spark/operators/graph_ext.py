@@ -386,3 +386,169 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_winnowing.__doc__ = q_winnowing.__doc__.format(k=_WIN_K, w=_WIN_W)
+
+
+# ---------------------------------------------------------------------------
+# q_assortativity — degree assortativity of the trade graph
+# ---------------------------------------------------------------------------
+@register(
+    "q_assortativity",
+    oracle=f"""
+    WITH {_SQL_GRAPH},
+    deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM bi GROUP BY src
+    ),
+    ed AS (
+      SELECT ds.d AS dx, dd.d AS dy
+      FROM bi
+      JOIN deg ds ON ds.node = bi.src
+      JOIN deg dd ON dd.node = bi.dst
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(dx) AS BIGINT) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(dy) AS BIGINT) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(dx * dx) AS BIGINT) AS DOUBLE) AS qx,
+             CAST(CAST(SUM(dy * dy) AS BIGINT) AS DOUBLE) AS qy,
+             CAST(CAST(SUM(dx * dy) AS BIGINT) AS DOUBLE) AS sxy
+      FROM ed
+    )
+    SELECT CAST(n AS BIGINT) AS n_directed_edges,
+           (n * sxy - sx * sy)
+             / (sqrt(n * qx - sx * sx) * sqrt(n * qy - sy * sy))
+             AS assortativity
+    FROM m
+    WHERE n * qx > sx * sx AND n * qy > sy * sy
+    """,
+)
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees over every directed edge — negative means hubs
+    attach to leaves (the usual shape of trade/interaction graphs),
+    positive means hubs cluster. One number that summarizes whether
+    q_degree_distribution's tail nodes talk to each other.
+
+    Scale shape: one degree aggregate, two hash joins to decorate each
+    edge with its endpoint degrees (both sides partition by node id),
+    one scalar moment rollup. The five moments are exact BIGINTs (degree
+    ≤ |nodes|, Σd·d' ≤ |E|·deg_max² stays far inside 2⁶³ at any real
+    skew); the correlation is ONE fixed-shape double expression with the
+    exact-integer degenerate guard applied in both engines."""
+    edges = _bi_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    ed = (
+        edges.join(deg.withColumnRenamed("node", "src"), "src")
+        .withColumnRenamed("d", "dx")
+        .join(
+            deg.select(F.col("node").alias("dst"), F.col("d").alias("dy")), "dst"
+        )
+        .select("dx", "dy")
+    )
+    m = ed.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("dx").cast("long").cast("double").alias("sx"),
+        F.sum("dy").cast("long").cast("double").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").cast("double").alias("qx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").cast("double").alias("qy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    qx, qy, sxy = F.col("qx"), F.col("qy"), F.col("sxy")
+    return m.filter((n * qx > sx * sx) & (n * qy > sy * sy)).select(
+        n.cast("long").alias("n_directed_edges"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * qx - sx * sx) * F.sqrt(n * qy - sy * sy))
+        ).alias("assortativity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_modularity — per-community modularity terms of the nation partition
+# ---------------------------------------------------------------------------
+@register(
+    "q_modularity",
+    oracle=f"""
+    WITH {_SQL_GRAPH},
+    comm AS (
+      SELECT c_custkey * 2 AS node, CAST(c_nationkey AS BIGINT) AS c
+      FROM customer
+      UNION ALL
+      SELECT s_suppkey * 2 + 1 AS node, CAST(s_nationkey AS BIGINT) AS c
+      FROM supplier
+    ),
+    ce AS (
+      SELECT cs.c AS c_src, cd.c AS c_dst
+      FROM bi
+      JOIN comm cs ON cs.node = bi.src
+      JOIN comm cd ON cd.node = bi.dst
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM ce),
+    per AS (
+      SELECT c_src AS community,
+             CAST(COUNT(*) AS BIGINT) AS degree_total,
+             CAST(COUNT(*) FILTER (WHERE c_src = c_dst) AS BIGINT)
+               AS within_directed
+      FROM ce GROUP BY c_src
+    )
+    SELECT community, degree_total, within_directed,
+           CAST(within_directed AS DOUBLE) / m2
+             - (CAST(degree_total AS DOUBLE) / m2)
+               * (CAST(degree_total AS DOUBLE) / m2) AS modularity_term
+    FROM per, m
+    """,
+)
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the NATION partition over the trade graph,
+    one row per community: Q_c = e_c/2m − (d_c/2m)² (directed-edge
+    counting, so 2m is the bi-directed edge total and e_c counts
+    within-community directed edges). Σ Q_c answers 'does geography
+    explain who trades with whom' — the objective q_label_propagation
+    optimizes implicitly, here evaluated exactly against a GIVEN
+    partition (the modularity-of-a-partition primitive every community
+    pipeline needs for before/after comparisons).
+
+    Scale shape: two hash joins decorate each directed edge with its
+    endpoint communities (partition by node id), then a
+    community-cardinality aggregate + a broadcast scalar. The per-ROW
+    grain is the determinism move: each term is one fixed-shape double
+    of exact BIGINTs; the 25-row fold to scalar Q happens at read time,
+    never as an engine float sum."""
+    edges = _bi_edges(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") * 2).alias("node"),
+        F.col("c_nationkey").cast("long").alias("c"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") * 2 + 1).alias("node"),
+        F.col("s_nationkey").cast("long").alias("c"),
+    )
+    comm = cust.unionByName(supp)
+    ce = (
+        edges.join(comm.withColumnRenamed("node", "src"), "src")
+        .withColumnRenamed("c", "c_src")
+        .join(
+            comm.select(F.col("node").alias("dst"), F.col("c").alias("c_dst")),
+            "dst",
+        )
+        .select("c_src", "c_dst")
+    )
+    m = ce.agg(F.count(F.lit(1)).cast("long").alias("m2"))
+    per = ce.groupBy(F.col("c_src").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree_total"),
+        F.count_if(F.col("c_src") == F.col("c_dst")).cast("long").alias(
+            "within_directed"
+        ),
+    )
+    dt = F.col("degree_total").cast("double") / F.col("m2")
+    return per.crossJoin(F.broadcast(m)).select(
+        "community",
+        "degree_total",
+        "within_directed",
+        (
+            F.col("within_directed").cast("double") / F.col("m2") - dt * dt
+        ).alias("modularity_term"),
+    )

@@ -623,3 +623,27 @@ def test_power_analysis_closed_form(spark, sf_dir):
     assert row["n_required_per_arm"] == want
     # a 2% MDE on a high-variance metric needs real traffic
     assert row["n_required_per_arm"] > row["n_pop"] // 100
+
+
+def test_assortativity_is_a_correlation(spark, sf_dir):
+    row = QUERIES["q_assortativity"](spark, sf_dir).collect()[0]
+    assert -1.0 - 1e-9 <= row["assortativity"] <= 1.0 + 1e-9
+    # bi-directed edge count is even and matches the degree sum identity
+    assert row["n_directed_edges"] % 2 == 0
+
+
+def test_modularity_terms_reassemble(spark, sf_dir):
+    rows = QUERIES["q_modularity"](spark, sf_dir).collect()
+    assert rows
+    m2 = sum(r["degree_total"] for r in rows)
+    q = 0.0
+    for r in rows:
+        assert 0 <= r["within_directed"] <= r["degree_total"]
+        assert r["modularity_term"] == pytest.approx(
+            r["within_directed"] / m2 - (r["degree_total"] / m2) ** 2
+        )
+        q += r["modularity_term"]
+    # Q is always < 1 and > -1; a bipartite graph with communities that
+    # mix customers and suppliers of one nation has few within edges only
+    # if trade is cross-national, so just pin the mathematical range
+    assert -1.0 < q < 1.0
