@@ -633,3 +633,91 @@ def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_power_analysis.__doc__ = q_power_analysis.__doc__.format(mde=_PWR_MDE_REL)
+
+
+# ---------------------------------------------------------------------------
+# q_neyman_allocation — variance-optimal stratified sampling design
+# ---------------------------------------------------------------------------
+_NEY_TOTAL = 1000  # total sample budget to allocate across strata
+
+
+@register(
+    "q_neyman_allocation",
+    oracle=f"""
+    WITH st AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_pop,
+             CAST(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS DOUBLE) AS s,
+             CAST(CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                           * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS DOUBLE) AS q
+      FROM events GROUP BY event_type
+    ),
+    w AS (
+      SELECT event_type, n_pop,
+             sqrt((q - s * s / n_pop) / (n_pop - 1.0)) AS sd_cents,
+             n_pop * sqrt((q - s * s / n_pop) / (n_pop - 1.0)) AS wgt
+      FROM st
+      WHERE n_pop > 1 AND q * n_pop > s * s
+    ),
+    denom AS (
+      SELECT list_reduce(list(wgt ORDER BY event_type), (a, b) -> a + b)
+               AS total_wgt
+      FROM w
+    )
+    SELECT event_type, n_pop, sd_cents,
+           wgt / total_wgt AS alloc_share,
+           CAST(floor({_NEY_TOTAL} * wgt / total_wgt) AS BIGINT) AS n_alloc
+    FROM w, denom
+    """,
+)
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman allocation: split a {t}-row sampling budget across the
+    event-type strata proportionally to N_h·σ_h — the variance-optimal
+    design (Neyman 1934) behind every stratified data-quality audit and
+    eval-set draw; pairs with q_stratified_sample (which draws) and
+    q_power_analysis (which sizes) as the design step.
+
+    Determinism: per-stratum moments are exact BIGINT cent sums and σ_h
+    is one closed form — but Σ_h N_h·σ_h is a float sum over strata,
+    which has NO defined order in a plain aggregate. The denominator is
+    therefore a SEQUENTIAL FOLD over the stratum weights sorted by the
+    unique stratum key (F.aggregate over array_sort / list_reduce over
+    list(... ORDER BY)) — the _dot fold-order contract lifted from array
+    elements to aggregation, making the one cross-stratum float sum
+    bitwise-reproducible. Plan: one conditional hash aggregate, a
+    |strata|-sized fold, a broadcast scalar back onto |strata| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    st = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pop"),
+        F.sum(cents).cast("long").cast("double").alias("s"),
+        F.sum(cents * cents).cast("long").cast("double").alias("q"),
+    )
+    n, s, q = F.col("n_pop"), F.col("s"), F.col("q")
+    sd = F.sqrt((q - s * s / n) / (n - F.lit(1.0)))
+    w = st.filter((n > 1) & (q * n > s * s)).select(
+        "event_type", "n_pop", sd.alias("sd_cents"), (n * sd).alias("wgt")
+    )
+    denom = w.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("event_type", "wgt"))),
+                lambda x: x["wgt"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("total_wgt")
+    )
+    share = F.col("wgt") / F.col("total_wgt")
+    return w.crossJoin(F.broadcast(denom)).select(
+        "event_type",
+        "n_pop",
+        "sd_cents",
+        share.alias("alloc_share"),
+        F.floor(F.lit(_NEY_TOTAL) * share).cast("long").alias("n_alloc"),
+    )
+
+
+q_neyman_allocation.__doc__ = q_neyman_allocation.__doc__.format(t=_NEY_TOTAL)

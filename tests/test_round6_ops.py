@@ -647,3 +647,18 @@ def test_modularity_terms_reassemble(spark, sf_dir):
     # mix customers and suppliers of one nation has few within edges only
     # if trade is cross-national, so just pin the mathematical range
     assert -1.0 < q < 1.0
+
+
+def test_neyman_allocation_properties(spark, sf_dir):
+    rows = QUERIES["q_neyman_allocation"](spark, sf_dir).collect()
+    assert rows
+    shares = sum(r["alloc_share"] for r in rows)
+    assert shares == pytest.approx(1.0)
+    assert sum(r["n_alloc"] for r in rows) <= 1000  # floors never overshoot
+    for r in rows:
+        assert r["sd_cents"] > 0 and r["n_pop"] > 1
+        assert 0.0 < r["alloc_share"] < 1.0
+    # optimality direction: bigger N*sd never gets a smaller allocation
+    ordered = sorted(rows, key=lambda r: r["n_pop"] * r["sd_cents"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["n_alloc"] <= b["n_alloc"]
