@@ -792,3 +792,116 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter((n * qa > sa * sa) & (n * qb > sb * sb)).select(
         "type_a", "type_b", "n", corr.alias("corr")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_spearman_matrix — rank correlation of the per-type daily series
+# ---------------------------------------------------------------------------
+@register(
+    "q_spearman_matrix",
+    oracle="""
+    WITH dt AS (
+      SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS d,
+             event_type, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    days AS (SELECT DISTINCT d FROM dt),
+    types AS (SELECT DISTINCT event_type FROM dt),
+    dense AS (
+      SELECT days.d, types.event_type, COALESCE(dt.y, 0) AS y
+      FROM days CROSS JOIN types
+      LEFT JOIN dt ON dt.d = days.d AND dt.event_type = types.event_type
+    ),
+    ranked AS (
+      SELECT d, event_type,
+             CAST(2 * rank() OVER (PARTITION BY event_type ORDER BY y)
+                  + count(*) OVER (PARTITION BY event_type, y) - 1
+                  AS BIGINT) AS r2
+      FROM dense
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(a.r2) AS BIGINT) AS sa,
+             CAST(SUM(b.r2) AS BIGINT) AS sb,
+             CAST(SUM(a.r2 * a.r2) AS BIGINT) AS qa,
+             CAST(SUM(b.r2 * b.r2) AS BIGINT) AS qb,
+             CAST(SUM(a.r2 * b.r2) AS BIGINT) AS sab
+      FROM ranked a JOIN ranked b
+        ON a.d = b.d AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n,
+           (CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)
+             / (sqrt(CAST(n AS DOUBLE) * qa - CAST(sa AS DOUBLE) * sa)
+                * sqrt(CAST(n AS DOUBLE) * qb - CAST(sb AS DOUBLE) * sb))
+             AS spearman_rho
+    FROM pairs
+    WHERE n * qa > sa * sa AND n * qb > sb * sb
+    """,
+)
+def q_spearman_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank-correlation matrix of the per-type daily series —
+    q_corr_matrix's robust twin (monotone association, immune to the
+    count spikes that drag Pearson around). Tie handling is the textbook
+    average-rank convention made EXACT: the average rank of a tie group,
+    (2·min_rank + ties − 1)/2, is a half-integer, so the operator carries
+    2·rank as a BIGINT (rank() + a tie count over the (type, value)
+    partition) and Pearson's affine invariance makes ρ of the doubled
+    ranks equal ρ of the true average ranks — rank correlation with zero
+    float accumulation anywhere.
+
+    Scale shape: identical to q_corr_matrix (one corpus-paying count
+    aggregate, then calendar×enum-bounded work) plus one rank window per
+    type over the |days| series."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).cast(
+        "bigint"
+    )
+    dt = ev.groupBy(d.alias("d"), F.col("event_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    days = dt.select("d").distinct()
+    types = dt.select("event_type").distinct()
+    dense = (
+        days.crossJoin(F.broadcast(types))
+        .join(dt, ["d", "event_type"], "left")
+        .select("d", "event_type", F.coalesce(F.col("y"), F.lit(0)).alias("y"))
+    )
+    wr = Window.partitionBy("event_type").orderBy("y")
+    wt = Window.partitionBy("event_type", "y")
+    ranked = dense.select(
+        "d",
+        "event_type",
+        (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1)
+        .cast("long")
+        .alias("r2"),
+    )
+    a = ranked.select(
+        F.col("d").alias("da"), F.col("event_type").alias("type_a"), F.col("r2").alias("ra")
+    )
+    b = ranked.select(
+        F.col("d").alias("db"), F.col("event_type").alias("type_b"), F.col("r2").alias("rb")
+    )
+    pairs = (
+        a.join(b, (F.col("da") == F.col("db")) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("ra").cast("long").alias("sa"),
+            F.sum("rb").cast("long").alias("sb"),
+            F.sum(F.col("ra") * F.col("ra")).cast("long").alias("qa"),
+            F.sum(F.col("rb") * F.col("rb")).cast("long").alias("qb"),
+            F.sum(F.col("ra") * F.col("rb")).cast("long").alias("sab"),
+        )
+    )
+    n, sa, sb = F.col("n"), F.col("sa"), F.col("sb")
+    qa, qb, sab = F.col("qa"), F.col("qb"), F.col("sab")
+    rho = (n.cast("double") * sab - sa.cast("double") * sb) / (
+        F.sqrt(n.cast("double") * qa - sa.cast("double") * sa)
+        * F.sqrt(n.cast("double") * qb - sb.cast("double") * sb)
+    )
+    return pairs.filter((n * qa > sa * sa) & (n * qb > sb * sb)).select(
+        "type_a", "type_b", "n", rho.alias("spearman_rho")
+    )

@@ -662,3 +662,23 @@ def test_neyman_allocation_properties(spark, sf_dir):
     ordered = sorted(rows, key=lambda r: r["n_pop"] * r["sd_cents"])
     for a, b in zip(ordered, ordered[1:]):
         assert a["n_alloc"] <= b["n_alloc"]
+
+
+def test_spearman_matches_scipy_convention(spark, sf_dir):
+    rows = QUERIES["q_spearman_matrix"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["spearman_rho"] <= 1.0 + 1e-9
+    # reference via pandas average ranks for one pair
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["d"] = ev.ts.astype("int64") // 86_400_000_000
+    pick = rows[0]
+    piv = (
+        ev.groupby(["d", "event_type"]).size().unstack(fill_value=0)
+    )
+    ra = piv[pick["type_a"]].rank(method="average")
+    rb = piv[pick["type_b"]].rank(method="average")
+    want = ra.corr(rb)  # Pearson of average ranks == Spearman
+    assert pick["spearman_rho"] == pytest.approx(want, rel=1e-9)
