@@ -984,3 +984,152 @@ def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_permutation_test.__doc__ = q_permutation_test.__doc__.format(b=_PERM_B)
+
+
+# ---------------------------------------------------------------------------
+# q_anova_oneway — one-way ANOVA across order-priority groups
+# ---------------------------------------------------------------------------
+@register(
+    "q_anova_oneway",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority AS grp,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS s,
+             CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)
+                      * CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS q
+      FROM orders GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS nt,
+             CAST(SUM(s) AS BIGINT) AS st,
+             CAST(SUM(q) AS BIGINT) AS qt,
+             list_reduce(
+               list(CAST(s AS DOUBLE) * s / n ORDER BY grp),
+               (a, b) -> a + b
+             ) AS group_ms
+      FROM g
+    )
+    SELECT k, nt AS n_total,
+           group_ms - CAST(st AS DOUBLE) * st / nt AS ss_between,
+           CAST(qt AS DOUBLE) - group_ms AS ss_within,
+           (group_ms - CAST(st AS DOUBLE) * st / nt)
+             / (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * st / nt) AS eta_sq,
+           ((group_ms - CAST(st AS DOUBLE) * st / nt) / (k - 1.0))
+             / ((CAST(qt AS DOUBLE) - group_ms) / (nt - k)) AS f_stat
+    FROM t
+    """,
+)
+def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of order value across the 5 priority groups —
+    q_ab_welch's k-group generalization: the between/within sum-of-squares
+    split, the effect size η² (variance explained by the grouping), and
+    the F statistic. The decomposition identity SS_total = SS_between +
+    SS_within is pinned by the invariant test.
+
+    Determinism: per-group (n, Σx, Σx²) are exact BIGINT floor-dollar
+    sums from ONE hash aggregate; the only cross-group float sum —
+    Σ_g s_g²/n_g — runs as a sequential fold over the key-sorted group
+    array (the q_neyman_allocation discipline), so every emitted double
+    is reproducible. Plan: map-side-combinable aggregate to 5 rows, a
+    5-element fold, one closed form."""
+    orders = load_table(spark, sf_dir, "orders")
+    usd = F.floor("o_totalprice").cast("long")
+    g = orders.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(usd).cast("long").alias("s"),
+        F.sum(usd * usd).cast("long").alias("q"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("s").cast("long").alias("st"),
+        F.sum("q").cast("long").alias("qt"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("grp", (F.col("s").cast("double") * F.col("s") / F.col("n")).alias("ms"))
+                    )
+                ),
+                lambda x: x["ms"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("group_ms"),
+    )
+    k, nt = F.col("k"), F.col("nt")
+    st, qt, gms = F.col("st"), F.col("qt"), F.col("group_ms")
+    ssb = gms - st.cast("double") * st / nt
+    ssw = qt.cast("double") - gms
+    sst = qt.cast("double") - st.cast("double") * st / nt
+    return t.select(
+        "k",
+        nt.alias("n_total"),
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        (ssb / sst).alias("eta_sq"),
+        ((ssb / (k - F.lit(1.0))) / (ssw / (nt - k))).alias("f_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_wilson_ci — score intervals for the reliability bands' pass rates
+# ---------------------------------------------------------------------------
+_WILSON_Z = 1.959963984540054  # 95% two-sided normal quantile, rendered
+
+
+@register(
+    "q_wilson_ci",
+    oracle=f"""
+    WITH g AS (
+      SELECT o_orderpriority AS grp,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) FILTER (WHERE o_totalprice > 150000.0) AS BIGINT)
+               AS hits
+      FROM orders GROUP BY 1
+    )
+    SELECT grp, n, hits,
+           CAST(hits AS DOUBLE) / n AS p_hat,
+           (CAST(hits AS DOUBLE) / n + {_WILSON_Z!r} * {_WILSON_Z!r} / (2.0 * n)
+             - {_WILSON_Z!r} * sqrt(
+                 (CAST(hits AS DOUBLE) / n) * (1.0 - CAST(hits AS DOUBLE) / n) / n
+                 + {_WILSON_Z!r} * {_WILSON_Z!r} / (4.0 * n * n)))
+             / (1.0 + {_WILSON_Z!r} * {_WILSON_Z!r} / n) AS wilson_lo,
+           (CAST(hits AS DOUBLE) / n + {_WILSON_Z!r} * {_WILSON_Z!r} / (2.0 * n)
+             + {_WILSON_Z!r} * sqrt(
+                 (CAST(hits AS DOUBLE) / n) * (1.0 - CAST(hits AS DOUBLE) / n) / n
+                 + {_WILSON_Z!r} * {_WILSON_Z!r} / (4.0 * n * n)))
+             / (1.0 + {_WILSON_Z!r} * {_WILSON_Z!r} / n) AS wilson_hi
+    FROM g
+    """,
+)
+def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score interval for each group's high-value-order rate —
+    the binomial CI that behaves at the proportions where the Wald
+    interval collapses (p near 0/1, small groups), which is exactly where
+    rate metrics live. The z quantile is a rendered double literal, the
+    counts are exact BIGINTs from one conditional aggregate, and both
+    bounds are single fixed-shape closed forms — the q_power_analysis
+    no-libm discipline applied to interval estimation."""
+    orders = load_table(spark, sf_dir, "orders")
+    g = orders.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_if(F.col("o_totalprice") > 150000.0).cast("long").alias("hits"),
+    )
+    n = F.col("n")
+    p = F.col("hits").cast("double") / n
+    z = F.lit(_WILSON_Z)
+    z2 = z * z
+    center = p + z2 / (F.lit(2.0) * n)
+    half = z * F.sqrt(p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n))
+    denom = F.lit(1.0) + z2 / n
+    return g.select(
+        "grp",
+        "n",
+        "hits",
+        p.alias("p_hat"),
+        ((center - half) / denom).alias("wilson_lo"),
+        ((center + half) / denom).alias("wilson_hi"),
+    )

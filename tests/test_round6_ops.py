@@ -682,3 +682,28 @@ def test_spearman_matches_scipy_convention(spark, sf_dir):
     rb = piv[pick["type_b"]].rank(method="average")
     want = ra.corr(rb)  # Pearson of average ranks == Spearman
     assert pick["spearman_rho"] == pytest.approx(want, rel=1e-9)
+
+
+def test_anova_decomposition_identity(spark, sf_dir):
+    row = QUERIES["q_anova_oneway"](spark, sf_dir).collect()[0]
+    assert row["k"] == 5
+    assert row["ss_between"] >= 0 and row["ss_within"] >= 0
+    assert 0.0 <= row["eta_sq"] <= 1.0
+    assert row["eta_sq"] == pytest.approx(
+        row["ss_between"] / (row["ss_between"] + row["ss_within"])
+    )
+    assert row["f_stat"] == pytest.approx(
+        (row["ss_between"] / (row["k"] - 1))
+        / (row["ss_within"] / (row["n_total"] - row["k"]))
+    )
+    # priority is assigned independently of value: eta^2 must be tiny
+    assert row["eta_sq"] < 0.01
+
+
+def test_wilson_interval_brackets_and_beats_wald_at_edges(spark, sf_dir):
+    rows = QUERIES["q_wilson_ci"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["wilson_lo"] <= r["p_hat"] <= r["wilson_hi"] <= 1.0
+        # Wilson never collapses to a point even at p==0 or 1
+        assert r["wilson_hi"] - r["wilson_lo"] > 0.0
