@@ -596,3 +596,64 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_negative_sampling.__doc__ = q_negative_sampling.__doc__.format(k=_NEG_K)
+
+
+# ---------------------------------------------------------------------------
+# q_prefix_sharing — prefix-cache ROI: how much prefix mass is duplicated
+# ---------------------------------------------------------------------------
+_PREFIX_K = 8  # prefix length (tokens) a KV/prefix cache would key on
+
+
+@register(
+    "q_prefix_sharing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
+      WHERE text IS NOT NULL
+    ),
+    pfx AS (
+      SELECT doc_id,
+             md5(array_to_string(ts[1:{_PREFIX_K}], ' ')) AS pfx_fp
+      FROM toks WHERE len(ts) >= {_PREFIX_K}
+    ),
+    grp AS (
+      SELECT pfx_fp, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM pfx GROUP BY pfx_fp
+    )
+    SELECT n_docs AS group_size,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(n_docs) AS BIGINT) AS docs_total,
+           CAST(SUM(n_docs - 1) * {_PREFIX_K} AS BIGINT)
+             AS cacheable_prefix_tokens
+    FROM grp GROUP BY n_docs
+    """,
+)
+def q_prefix_sharing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-cache ROI table: group documents by the fingerprint of
+    their first {k} tokens and histogram the group sizes — every doc
+    beyond the first in a group could skip its prefix's compute under a
+    prefix/KV cache (vLLM-style automatic prefix caching), so
+    cacheable_prefix_tokens = Σ(group−1)·{k} is the saved prefill mass.
+    The serving-side twin of q_boilerplate_ngrams (which finds repeated
+    mass anywhere; caches only exploit it at position 0).
+
+    Scale shape: one scan → md5 of the first-{k}-token slice (16-byte
+    shuffle key, the q_dedup_exact discipline) → two stacked hash
+    aggregates (prefix-cardinality, then group-size-cardinality). All
+    exact integers."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    ts = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    pfx = docs.select(ts.alias("ts")).filter(F.size("ts") >= _PREFIX_K).select(
+        F.md5(F.array_join(F.slice("ts", 1, _PREFIX_K), " ")).alias("pfx_fp")
+    )
+    grp = pfx.groupBy("pfx_fp").agg(F.count(F.lit(1)).alias("n_docs"))
+    return grp.groupBy(F.col("n_docs").alias("group_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("n_docs").cast("long").alias("docs_total"),
+        (F.sum(F.col("n_docs") - 1) * _PREFIX_K).cast("long").alias(
+            "cacheable_prefix_tokens"
+        ),
+    )
+
+
+q_prefix_sharing.__doc__ = q_prefix_sharing.__doc__.format(k=_PREFIX_K)

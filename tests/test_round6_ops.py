@@ -707,3 +707,25 @@ def test_wilson_interval_brackets_and_beats_wald_at_edges(spark, sf_dir):
         assert 0.0 <= r["wilson_lo"] <= r["p_hat"] <= r["wilson_hi"] <= 1.0
         # Wilson never collapses to a point even at p==0 or 1
         assert r["wilson_hi"] - r["wilson_lo"] > 0.0
+
+
+def test_prefix_sharing_mass_balance(spark, sf_dir):
+    rows = QUERIES["q_prefix_sharing"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["docs_total"] == r["group_size"] * r["n_groups"]
+        assert r["cacheable_prefix_tokens"] == (
+            (r["group_size"] - 1) * r["n_groups"] * 8
+        )
+    # every >=8-token doc lands in exactly one prefix group
+    from pyspark.sql import functions as SF
+
+    from cdmx_airquality_etl_spark.sources.parquet import load_table
+
+    want = (
+        load_table(spark, sf_dir, "documents")
+        .filter(SF.col("text").isNotNull())
+        .filter(SF.size(SF.split(SF.trim(SF.lower("text")), r"\s+")) >= 8)
+        .count()
+    )
+    assert sum(r["docs_total"] for r in rows) == want
