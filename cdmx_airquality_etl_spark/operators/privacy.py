@@ -384,3 +384,87 @@ def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_dp_histogram.__doc__ = q_dp_histogram.__doc__.format(eps=_DP_EPS)
+
+
+# ---------------------------------------------------------------------------
+# q_deletion_impact — erasure-request blast radius across the star schema
+# ---------------------------------------------------------------------------
+_DEL_MOD = 97  # deterministic pseudo-request: subjects with key % 97 == 7
+_DEL_REM = 7
+
+
+@register(
+    "q_deletion_impact",
+    oracle=f"""
+    WITH subjects AS (
+      SELECT c_custkey AS k FROM customer
+      WHERE c_custkey % {_DEL_MOD} = {_DEL_REM}
+    ),
+    ev AS (
+      SELECT 'events' AS table_name, CAST(COUNT(*) AS BIGINT) AS rows_affected
+      FROM events WHERE user_id IN (SELECT k FROM subjects)
+    ),
+    od AS (
+      SELECT 'orders' AS table_name, CAST(COUNT(*) AS BIGINT) AS rows_affected
+      FROM orders WHERE o_custkey IN (SELECT k FROM subjects)
+    ),
+    li AS (
+      SELECT 'lineitem' AS table_name, CAST(COUNT(*) AS BIGINT) AS rows_affected
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_custkey IN (SELECT k FROM subjects)
+    ),
+    cu AS (
+      SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS rows_affected
+      FROM subjects
+    )
+    SELECT table_name, rows_affected
+    FROM (SELECT * FROM cu UNION ALL SELECT * FROM ev
+          UNION ALL SELECT * FROM od UNION ALL SELECT * FROM li)
+    """,
+)
+def q_deletion_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure-request blast radius (the GDPR right-to-be-forgotten
+    planning query): given a deterministic subject set (custkey ≡
+    {r} mod {m}), count the rows each table of the star schema would
+    lose — directly keyed rows (customer, orders, events) and the
+    FK-cascaded ones (lineitem via its order). The audit a deletion job
+    runs BEFORE rewriting files, because the row counts decide between
+    per-file rewrite and copy-on-write strategies.
+
+    Scale shape: the subject set broadcasts (pushed modulo filter on the
+    dimension); every count is a broadcast semi-join + scalar aggregate,
+    and the lineitem cascade reuses the orders join the warehouse
+    already shuffles by order key. Exact BIGINT counts only."""
+    cust = load_table(spark, sf_dir, "customer")
+    subjects = cust.filter(
+        F.col("c_custkey") % _DEL_MOD == _DEL_REM
+    ).select(F.col("c_custkey").alias("k"))
+    ev = load_table(spark, sf_dir, "events").join(
+        F.broadcast(subjects), F.col("user_id") == F.col("k"), "left_semi"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    od = orders.join(
+        F.broadcast(subjects), F.col("o_custkey") == F.col("k"), "left_semi"
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        od.select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_semi",
+    )
+
+    def counted(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("rows_affected")).select(
+            F.lit(name).alias("table_name"), "rows_affected"
+        )
+
+    return (
+        counted(subjects, "customer")
+        .unionByName(counted(ev, "events"))
+        .unionByName(counted(od, "orders"))
+        .unionByName(counted(li, "lineitem"))
+    )
+
+
+q_deletion_impact.__doc__ = q_deletion_impact.__doc__.format(
+    r=_DEL_REM, m=_DEL_MOD
+)

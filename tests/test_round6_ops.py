@@ -729,3 +729,23 @@ def test_prefix_sharing_mass_balance(spark, sf_dir):
         .count()
     )
     assert sum(r["docs_total"] for r in rows) == want
+
+
+def test_deletion_impact_counts(spark, sf_dir):
+    rows = {r["table_name"]: r["rows_affected"] for r in
+            QUERIES["q_deletion_impact"](spark, sf_dir).collect()}
+    assert set(rows) == {"customer", "events", "orders", "lineitem"}
+    assert rows["customer"] >= 1
+    # cascades can only amplify: lineitems >= orders of the same subjects
+    assert rows["lineitem"] >= rows["orders"]
+    # independent check of the orders count
+    from pyspark.sql import functions as SF
+
+    from cdmx_airquality_etl_spark.sources.parquet import load_table
+
+    want = (
+        load_table(spark, sf_dir, "orders")
+        .filter(SF.col("o_custkey") % 97 == 7)
+        .count()
+    )
+    assert rows["orders"] == want
