@@ -1,0 +1,81 @@
+"""Incremental JOIN-view maintenance (plans/ivm_join.py): every delta
+application must leave the materialized view EXACTLY equal to a full
+recompute of the view definition over the current base tables."""
+
+import pytest
+from pyspark.sql import Row
+
+from cdmx_airquality_etl_spark.plans.ivm_join import (
+    apply_dim_delta,
+    apply_fact_delta,
+    build_view,
+)
+
+FACT = "k int, fid int, qty int"
+DIM = "k int, name string"
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.fixture()
+def base(spark, tmp_path):
+    a0 = spark.createDataFrame(
+        [Row(k=1, fid=10, qty=5), Row(k=2, fid=11, qty=7), Row(k=1, fid=12, qty=2)],
+        FACT,
+    )
+    b0 = spark.createDataFrame(
+        [Row(k=1, name="one"), Row(k=2, name="two"), Row(k=3, name="three")], DIM
+    )
+    view_path = str(tmp_path / "view")
+    build_view(a0, b0, "k").write.parquet(view_path)
+    return a0, b0, view_path
+
+
+def test_fact_append_matches_full_recompute(spark, base):
+    a0, b0, view_path = base
+    delta = spark.createDataFrame(
+        [Row(k=2, fid=13, qty=9), Row(k=3, fid=14, qty=1)], FACT
+    )
+    apply_fact_delta(spark, view_path, delta, b0, "k")
+    a1 = a0.unionByName(delta)
+    assert _rows(spark.read.parquet(view_path)) == _rows(build_view(a1, b0, "k"))
+
+
+def test_fact_append_cost_is_delta_sized(spark, base):
+    # the delta path must not rescan A: it joins ONLY the delta frame
+    a0, b0, view_path = base
+    delta = spark.createDataFrame([Row(k=1, fid=15, qty=3)], FACT)
+    before = spark.read.parquet(view_path).count()
+    apply_fact_delta(spark, view_path, delta, b0, "k")
+    assert spark.read.parquet(view_path).count() == before + 1
+
+
+def test_dim_update_rewrites_only_affected_keys(spark, base):
+    a0, b0, view_path = base
+    # key 1 renamed; keys 2,3 untouched
+    b_new_rows = spark.createDataFrame([Row(k=1, name="ONE")], DIM)
+    apply_dim_delta(spark, view_path, a0, b_new_rows, "k")
+    b1 = spark.createDataFrame(
+        [Row(k=1, name="ONE"), Row(k=2, name="two"), Row(k=3, name="three")], DIM
+    )
+    assert _rows(spark.read.parquet(view_path)) == _rows(build_view(a0, b1, "k"))
+    # untouched key rows kept their values
+    got = {
+        (r["fid"]): r["name"] for r in spark.read.parquet(view_path).collect()
+    }
+    assert got[11] == "two" and got[10] == "ONE"
+
+
+def test_dim_update_then_fact_append_compose(spark, base):
+    a0, b0, view_path = base
+    b_new_rows = spark.createDataFrame([Row(k=2, name="TWO")], DIM)
+    apply_dim_delta(spark, view_path, a0, b_new_rows, "k")
+    delta = spark.createDataFrame([Row(k=2, fid=16, qty=4)], FACT)
+    b1 = spark.createDataFrame(
+        [Row(k=1, name="one"), Row(k=2, name="TWO"), Row(k=3, name="three")], DIM
+    )
+    apply_fact_delta(spark, view_path, delta, b1, "k")
+    a1 = a0.unionByName(delta)
+    assert _rows(spark.read.parquet(view_path)) == _rows(build_view(a1, b1, "k"))
