@@ -146,6 +146,11 @@ ALLOWLIST: dict[str, str] = {
         "— enum cardinality, 5 values) crossed onto the day spine to "
         "densify with explicit zeros — data-size-independent"
     ),
+    "q_spearman_matrix": (
+        "same densify as q_corr_matrix: the distinct event-type dimension "
+        "(enum cardinality) crossed onto the day spine — "
+        "data-size-independent"
+    ),
 }
 
 _PREFIX_RE = re.compile(r"^((?::  |:- |\+- |   )*)(.*)$")
