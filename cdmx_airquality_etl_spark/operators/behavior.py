@@ -530,3 +530,312 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             - 1.0
         ).alias("cv2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_markov_attribution — removal-effect (data-driven) channel attribution
+# ---------------------------------------------------------------------------
+_MK_ITERS = 12  # absorption iterations; journeys here are far shorter
+_MK_CHANNELS = ("click", "error", "signup", "view")  # purchase = conversion
+
+
+def _mk_scen_rows() -> list[tuple[str, str]]:
+    return [("base", "")] + [(f"no_{c}", c) for c in _MK_CHANNELS]
+
+
+def _mk_oracle() -> str:
+    scen_values = ", ".join(f"('{s}', '{r}')" for s, r in _mk_scen_rows())
+    its = []
+    prev = "v0"
+    for i in range(1, _MK_ITERS + 1):
+        its.append(f"""
+    v{i} AS MATERIALIZED (
+      SELECT sc.scenario, t.src AS state,
+             CASE WHEN t.src = sc.removed THEN 0.0
+                  ELSE COALESCE(list_reduce(
+                         list(t.p * pv.v ORDER BY t.dst), (a, b) -> a + b),
+                       0.0)
+             END AS v
+      FROM trans t
+      JOIN {prev} pv ON pv.state = t.dst
+      JOIN scen sc ON sc.scenario = pv.scenario
+      GROUP BY sc.scenario, t.src, sc.removed
+      UNION ALL
+      SELECT scenario, state, v FROM absorbing
+    )""")
+        prev = f"v{i}"
+    return f"""
+    WITH ev2 AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+      FROM events
+    ),
+    firstp AS (
+      SELECT user_id, us AS pus, event_id AS pid
+      FROM (
+        SELECT user_id, us, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS rn
+        FROM ev2 WHERE event_type = 'purchase'
+      ) WHERE rn = 1
+    ),
+    seqs AS (
+      SELECT e.user_id,
+             ['start']
+               || list(e.event_type ORDER BY e.us, e.event_id)
+                    FILTER (WHERE f.pus IS NULL
+                            OR e.us < f.pus
+                            OR (e.us = f.pus AND e.event_id < f.pid))
+               || [CASE WHEN f.pus IS NULL THEN 'null' ELSE 'conv' END]
+               AS seq
+      FROM ev2 e LEFT JOIN firstp f USING (user_id)
+      WHERE e.event_type <> 'purchase'
+      GROUP BY e.user_id, f.pus, f.pid
+    ),
+    pairs AS (
+      SELECT seq[i.i] AS src, seq[i.i + 1] AS dst
+      FROM seqs, unnest(range(1, len(seq))) AS i(i)
+    ),
+    counts AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c
+      FROM pairs GROUP BY src, dst
+    ),
+    outm AS (SELECT src, CAST(SUM(c) AS BIGINT) AS tot FROM counts GROUP BY src),
+    trans AS (
+      SELECT counts.src, counts.dst,
+             CAST(counts.c AS DOUBLE) / outm.tot AS p
+      FROM counts JOIN outm USING (src)
+    ),
+    scen(scenario, removed) AS (VALUES {scen_values}),
+    absorbing AS (
+      SELECT scenario, s.state, s.v
+      FROM scen, (VALUES ('conv', 1.0), ('null', 0.0)) AS s(state, v)
+    ),
+    v0 AS (
+      SELECT sc.scenario, st.src AS state, 0.0 AS v
+      FROM scen sc, (SELECT DISTINCT src FROM trans) st
+      UNION ALL
+      SELECT scenario, state, v FROM absorbing
+    ),
+    {", ".join(its)},
+    pconv AS (
+      SELECT scenario, v AS p_conv FROM {prev} WHERE state = 'start'
+    ),
+    base AS (SELECT p_conv AS p_base FROM pconv WHERE scenario = 'base'),
+    eff AS (
+      SELECT substr(scenario, 4) AS channel,
+             p_base, p_conv AS p_conv_without,
+             (p_base - p_conv) / p_base AS removal_effect
+      FROM pconv, base
+      WHERE scenario <> 'base' AND p_base > 0.0
+    ),
+    norm AS (
+      SELECT list_reduce(
+               list(CASE WHEN removal_effect > 0.0 THEN removal_effect
+                         ELSE 0.0 END ORDER BY channel),
+               (a, b) -> a + b) AS tot_eff
+      FROM eff
+    )
+    SELECT channel, p_base AS p_conv_base, p_conv_without, removal_effect,
+           CASE WHEN tot_eff > 0.0
+                THEN (CASE WHEN removal_effect > 0.0 THEN removal_effect
+                           ELSE 0.0 END) / tot_eff
+                ELSE 0.0 END AS attribution_share
+    FROM eff, norm
+    """
+
+
+@register("q_markov_attribution", oracle=_mk_oracle())
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven (Markov removal-effect) attribution — the model that
+    replaced first/last-touch in production marketing stacks (Anderl et
+    al. 2014): build the journey transition graph (start → touches →
+    conv/null, journeys cut at the first purchase), compute conversion
+    absorption probability by {it} value-iteration steps, and per channel
+    re-run the absorption with that channel REMOVED (its state forced to
+    the null value); a channel's credit is the normalized drop in
+    conversion probability. Complements q_attribution's positional
+    heuristics with the counterfactual answer.
+
+    Scale shape: the corpus pays the per-user journey assembly (one
+    window-free collect per user, bounded by journey length) and ONE
+    transition hash aggregate; the matrix is then ≤|event_types|+2 states
+    squared BY CONSTRUCTION, so the whole 5-scenario × {it}-step value
+    iteration collapses into ONE native higher-order-function expression
+    (aggregate over a step sequence, map_from_entries state lookup) on a
+    single collected-row frame — zero per-iteration jobs, zero Python-RDD
+    scans, zero checkpoints. (A first cut ran the iteration as a loop of
+    40-row DataFrame joins; each tiny step stalled for minutes feeding the
+    local-relation scans through Python workers — the fold-as-expression
+    shape is both the scale-honest and the fast plan.)
+    Determinism: transition probabilities are one exact division each;
+    every cross-state float sum (the value-iteration inner product, the
+    share normalization) is a SEQUENTIAL FOLD over key-sorted arrays
+    (the q_neyman_allocation discipline), so all {it} iterations are
+    bitwise-reproducible in both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        "event_type",
+    )
+    wp = Window.partitionBy("user_id").orderBy("us", "event_id")
+    firstp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", F.col("us").alias("pus"), F.col("event_id").alias("pid")
+        )
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").join(
+        firstp, "user_id", "left"
+    )
+    before_p = (
+        F.col("pus").isNull()
+        | (F.col("us") < F.col("pus"))
+        | ((F.col("us") == F.col("pus")) & (F.col("event_id") < F.col("pid")))
+    )
+    seqs = (
+        touches.groupBy("user_id", "pus", "pid")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(before_p, F.struct("us", "event_id", "event_type"))
+                )
+            ).alias("tch")
+        )
+        .select(
+            F.concat(
+                F.array(F.lit("start")),
+                F.transform(F.col("tch"), lambda x: x["event_type"]),
+                F.array(
+                    F.when(F.col("pus").isNull(), F.lit("null")).otherwise(
+                        F.lit("conv")
+                    )
+                ),
+            ).alias("seq")
+        )
+    )
+    pairs = seqs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("seq"), 1, F.size("seq") - 1),
+                F.slice(F.col("seq"), 2, F.size("seq") - 1),
+                lambda a, b: F.struct(a.alias("src"), b.alias("dst")),
+            )
+        ).alias("pr")
+    ).select("pr.src", "pr.dst")
+    counts = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
+    outm = counts.groupBy("src").agg(F.sum("c").alias("tot"))
+    trans = counts.join(outm, "src").select(
+        "src", "dst", (F.col("c").cast("double") / F.col("tot")).alias("p")
+    )
+    # collapse the bounded matrix to ONE row: `ts` sorted by (src, dst) so
+    # every per-src slice the folds below see is already in dst order (the
+    # oracle's ORDER BY t.dst), `sts` = all states incl. the absorbing pair
+    one = trans.agg(
+        F.array_sort(F.collect_list(F.struct("src", "dst", "p"))).alias("ts")
+    ).select(
+        "ts",
+        F.array_sort(
+            F.array_distinct(
+                F.concat(
+                    F.transform("ts", lambda t: t["src"]),
+                    F.array(F.lit("conv"), F.lit("null")),
+                )
+            )
+        ).alias("sts"),
+    )
+
+    def _absorb(removed):
+        """P(absorb at conv | start) after _MK_ITERS synchronous value-
+        iteration steps with the `removed` channel's state forced to 0,
+        as one fold expression over the step sequence."""
+        init = F.transform(
+            F.col("sts"),
+            lambda s: F.struct(
+                s.alias("st"),
+                F.when(s == "conv", F.lit(1.0))
+                .otherwise(F.lit(0.0))
+                .alias("v"),
+            ),
+        )
+        final = F.aggregate(
+            F.sequence(F.lit(1), F.lit(_MK_ITERS)),
+            init,
+            lambda acc, _i: F.transform(
+                F.col("sts"),
+                lambda s: F.struct(
+                    s.alias("st"),
+                    F.when(s == "conv", F.lit(1.0))
+                    .when(s == "null", F.lit(0.0))
+                    .when(s == removed, F.lit(0.0))
+                    .otherwise(
+                        F.aggregate(
+                            F.transform(
+                                F.filter(F.col("ts"), lambda t: t["src"] == s),
+                                lambda t: t["p"]
+                                * F.element_at(
+                                    F.map_from_entries(acc), t["dst"]
+                                ),
+                            ),
+                            F.lit(0.0),
+                            lambda a, b: a + b,
+                        )
+                    )
+                    .alias("v"),
+                ),
+            ),
+        )
+        return F.element_at(F.map_from_entries(final), F.lit("start"))
+
+    pc = one.select(
+        _absorb(F.lit("")).alias("p_base"),
+        *[_absorb(F.lit(c)).alias(f"p_no_{c}") for c in _MK_CHANNELS],
+    )
+    eff_arr = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("channel"),
+                F.col(f"p_no_{c}").alias("p_conv_without"),
+            )
+            for c in _MK_CHANNELS
+        ]
+    )
+
+    def _re(pw):
+        return (F.col("p_base") - pw) / F.col("p_base")
+
+    def _clip(x):
+        return F.when(x > 0.0, x).otherwise(F.lit(0.0))
+
+    # share normalizer: sequential fold in channel order (_MK_CHANNELS is
+    # sorted), bitwise-matching the oracle's list_reduce ORDER BY channel
+    tot_eff = F.aggregate(
+        eff_arr,
+        F.lit(0.0),
+        lambda a, e: a + _clip(_re(e["p_conv_without"])),
+    )
+    return (
+        pc.filter(F.col("p_base") > 0.0)
+        .select(
+            F.explode(eff_arr).alias("e"),
+            "p_base",
+            tot_eff.alias("tot_eff"),
+        )
+        .select(
+            F.col("e.channel").alias("channel"),
+            F.col("p_base").alias("p_conv_base"),
+            F.col("e.p_conv_without").alias("p_conv_without"),
+            _re(F.col("e.p_conv_without")).alias("removal_effect"),
+            F.when(
+                F.col("tot_eff") > 0.0,
+                _clip(_re(F.col("e.p_conv_without"))) / F.col("tot_eff"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("attribution_share"),
+        )
+    )
+
+
+q_markov_attribution.__doc__ = q_markov_attribution.__doc__.format(it=_MK_ITERS)

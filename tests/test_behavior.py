@@ -123,3 +123,75 @@ def test_power_users_matches_pandas(spark, sf_dir):
     assert r["power_events"] == power
     assert abs(r["power_share"] - power / len(ev)) < 1e-12
     assert r["power_share"] >= k / n_users  # top decile is at least proportional
+
+
+# ---------------------------------------------------------------------------
+# q_markov_attribution
+# ---------------------------------------------------------------------------
+def test_markov_attribution_matches_pandas(spark, sf_dir):
+    from cdmx_airquality_etl_spark.operators.behavior import _MK_ITERS
+
+    rows = {
+        r["channel"]: r
+        for r in QUERIES["q_markov_attribution"](spark, sf_dir).collect()
+    }
+    ev = _events(sf_dir).sort_values(["user_id", "ts", "event_id"])
+
+    # journey assembly: start -> touches before first purchase -> conv/null
+    counts = {}
+    for uid, g in ev.groupby("user_id"):
+        pur = g[g.event_type == "purchase"]
+        if len(pur):
+            first = pur.iloc[0]
+            g = g[
+                (g.ts < first.ts)
+                | ((g.ts == first.ts) & (g.event_id < first.event_id))
+            ]
+            end = "conv"
+        else:
+            end = "null"
+        seq = ["start"] + [
+            t for t in g.event_type if t != "purchase"
+        ] + [end]
+        for a, b in zip(seq, seq[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    out = {}
+    for (a, _b), c in counts.items():
+        out[a] = out.get(a, 0) + c
+    trans = {k: c / out[k[0]] for k, c in counts.items()}
+    states = sorted({a for a, _ in trans} | {"conv", "null"})
+
+    def absorb(removed):
+        v = {s: 1.0 if s == "conv" else 0.0 for s in states}
+        for _ in range(_MK_ITERS):
+            nv = {}
+            for s in states:
+                if s == "conv":
+                    nv[s] = 1.0
+                elif s == "null" or s == removed:
+                    nv[s] = 0.0
+                else:
+                    nv[s] = sum(
+                        p * v[d]
+                        for (a, d), p in sorted(trans.items())
+                        if a == s
+                    )
+            v = nv
+        return v["start"]
+
+    p_base = absorb(None)
+    assert p_base > 0.0
+    effects = {
+        c: (p_base - absorb(c)) / p_base
+        for c in ("click", "error", "signup", "view")
+    }
+    tot = sum(max(e, 0.0) for e in effects.values())
+    assert set(rows) == set(effects)
+    for c, e in effects.items():
+        r = rows[c]
+        assert abs(r["p_conv_base"] - p_base) < 1e-12
+        assert abs(r["removal_effect"] - e) < 1e-9
+        share = max(e, 0.0) / tot if tot > 0 else 0.0
+        assert abs(r["attribution_share"] - share) < 1e-9
+        assert 0.0 <= r["attribution_share"] <= 1.0
+    assert abs(sum(r["attribution_share"] for r in rows.values()) - 1.0) < 1e-9
