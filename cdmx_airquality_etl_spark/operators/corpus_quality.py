@@ -618,3 +618,158 @@ def q_roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             (tpr - fpr).alias("youden_j"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_isotonic_calibration — exact PAV recalibration of the quality model
+# ---------------------------------------------------------------------------
+@register(
+    "q_isotonic_calibration",
+    oracle=f"""
+    WITH g AS ({_SQL_GOPHER}),
+    c AS (
+      SELECT doc_id, {_SQL_QC_SCORE_MILLI} AS score_milli
+      FROM documents WHERE text IS NOT NULL
+    ),
+    p AS (
+      SELECT (least(greatest(c.score_milli, -{_BR_CLAMP}), {_BR_CLAMP})
+              + {_BR_CLAMP}) // 4 AS p_milli,
+             g.pass_all AS o
+      FROM c JOIN g USING (doc_id)
+    ),
+    bins AS (
+      SELECT p_milli // {_BR_BIN} AS band,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(o) AS BIGINT) AS n_pass
+      FROM p GROUP BY 1
+    ),
+    pre AS (
+      SELECT band, n_docs, n_pass,
+             CAST(SUM(n_docs) OVER (ORDER BY band) AS BIGINT) AS cn,
+             CAST(SUM(n_pass) OVER (ORDER BY band) AS BIGINT) AS cp
+      FROM bins
+    ),
+    cand AS (
+      SELECT i.band AS band, j.band AS jb,
+             MIN(CAST(k.cp - j.cp + j.n_pass AS DOUBLE)
+                 / (k.cn - j.cn + j.n_docs)) AS pool_min
+      FROM pre i
+      JOIN pre j ON j.band <= i.band
+      JOIN pre k ON k.band >= i.band
+      GROUP BY i.band, j.band
+    )
+    SELECT b.band, b.n_docs, b.n_pass,
+           CAST(b.n_pass AS DOUBLE) / b.n_docs AS raw_rate,
+           m.iso_rate
+    FROM bins b
+    JOIN (
+      SELECT band, MAX(pool_min) AS iso_rate FROM cand GROUP BY band
+    ) m USING (band)
+    """,
+)
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) recalibration of the quality classifier against the
+    Gopher rule battery — the non-parametric step after the reliability
+    table says the score is miscalibrated: per probability-decile band,
+    the raw pass rate and the isotonic-regression fit, computed EXACTLY
+    via the max-min representation iso[i] = max_{{j<=i}} min_{{k>=i}}
+    mean(pool j..k) (equivalent to pool-adjacent-violators, no iteration,
+    no convergence knob). Completes the calibration family: reliability
+    (is it calibrated) -> Brier (how wrong) -> ROC (which cutoff) ->
+    isotonic (the corrected probabilities a curation pipeline would use).
+
+    Scale shape: the corpus pays the two scorer scans and ONE band
+    aggregate (same factored banded milli-p as q_brier_decomposition);
+    the O(B^3) max-min runs as native array expressions on the ONE
+    collected row of B<=11 bands — never a joined or corpus-sized plan.
+    Determinism: band statistics are exact BIGINTs, prefix sums are
+    integer, every pooled mean is ONE exact division, and min/max over
+    identical candidate sets are order-free — no float accumulation
+    anywhere, so both engines agree bitwise."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    c = docs.select("doc_id", qc_score_milli().alias("score_milli"))
+    g = q_gopher_rules(spark, sf_dir).select("doc_id", F.col("pass_all").alias("o"))
+    p = c.join(g, "doc_id").select(
+        F.expr(
+            f"(least(greatest(score_milli, -{_BR_CLAMP}), {_BR_CLAMP})"
+            f" + {_BR_CLAMP}) DIV 4"
+        ).alias("p_milli"),
+        "o",
+    )
+    bins = p.groupBy(F.expr(f"p_milli DIV {_BR_BIN}").alias("band")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("o").cast("long").alias("n_pass"),
+    )
+    one = bins.agg(
+        F.array_sort(
+            F.collect_list(F.struct("band", "n_docs", "n_pass"))
+        ).alias("bs")
+    )
+    nb = F.size(F.col("bs"))
+    zero = F.lit(0).cast("long")
+
+    def _prefix(field):
+        return F.transform(
+            F.sequence(F.lit(1), nb),
+            lambda i: F.aggregate(
+                F.slice(F.col("bs"), F.lit(1), i),
+                zero,
+                lambda a, x: a + x[field],
+            ),
+        )
+
+    pre = one.select(
+        "bs", _prefix("n_docs").alias("cn"), _prefix("n_pass").alias("cp")
+    )
+
+    def _pool_mean(i, j, k):
+        num = (
+            F.element_at(F.col("cp"), k)
+            - F.element_at(F.col("cp"), j)
+            + F.element_at(F.col("bs"), j)["n_pass"]
+        )
+        den = (
+            F.element_at(F.col("cn"), k)
+            - F.element_at(F.col("cn"), j)
+            + F.element_at(F.col("bs"), j)["n_docs"]
+        )
+        return num.cast("double") / den
+
+    iso = pre.select(
+        "bs",
+        F.transform(
+            F.sequence(F.lit(1), nb),
+            lambda i: F.array_max(
+                F.transform(
+                    F.sequence(F.lit(1), i),
+                    lambda j: F.array_min(
+                        F.transform(
+                            F.sequence(i, nb),
+                            lambda k: _pool_mean(i, j, k),
+                        )
+                    ),
+                )
+            ),
+        ).alias("iso"),
+    )
+    rows = iso.select(
+        F.explode(
+            F.when(
+                nb > 0,
+                F.transform(
+                    F.sequence(F.lit(1), nb),
+                    lambda i: F.struct(
+                        F.element_at(F.col("bs"), i)["band"].alias("band"),
+                        F.element_at(F.col("bs"), i)["n_docs"].alias("n_docs"),
+                        F.element_at(F.col("bs"), i)["n_pass"].alias("n_pass"),
+                        (
+                            F.element_at(F.col("bs"), i)["n_pass"].cast("double")
+                            / F.element_at(F.col("bs"), i)["n_docs"]
+                        ).alias("raw_rate"),
+                        F.element_at(F.col("iso"), i).alias("iso_rate"),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("r")
+    )
+    return rows.select("r.*")

@@ -657,3 +657,143 @@ def q_prefix_sharing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_prefix_sharing.__doc__ = q_prefix_sharing.__doc__.format(k=_PREFIX_K)
+
+
+# ---------------------------------------------------------------------------
+# q_dsir_weights — importance-resampling weights for domain-targeted
+# data selection
+# ---------------------------------------------------------------------------
+_DSIR_BUCKETS = 256  # hashed n-gram feature space (2^8)
+_DSIR_TARGET_LANG = "en"  # the "target domain" the raw corpus is scored to
+
+
+@register(
+    "q_dsir_weights",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest({_TOKS_SQL}) AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    feat AS (
+      SELECT doc_id, lang,
+             {_sql_md5_int("'dsir|' || t", 12)} % {_DSIR_BUCKETS} AS f
+      FROM tok WHERE t <> ''
+    ),
+    raw AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS cr FROM feat GROUP BY f),
+    tgt AS (
+      SELECT f, CAST(COUNT(*) AS BIGINT) AS ct
+      FROM feat WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY f
+    ),
+    tots AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nr,
+             CAST(COUNT(*) FILTER (WHERE lang = '{_DSIR_TARGET_LANG}')
+                  AS BIGINT) AS nt
+      FROM feat
+    ),
+    ratio AS (
+      SELECT raw.f,
+             (CAST(COALESCE(tgt.ct, 0) + 1 AS DOUBLE)
+                * (tots.nr + {_DSIR_BUCKETS}))
+             / (CAST(raw.cr + 1 AS DOUBLE)
+                * (tots.nt + {_DSIR_BUCKETS})) AS rho
+      FROM raw LEFT JOIN tgt USING (f), tots
+    ),
+    docf AS (
+      SELECT doc_id, lang, f, CAST(COUNT(*) AS BIGINT) AS c
+      FROM feat GROUP BY doc_id, lang, f
+    )
+    SELECT d.doc_id, d.lang,
+           CAST(SUM(d.c) AS BIGINT) AS n_toks,
+           list_reduce(list(d.c * (r.rho - 1.0) ORDER BY d.f),
+                       (a, b) -> a + b) AS dsir_score
+    FROM docf d JOIN ratio r ON d.f = r.f
+    GROUP BY d.doc_id, d.lang
+    """,
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023): score
+    every raw-corpus document by how much its hashed-unigram feature
+    distribution looks like the TARGET domain (here: the corpus's
+    '{_DSIR_TARGET_LANG}' slice) versus the raw corpus overall. Per
+    feature bucket f the add-one-smoothed probability ratio is
+    rho_f = p_target(f) / p_raw(f); a document's weight folds its own
+    feature counts against the centered ratios, Σ_f c_f·(rho_f − 1)
+    — DSIR's log-likelihood-ratio replaced by its linear-space surrogate
+    because ln() is not bitwise-portable across engines (the module's
+    no-log-space discipline; the ranking is what selection consumes, and
+    centering keeps neutral text at 0).
+
+    Scale shape: tokenize scan-side, ONE feature-grain aggregate for each
+    of the two LMs (the shuffle key is the 2^8 feature space, not the
+    corpus), broadcast the ≤{_DSIR_BUCKETS}-row ratio table into the
+    per-document fold — the corpus is never joined to itself and the only
+    corpus-sized shuffle is the (doc, feature) aggregate. Determinism:
+    counts are exact BIGINTs, rho is a fixed-shape double expression, and
+    the per-document sum is a SEQUENTIAL FOLD over feature-id-sorted
+    terms (the q_neyman_allocation discipline) — bitwise-equal in both
+    engines; the feature hash is the portable md5-prefix contract
+    (dedup._md5_int)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    feat = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(words(F.lower(F.col("text")))).alias("t"),
+        )
+        .filter(F.col("t") != "")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                _md5_int(F.concat(F.lit("dsir|"), F.col("t")), 12)
+                % _DSIR_BUCKETS
+            ).alias("f"),
+        )
+    )
+    raw = feat.groupBy("f").agg(F.count(F.lit(1)).cast("long").alias("cr"))
+    tgt = (
+        feat.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    )
+    tots = feat.agg(
+        F.count(F.lit(1)).cast("long").alias("nr"),
+        F.count(F.when(F.col("lang") == _DSIR_TARGET_LANG, 1))
+        .cast("long")
+        .alias("nt"),
+    )
+    ratio = (
+        raw.join(tgt, "f", "left")
+        .crossJoin(broadcast(tots))
+        .select(
+            "f",
+            (
+                (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                * (F.col("nr") + _DSIR_BUCKETS)
+                / (
+                    (F.col("cr") + 1).cast("double")
+                    * (F.col("nt") + _DSIR_BUCKETS)
+                )
+            ).alias("rho"),
+        )
+    )
+    docf = feat.groupBy("doc_id", "lang", "f").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return (
+        docf.join(broadcast(ratio), "f")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_toks"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("f", "c", "rho"))
+                    ),
+                    lambda x: x["c"] * (x["rho"] - 1.0),
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ).alias("dsir_score"),
+        )
+    )

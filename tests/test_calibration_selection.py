@@ -1,0 +1,124 @@
+"""Semantics tests for q_isotonic_calibration (exact PAV via max-min) and
+q_dsir_weights (importance-resampling scores), with pure-Python replays."""
+
+import hashlib
+
+import pandas as pd
+import pyarrow.parquet as pq
+
+from cdmx_airquality_etl_spark.operators.llm_ops import (
+    _DSIR_BUCKETS,
+    _DSIR_TARGET_LANG,
+)
+from cdmx_airquality_etl_spark.registry import QUERIES
+
+
+# ---------------------------------------------------------------------------
+# q_isotonic_calibration
+# ---------------------------------------------------------------------------
+def _pav(bins):
+    """Classic stack-based pool-adjacent-violators over (n, pos) bins in
+    band order — the independent formulation the max-min identity must
+    reproduce."""
+    stack = []  # (n, pos, n_bins_pooled)
+    for n, pos in bins:
+        stack.append((n, pos, 1))
+        while len(stack) > 1 and (
+            stack[-2][1] * stack[-1][0] >= stack[-1][1] * stack[-2][0]
+        ):  # mean(prev) >= mean(last), exact in integers
+            n2, p2, k2 = stack.pop()
+            n1, p1, k1 = stack.pop()
+            stack.append((n1 + n2, p1 + p2, k1 + k2))
+    vals = []
+    for n, pos, k in stack:
+        vals.extend([pos / n] * k)
+    return vals
+
+
+def test_isotonic_matches_stack_pav_and_is_monotone(spark, sf_dir):
+    rows = sorted(
+        QUERIES["q_isotonic_calibration"](spark, sf_dir).collect(),
+        key=lambda r: r["band"],
+    )
+    assert rows
+    bins = [(r["n_docs"], r["n_pass"]) for r in rows]
+    ref = _pav(bins)
+    for r, v in zip(rows, ref):
+        assert abs(r["iso_rate"] - v) < 1e-12
+        assert abs(r["raw_rate"] - r["n_pass"] / r["n_docs"]) < 1e-15
+    # isotonic: non-decreasing in band
+    for a, b in zip(rows, rows[1:]):
+        assert a["iso_rate"] <= b["iso_rate"] + 1e-15
+    # PAV preserves the weighted mean (mass conservation)
+    tot_iso = sum(r["n_docs"] * r["iso_rate"] for r in rows)
+    tot_pass = sum(r["n_pass"] for r in rows)
+    assert abs(tot_iso - tot_pass) < 1e-6
+    # and is a projection: bands already monotone in raw_rate are untouched
+    if all(a["raw_rate"] <= b["raw_rate"] for a, b in zip(rows, rows[1:])):
+        for r in rows:
+            assert abs(r["iso_rate"] - r["raw_rate"]) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# q_dsir_weights
+# ---------------------------------------------------------------------------
+def _md5_bucket(tok):
+    return int(hashlib.md5(f"dsir|{tok}".encode()).hexdigest()[:12], 16) % (
+        _DSIR_BUCKETS
+    )
+
+
+def test_dsir_matches_python_replay(spark, sf_dir):
+    rows = {
+        r["doc_id"]: r for r in QUERIES["q_dsir_weights"](spark, sf_dir).collect()
+    }
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    docs = docs[docs.text.notna()]
+    feats = {}  # doc_id -> {f: c}
+    langs = {}
+    raw, tgt = {}, {}
+    nr = nt = 0
+    for d in docs.itertuples():
+        toks = [t for t in d.text.lower().strip().split() if t]
+        if not toks:
+            continue
+        langs[d.doc_id] = d.lang
+        fc = feats.setdefault(d.doc_id, {})
+        for t in toks:
+            f = _md5_bucket(t)
+            fc[f] = fc.get(f, 0) + 1
+            raw[f] = raw.get(f, 0) + 1
+            nr += 1
+            if d.lang == _DSIR_TARGET_LANG:
+                tgt[f] = tgt.get(f, 0) + 1
+                nt += 1
+    assert set(rows) == set(feats)
+    B = _DSIR_BUCKETS
+    for doc_id, fc in feats.items():
+        score = 0.0
+        for f in sorted(fc):
+            rho = (
+                float(tgt.get(f, 0) + 1)
+                * (nr + B)
+                / (float(raw[f] + 1) * (nt + B))
+            )
+            score += fc[f] * (rho - 1.0)
+        r = rows[doc_id]
+        assert r["lang"] == langs[doc_id] or (
+            r["lang"] is None and pd.isna(langs[doc_id])
+        )
+        assert r["n_toks"] == sum(fc.values())
+        assert abs(r["dsir_score"] - score) < 1e-9
+
+
+def test_dsir_target_language_scores_higher(spark, sf_dir):
+    rows = QUERIES["q_dsir_weights"](spark, sf_dir).collect()
+    en = [r["dsir_score"] / r["n_toks"] for r in rows if r["lang"] == "en"]
+    other = [
+        r["dsir_score"] / r["n_toks"]
+        for r in rows
+        if r["lang"] is not None and r["lang"] != "en"
+    ]
+    assert en and other
+    # the selection signal: target-domain docs rank above the rest on average
+    assert sum(en) / len(en) > sum(other) / len(other)
