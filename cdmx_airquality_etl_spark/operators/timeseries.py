@@ -905,3 +905,169 @@ def q_spearman_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter((n * qa > sa * sa) & (n * qb > sb * sb)).select(
         "type_a", "type_b", "n", rho.alias("spearman_rho")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_holt_winters — additive triple exponential smoothing on the daily series
+# ---------------------------------------------------------------------------
+# exact binary fractions so every engine parses the identical double
+_HW_ALPHA = 0.5
+_HW_BETA = 0.25
+_HW_GAMMA = 0.25
+_HW_SEASON = 7  # weekly seasonality on the daily grain
+
+_HW_OUT_T = (
+    "ARRAY<STRUCT<day: BIGINT, y: BIGINT, level: DOUBLE, trend: DOUBLE, "
+    "seasonal: DOUBLE, fitted: DOUBLE, resid: DOUBLE>>"
+)
+
+
+def _hw_oracle() -> str:
+    a, b_, g, m = _HW_ALPHA, _HW_BETA, _HW_GAMMA, _HW_SEASON
+    return f"""
+    WITH RECURSIVE {_SQL_DAILY.strip().rstrip(')').rstrip()}
+    ),
+    bounds AS (SELECT MIN(d) AS mn, MAX(d) AS mx,
+                      CAST(MAX(d) - MIN(d) + 1 AS BIGINT) AS n
+               FROM daily),
+    dense AS (
+      SELECT CAST(g.i AS BIGINT) AS t, g.mn + g.i AS d,
+             CAST(COALESCE(daily.y, 0) AS BIGINT) AS y
+      FROM (SELECT mn, unnest(range(0, n)) AS i FROM bounds) g
+      LEFT JOIN daily ON daily.d = g.mn + g.i
+    ),
+    m1 AS (SELECT SUM(y) / {float(m)} AS l0 FROM dense WHERE t < {m}),
+    m2 AS (SELECT SUM(y) / {float(m)} AS l1 FROM dense
+           WHERE t >= {m} AND t < {2 * m}),
+    init AS (
+      SELECT CAST({m - 1} AS BIGINT) AS t,
+             m1.l0 AS l,
+             (m2.l1 - m1.l0) / {float(m)} AS b,
+             (SELECT list(y - m1.l0 ORDER BY t) FROM dense WHERE t < {m})
+               AS s,
+             CAST(NULL AS BIGINT) AS d, CAST(NULL AS BIGINT) AS y,
+             CAST(NULL AS DOUBLE) AS seasonal, CAST(NULL AS DOUBLE) AS fitted
+      FROM m1, m2, bounds
+      WHERE bounds.n >= {2 * m}
+    ),
+    hw AS (
+      SELECT * FROM init
+      UNION ALL
+      SELECT e.t,
+             {a} * (e.y - hw.s[1]) + {1 - a} * (hw.l + hw.b) AS l,
+             {b_} * (({a} * (e.y - hw.s[1]) + {1 - a} * (hw.l + hw.b))
+                     - hw.l) + {1 - b_} * hw.b AS b,
+             hw.s[2:{m}]
+               || [{g} * (e.y - ({a} * (e.y - hw.s[1])
+                                 + {1 - a} * (hw.l + hw.b)))
+                   + {1 - g} * hw.s[1]] AS s,
+             e.d, e.y,
+             {g} * (e.y - ({a} * (e.y - hw.s[1])
+                           + {1 - a} * (hw.l + hw.b)))
+               + {1 - g} * hw.s[1] AS seasonal,
+             hw.l + hw.b + hw.s[1] AS fitted
+      FROM hw JOIN dense e ON e.t = hw.t + 1
+    )
+    SELECT d AS day, y, l AS level, b AS trend, seasonal, fitted,
+           y - fitted AS resid
+    FROM hw WHERE d IS NOT NULL
+    """
+
+
+@register("q_holt_winters", oracle=_hw_oracle())
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing, weekly season)
+    over the daily event-count series: per day from the second week on,
+    the smoothed level/trend/seasonal state and the one-step-ahead fit
+    ŷ_t = l_{{t-1}} + b_{{t-1}} + s_{{t-m}} with its residual — the
+    forecasting complement to q_ewma_daily (level only) and
+    q_seasonal_profile (static seasonality). Gaps densify to 0 events;
+    series shorter than two seasons return empty (not enough data to
+    initialize trend + seasonals — both engines agree).
+
+    Scale shape: the corpus pays ONE day-grain count aggregate (the
+    shuffle key is the day, not the event); the recurrence then runs on
+    the ONE collected row over the bounded day span as a single native
+    fold (aggregate over the step sequence, rolling seasonal queue) —
+    the q_markov_attribution discipline, never a per-step job. The
+    DuckDB twin is a recursive CTE carrying the identical state.
+    Determinism: daily y are exact BIGINT counts, the smoothing
+    constants are exact binary fractions, and every step is the same
+    fixed-shape double expression in both engines — bitwise equal, no
+    float accumulation ambiguity anywhere."""
+    m, a, b_, g = _HW_SEASON, _HW_ALPHA, _HW_BETA, _HW_GAMMA
+    daily = _daily(spark, sf_dir)
+    one = daily.agg(
+        F.min("d").alias("mn"),
+        F.max("d").alias("mx"),
+        F.map_from_entries(
+            F.collect_list(F.struct("d", F.col("y").cast("long").alias("y")))
+        ).alias("ym"),
+    )
+    n = F.col("mx") - F.col("mn") + 1
+    base = one.filter(F.col("mn").isNotNull() & (n >= 2 * m)).select(
+        "mn",
+        n.alias("n"),
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.coalesce(
+                F.element_at(F.col("ym"), F.col("mn") + i), F.lit(0).cast("long")
+            ),
+        ).alias("dense"),
+    )
+
+    def _wk_mean(dense, start):
+        return (
+            F.aggregate(
+                F.slice(dense, start + 1, m),
+                F.lit(0).cast("long"),
+                lambda acc, y: acc + y,
+            )
+            / float(m)
+        )
+
+    l0 = _wk_mean(F.col("dense"), 0)
+    b0 = (_wk_mean(F.col("dense"), m) - _wk_mean(F.col("dense"), 0)) / float(m)
+    init = base.select(
+        "mn",
+        "n",
+        "dense",
+        F.struct(
+            l0.alias("l"),
+            b0.alias("b"),
+            F.transform(
+                F.slice(F.col("dense"), 1, m), lambda y: y - l0
+            ).alias("s"),
+            F.expr(f"CAST(array() AS {_HW_OUT_T})").alias("out"),
+        ).alias("st"),
+    )
+
+    def _step(acc, t):
+        y = F.element_at(F.col("dense"), (t + 1).cast("int")).cast("long")
+        s_head = F.element_at(acc["s"], 1)
+        l_new = a * (y - s_head) + (1 - a) * (acc["l"] + acc["b"])
+        b_new = b_ * (l_new - acc["l"]) + (1 - b_) * acc["b"]
+        s_new = g * (y - l_new) + (1 - g) * s_head
+        fitted = acc["l"] + acc["b"] + s_head
+        row = F.struct(
+            (F.col("mn") + t).alias("day"),
+            y.alias("y"),
+            l_new.alias("level"),
+            b_new.alias("trend"),
+            s_new.alias("seasonal"),
+            fitted.alias("fitted"),
+            (y - fitted).alias("resid"),
+        )
+        return F.struct(
+            l_new.alias("l"),
+            b_new.alias("b"),
+            F.concat(F.slice(acc["s"], 2, m - 1), F.array(s_new)).alias("s"),
+            F.concat(acc["out"], F.array(row)).alias("out"),
+        )
+
+    folded = init.select(
+        F.aggregate(
+            F.sequence(F.lit(m), F.col("n") - 1), F.col("st"), _step
+        ).alias("fin")
+    )
+    return folded.select(F.explode(F.col("fin")["out"]).alias("r")).select("r.*")

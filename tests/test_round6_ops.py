@@ -749,3 +749,49 @@ def test_deletion_impact_counts(spark, sf_dir):
         .count()
     )
     assert rows["orders"] == want
+
+
+def test_holt_winters_matches_python_replay(spark, sf_dir):
+    from cdmx_airquality_etl_spark.operators.timeseries import (
+        _HW_ALPHA,
+        _HW_BETA,
+        _HW_GAMMA,
+        _HW_SEASON,
+        _daily,
+    )
+
+    rows = sorted(
+        QUERIES["q_holt_winters"](spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    days = {r["d"]: r["y"] for r in _daily(spark, sf_dir).collect()}
+    mn, mx = min(days), max(days)
+    ys = [days.get(d, 0) for d in range(mn, mx + 1)]
+    m, a, b_, g = _HW_SEASON, _HW_ALPHA, _HW_BETA, _HW_GAMMA
+    if len(ys) < 2 * m:
+        assert rows == []
+        return
+    l = sum(ys[:m]) / float(m)
+    b = (sum(ys[m : 2 * m]) / float(m) - sum(ys[:m]) / float(m)) / float(m)
+    s = [y - l for y in ys[:m]]
+    ref = []
+    for t in range(m, len(ys)):
+        y = ys[t]
+        fitted = l + b + s[0]
+        l_new = a * (y - s[0]) + (1 - a) * (l + b)
+        b_new = b_ * (l_new - l) + (1 - b_) * b
+        s_new = g * (y - l_new) + (1 - g) * s[0]
+        ref.append((mn + t, y, l_new, b_new, s_new, fitted, y - fitted))
+        l, b, s = l_new, b_new, s[1:] + [s_new]
+    assert len(rows) == len(ref)
+    for r, (day, y, lv, tr, se, fit, resid) in zip(rows, ref):
+        assert r["day"] == day and r["y"] == y
+        assert r["level"] == pytest.approx(lv, rel=1e-12)
+        assert r["trend"] == pytest.approx(tr, rel=1e-12, abs=1e-12)
+        assert r["seasonal"] == pytest.approx(se, rel=1e-12, abs=1e-12)
+        assert r["fitted"] == pytest.approx(fit, rel=1e-12)
+        assert r["resid"] == pytest.approx(resid, rel=1e-9, abs=1e-9)
+    # the fit should track the series: residuals are centered near zero
+    # relative to the series scale
+    mean_abs_resid = sum(abs(x[-1]) for x in ref) / len(ref)
+    assert mean_abs_resid < 2 * (max(ys) - min(ys) + 1)
