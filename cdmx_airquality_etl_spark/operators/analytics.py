@@ -721,3 +721,135 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_neyman_allocation.__doc__ = q_neyman_allocation.__doc__.format(t=_NEY_TOTAL)
+
+
+# ---------------------------------------------------------------------------
+# q_funnel_windowed — strict-sequence funnel with a per-step deadline
+# ---------------------------------------------------------------------------
+_FW_DAY_US = 86_400 * 1_000_000
+
+
+@register(
+    "q_funnel_windowed",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2, MIN(s1.t1) AS t1
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click'
+        AND epoch_us(e.ts) >= s1.t1
+        AND epoch_us(e.ts) <= s1.t1 + {_WEEK_US}
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3, MIN(s2.t2) AS t2
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(e.ts) >= s2.t2
+        AND epoch_us(e.ts) <= s2.t2 + {_WEEK_US}
+      GROUP BY e.user_id
+    ),
+    n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_signup FROM s1),
+    h2 AS (
+      SELECT (t2 - t1) // {_FW_DAY_US} AS lag_days,
+             CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM s2 GROUP BY 1
+    ),
+    h3 AS (
+      SELECT (t3 - t2) // {_FW_DAY_US} AS lag_days,
+             CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM s3 GROUP BY 1
+    ),
+    t2t AS (SELECT CAST(SUM(n_users) AS BIGINT) AS tot FROM h2),
+    t3t AS (SELECT CAST(SUM(n_users) AS BIGINT) AS tot FROM h3)
+    SELECT 'click' AS step, h2.lag_days, h2.n_users,
+           CAST(h2.n_users AS DOUBLE) / t2t.tot AS step_share,
+           CAST(t2t.tot AS DOUBLE) / n1.n_signup AS funnel_rate
+    FROM h2, t2t, n1
+    UNION ALL
+    SELECT 'purchase', h3.lag_days, h3.n_users,
+           CAST(h3.n_users AS DOUBLE) / t3t.tot,
+           CAST(t3t.tot AS DOUBLE) / n1.n_signup
+    FROM h3, t3t, n1
+    """,
+)
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deadline funnel: signup → click → purchase where each step only
+    counts within {d} days of the PREVIOUS step's anchor (first qualifying
+    click after signup, first qualifying purchase after that click) — the
+    strict-sequence semantics growth teams mean by 'D7 conversion', which
+    q_funnel's unbounded version overstates. Per surviving step, the
+    day-grain lag histogram plus the step's share and the funnel rate
+    vs the signup cohort.
+
+    Scale shape: three per-user MIN aggregates chained by equi-joins all
+    partitioned on user_id (AQE reuses the exchange; no new shuffle key
+    anywhere), then ≤{d}+1-row day-grain histograms with scalar-aggregate
+    totals broadcast into the final projection. Determinism: anchors are
+    exact integer microseconds compared and differenced exactly; the two
+    ratios are single exact-integer divisions. Timestamps difference as
+    raw µs, and the lag division only ever sees non-negatives (Spark DIV
+    truncates, DuckDB // floors — they agree there)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_type"
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("us") >= F.col("t1"))
+            & (F.col("us") <= F.col("t1") + _WEEK_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"), F.min("t1").alias("t1"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2.select("user_id", "t2"), "user_id")
+        .filter(
+            (F.col("us") >= F.col("t2"))
+            & (F.col("us") <= F.col("t2") + _WEEK_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"), F.min("t2").alias("t2"))
+    )
+    n1 = s1.agg(F.count(F.lit(1)).cast("long").alias("n_signup"))
+
+    def _hist(df, a, b):
+        return df.groupBy(
+            F.expr(f"({a} - {b}) DIV {_FW_DAY_US}").alias("lag_days")
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+
+    h2 = _hist(s2, "t2", "t1")
+    h3 = _hist(s3, "t3", "t2")
+
+    def _decorate(h, step):
+        tot = h.agg(F.sum("n_users").cast("long").alias("tot"))
+        return (
+            h.crossJoin(F.broadcast(tot))
+            .crossJoin(F.broadcast(n1))
+            .select(
+                F.lit(step).alias("step"),
+                "lag_days",
+                "n_users",
+                (F.col("n_users").cast("double") / F.col("tot")).alias(
+                    "step_share"
+                ),
+                (F.col("tot").cast("double") / F.col("n_signup")).alias(
+                    "funnel_rate"
+                ),
+            )
+        )
+
+    return _decorate(h2, "click").unionByName(_decorate(h3, "purchase"))
+
+
+q_funnel_windowed.__doc__ = q_funnel_windowed.__doc__.format(d=7)

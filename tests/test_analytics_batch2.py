@@ -87,3 +87,23 @@ def test_ab_welch_matches_manual(spark, sf_dir):
         (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)
     )
     assert math.isclose(row["dof_satterthwaite"], dof, rel_tol=1e-9)
+
+
+def test_funnel_windowed_tightens_unbounded_funnel(spark, sf_dir):
+    rows = QUERIES["q_funnel_windowed"](spark, sf_dir).collect()
+    assert rows
+    for step in ("click", "purchase"):
+        sub = [r for r in rows if r["step"] == step]
+        if not sub:
+            continue
+        assert all(0 <= r["lag_days"] <= 7 for r in sub)
+        assert abs(sum(r["step_share"] for r in sub) - 1.0) < 1e-9
+        rates = {r["funnel_rate"] for r in sub}
+        assert len(rates) == 1  # constant within a step
+        assert 0.0 < rates.pop() <= 1.0
+    # the windowed funnel can never beat the unbounded one
+    unb = QUERIES["q_funnel"](spark, sf_dir).collect()[0]
+    n_click = sum(r["n_users"] for r in rows if r["step"] == "click")
+    n_pur = sum(r["n_users"] for r in rows if r["step"] == "purchase")
+    assert n_click <= unb["n_click"]
+    assert n_pur <= unb["n_purchase"]
