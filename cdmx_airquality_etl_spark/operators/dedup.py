@@ -1044,3 +1044,114 @@ def q_dup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_removable"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_lsh_planner — (bands × rows) design table scored on observed pairs
+# ---------------------------------------------------------------------------
+_LSH_PLAN_MIN_S = 0.1  # candidate floor: pairs below this are noise
+_LSH_PLAN_CONFIGS = ((64, 2), (32, 4), (16, 8), (8, 16))  # b·r = 128
+
+
+def _pow2_chain_sql(expr: str, k: int) -> str:
+    """expr ** (2**k) as an explicit squaring chain — the SAME association
+    order in both engines, so the doubles agree bitwise (pow() would not)."""
+    for _ in range(k):
+        expr = f"({expr} * {expr})"
+    return expr
+
+
+def _pow2_chain(col: Column, k: int) -> Column:
+    for _ in range(k):
+        col = col * col
+    return col
+
+
+def _lsh_planner_oracle() -> str:
+    selects = []
+    for b, r in _LSH_PLAN_CONFIGS:
+        inner = _pow2_chain_sql("s", r.bit_length() - 1)
+        p = f"(1.0 - {_pow2_chain_sql(f'(1.0 - {inner})', b.bit_length() - 1)})"
+        pm = f"CAST(floor({p} * 1000000.0) AS BIGINT)"
+        dup = f"s >= {_JACCARD_THRESHOLD}"
+        selects.append(f"""
+    SELECT CAST({b} AS BIGINT) AS bands, CAST({r} AS BIGINT) AS rows_per_band,
+           CAST(COUNT(*) FILTER (WHERE {dup}) AS BIGINT) AS n_dup_pairs,
+           CAST(COUNT(*) FILTER (WHERE NOT ({dup})) AS BIGINT) AS n_near_pairs,
+           CAST(SUM({pm}) FILTER (WHERE {dup}) AS DOUBLE)
+             / (COUNT(*) FILTER (WHERE {dup}) * 1000000.0) AS exp_recall,
+           CAST(SUM({pm}) FILTER (WHERE NOT ({dup})) AS DOUBLE)
+             / (COUNT(*) FILTER (WHERE NOT ({dup})) * 1000000.0)
+             AS exp_fp_rate
+    FROM scored""")
+    body = "\n    UNION ALL\n".join(selects)
+    return f"""
+    WITH {_SQL_SHINGLE_PAIR_CTES},
+    scored AS (
+      SELECT {_SQL_FUZZY_JACCARD} AS s
+      FROM pairs WHERE {_SQL_FUZZY_JACCARD} >= {_LSH_PLAN_MIN_S}
+    )
+    {body}
+    """
+
+
+@register("q_lsh_planner", oracle=_lsh_planner_oracle())
+def q_lsh_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH parameter planner: before running banded dedup at scale,
+    score every (bands × rows-per-band) split of a 128-hash signature
+    budget against the corpus's OWN observed candidate-pair similarity
+    distribution (the capped-postings exact-Jaccard pairs, floored at
+    s ≥ {mins}). Per config the S-curve detection probability
+    p = 1 − (1 − s^r)^b aggregates into expected recall over true
+    duplicate pairs (s ≥ {thr}) and expected false-positive rate over the
+    near-miss band — the two numbers that pick b and r (more bands =
+    higher recall AND more false candidates to verify).
+
+    Scale shape: ONE shared capped-postings pair expansion (the
+    q_dedup_fuzzy plan), then four branch aggregates unioned — each a
+    scalar rollup, no joins, no per-pair state. Determinism: the S-curve
+    power is an explicit SQUARING CHAIN (identical association order in
+    both engines — library pow() is not bitwise-portable), and per-pair
+    probabilities enter the cross-pair sums as exact floor-milli INTEGERS,
+    so the aggregate is order-free — the discipline that keeps a
+    corpus-sized float sum hash-exact without a bounded-array fold."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = _jaccard_pairs(_doc_shingles(docs), _LSH_PLAN_MIN_S).select(
+        F.col("jaccard").alias("s")
+    )
+    outs = []
+    for b, r in _LSH_PLAN_CONFIGS:
+        inner = _pow2_chain(F.col("s"), r.bit_length() - 1)
+        p = F.lit(1.0) - _pow2_chain(F.lit(1.0) - inner, b.bit_length() - 1)
+        pm = F.floor(p * 1000000.0).cast("long")
+        dup = F.col("s") >= _JACCARD_THRESHOLD
+        outs.append(
+            scored.agg(
+                F.count(F.when(dup, 1)).cast("long").alias("n_dup_pairs"),
+                F.count(F.when(~dup, 1)).cast("long").alias("n_near_pairs"),
+                F.sum(F.when(dup, pm)).cast("long").alias("pm_dup"),
+                F.sum(F.when(~dup, pm)).cast("long").alias("pm_near"),
+            ).select(
+                F.lit(b).cast("long").alias("bands"),
+                F.lit(r).cast("long").alias("rows_per_band"),
+                "n_dup_pairs",
+                "n_near_pairs",
+                (
+                    F.col("pm_dup").cast("double")
+                    / (F.col("n_dup_pairs") * 1000000.0)
+                ).alias("exp_recall"),
+                (
+                    F.col("pm_near").cast("double")
+                    / (F.col("n_near_pairs") * 1000000.0)
+                ).alias("exp_fp_rate"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+q_lsh_planner.__doc__ = q_lsh_planner.__doc__.format(
+    mins=_LSH_PLAN_MIN_S, thr=_JACCARD_THRESHOLD
+)

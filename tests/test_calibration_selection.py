@@ -122,3 +122,33 @@ def test_dsir_target_language_scores_higher(spark, sf_dir):
     assert en and other
     # the selection signal: target-domain docs rank above the rest on average
     assert sum(en) / len(en) > sum(other) / len(other)
+
+
+# ---------------------------------------------------------------------------
+# q_lsh_planner
+# ---------------------------------------------------------------------------
+def test_lsh_planner_s_curve_tradeoffs(spark, sf_dir):
+    rows = {
+        (r["bands"], r["rows_per_band"]): r
+        for r in QUERIES["q_lsh_planner"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {(64, 2), (32, 4), (16, 8), (8, 16)}
+    counts = {(r["n_dup_pairs"], r["n_near_pairs"]) for r in rows.values()}
+    assert len(counts) == 1  # same observed pairs under every config
+    n_dup, n_near = counts.pop()
+    assert n_dup > 0
+    by_bands = [rows[k] for k in sorted(rows, reverse=True)]  # 64 -> 8 bands
+    for r in by_bands:
+        if r["exp_recall"] is not None:
+            assert 0.0 <= r["exp_recall"] <= 1.0
+        if r["exp_fp_rate"] is not None:
+            assert 0.0 <= r["exp_fp_rate"] <= 1.0
+        if n_dup and n_near:
+            # dups are likelier to be caught than near-misses everywhere
+            assert r["exp_recall"] >= r["exp_fp_rate"]
+    # more, shorter bands -> strictly easier to match: recall and fp both
+    # decrease monotonically as bands shrink (r grows)
+    for a, b in zip(by_bands, by_bands[1:]):
+        assert a["exp_recall"] >= b["exp_recall"] - 1e-12
+        if n_near:
+            assert a["exp_fp_rate"] >= b["exp_fp_rate"] - 1e-12
