@@ -853,3 +853,150 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_funnel_windowed.__doc__ = q_funnel_windowed.__doc__.format(d=7)
+
+
+# ---------------------------------------------------------------------------
+# q_ab_sequential — daily peeking-safe A/B monitoring with a spending
+# boundary
+# ---------------------------------------------------------------------------
+_SEQ_C = 2.5  # O'Brien-Fleming-style boundary constant: z_bound = c/sqrt(t)
+
+_SEQ_VAR_A = "(qa - sa * sa / na) / (na - 1.0) / na"
+_SEQ_VAR_B = "(qb - sb * sb / nb) / (nb - 1.0) / nb"
+
+
+@register(
+    "q_ab_sequential",
+    oracle=f"""
+    WITH x AS (
+      SELECT o_custkey % 2 AS cohort,
+             CAST(FLOOR(o_totalprice) AS BIGINT) AS usd,
+             CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                  AS BIGINT) AS day
+      FROM orders
+    ),
+    daily AS (
+      SELECT day,
+             CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dna,
+             CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS dnb,
+             CAST(SUM(CASE WHEN cohort = 0 THEN usd ELSE 0 END) AS BIGINT) AS dsa,
+             CAST(SUM(CASE WHEN cohort = 1 THEN usd ELSE 0 END) AS BIGINT) AS dsb,
+             CAST(SUM(CASE WHEN cohort = 0 THEN usd * usd ELSE 0 END) AS BIGINT) AS dqa,
+             CAST(SUM(CASE WHEN cohort = 1 THEN usd * usd ELSE 0 END) AS BIGINT) AS dqb
+      FROM x GROUP BY day
+    ),
+    cum AS (
+      SELECT day,
+             CAST(SUM(dna) OVER w AS BIGINT) AS cna,
+             CAST(SUM(dnb) OVER w AS BIGINT) AS cnb,
+             CAST(SUM(dsa) OVER w AS BIGINT) AS csa,
+             CAST(SUM(dsb) OVER w AS BIGINT) AS csb,
+             CAST(SUM(dqa) OVER w AS BIGINT) AS cqa,
+             CAST(SUM(dqb) OVER w AS BIGINT) AS cqb
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    tot AS (
+      SELECT CAST(SUM(dna) + SUM(dnb) AS BIGINT) AS ntot FROM daily
+    ),
+    z AS (
+      SELECT day, cna, cnb,
+             CAST(cna AS DOUBLE) AS na, CAST(cnb AS DOUBLE) AS nb,
+             CAST(csa AS DOUBLE) AS sa, CAST(csb AS DOUBLE) AS sb,
+             CAST(cqa AS DOUBLE) AS qa, CAST(cqb AS DOUBLE) AS qb,
+             CAST(cna + cnb AS DOUBLE) / ntot AS info_frac
+      FROM cum, tot
+      WHERE cna >= 2 AND cnb >= 2
+    )
+    SELECT day, cna AS n_a, cnb AS n_b,
+           sa / na AS mean_a_usd, sb / nb AS mean_b_usd,
+           (sa / na - sb / nb) / sqrt({_SEQ_VAR_A} + {_SEQ_VAR_B}) AS z_welch,
+           info_frac,
+           {_SEQ_C} / sqrt(info_frac) AS z_boundary,
+           CAST(ABS((sa / na - sb / nb) / sqrt({_SEQ_VAR_A} + {_SEQ_VAR_B}))
+                >= {_SEQ_C} / sqrt(info_frac) AS BIGINT) AS crossed
+    FROM z
+    WHERE {_SEQ_VAR_A} + {_SEQ_VAR_B} > 0.0
+    """,
+)
+def q_ab_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential (peeking-safe) A/B monitoring: q_ab_welch's cohorts
+    tracked DAY BY DAY with cumulative moments, each day's Welch z
+    compared to an O'Brien-Fleming-style spending boundary
+    z_bound = {c}/√(information fraction) — steep early, ≈{c} at full
+    information — so an experimenter who looks every day still controls
+    the false-positive rate. `crossed` marks the days a sequential
+    procedure would have stopped; the single-shot q_ab_welch is this
+    table's last row without the boundary.
+
+    Scale shape: ONE conditional day-grain hash aggregate over orders
+    (map-side combinable, the corpus's only shuffle), then cumulative
+    sums and the z/boundary expressions on the bounded day-grain rows —
+    the running window never sees individual orders. Determinism: the
+    six cumulative moments are exact BIGINTs (floor-dollar discipline,
+    q_ab_welch); z, boundary and the crossing flag are fixed-shape
+    doubles of those integers (sqrt is IEEE-exact), written identically
+    in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    x = orders.select(
+        (F.col("o_custkey") % 2).alias("cohort"),
+        F.floor(F.col("o_totalprice")).cast("long").alias("usd"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("day"),
+    )
+
+    def _csum(cond, expr):
+        return F.sum(F.when(cond, expr).otherwise(F.lit(0))).cast("long")
+
+    a, b = F.col("cohort") == 0, F.col("cohort") == 1
+    usd = F.col("usd")
+    daily = x.groupBy("day").agg(
+        _csum(a, F.lit(1)).alias("dna"),
+        _csum(b, F.lit(1)).alias("dnb"),
+        _csum(a, usd).alias("dsa"),
+        _csum(b, usd).alias("dsb"),
+        _csum(a, usd * usd).alias("dqa"),
+        _csum(b, usd * usd).alias("dqb"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        *[
+            F.sum(f"d{c}").over(w).cast("long").alias(f"c{c}")
+            for c in ("na", "nb", "sa", "sb", "qa", "qb")
+        ],
+    )
+    tot = daily.agg(
+        (F.sum("dna") + F.sum("dnb")).cast("long").alias("ntot")
+    )
+    na, nb = F.col("cna").cast("double"), F.col("cnb").cast("double")
+    sa, sb = F.col("csa").cast("double"), F.col("csb").cast("double")
+    qa, qb = F.col("cqa").cast("double"), F.col("cqb").cast("double")
+    var_a = (qa - sa * sa / na) / (na - 1.0) / na
+    var_b = (qb - sb * sb / nb) / (nb - 1.0) / nb
+    zcol = (sa / na - sb / nb) / F.sqrt(var_a + var_b)
+    info = (F.col("cna") + F.col("cnb")).cast("double") / F.col("ntot")
+    bound = F.lit(_SEQ_C) / F.sqrt(info)
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .filter((F.col("cna") >= 2) & (F.col("cnb") >= 2))
+        .filter(var_a + var_b > 0.0)
+        .select(
+            "day",
+            F.col("cna").alias("n_a"),
+            F.col("cnb").alias("n_b"),
+            (sa / na).alias("mean_a_usd"),
+            (sb / nb).alias("mean_b_usd"),
+            zcol.alias("z_welch"),
+            info.alias("info_frac"),
+            bound.alias("z_boundary"),
+            (F.abs(zcol) >= bound).cast("long").alias("crossed"),
+        )
+    )
+
+
+q_ab_sequential.__doc__ = q_ab_sequential.__doc__.format(c=_SEQ_C)

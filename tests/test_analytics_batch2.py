@@ -107,3 +107,24 @@ def test_funnel_windowed_tightens_unbounded_funnel(spark, sf_dir):
     n_pur = sum(r["n_users"] for r in rows if r["step"] == "purchase")
     assert n_click <= unb["n_click"]
     assert n_pur <= unb["n_purchase"]
+
+
+def test_ab_sequential_consistency(spark, sf_dir):
+    rows = sorted(
+        QUERIES["q_ab_sequential"](spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    # information fraction is nondecreasing and ends at exactly 1.0
+    for a, b in zip(rows, rows[1:]):
+        assert a["info_frac"] <= b["info_frac"]
+        assert a["n_a"] <= b["n_a"] and a["n_b"] <= b["n_b"]
+    assert rows[-1]["info_frac"] == 1.0
+    # the boundary decays toward the constant; crossing flag is consistent
+    for r in rows:
+        assert r["z_boundary"] >= 2.5
+        assert r["crossed"] == (1 if abs(r["z_welch"]) >= r["z_boundary"] else 0)
+    # the final day's z IS q_ab_welch's t (same moments, same expression)
+    welch = QUERIES["q_ab_welch"](spark, sf_dir).collect()[0]
+    assert rows[-1]["z_welch"] == welch["t_welch"]
+    assert rows[-1]["n_a"] == welch["n_a"] and rows[-1]["n_b"] == welch["n_b"]
