@@ -3,6 +3,8 @@ on top of the reference's ETL surface, composed as ONE lazy Spark plan per
 stage over the driver test corpus.
 
     raw documents
+      → planning            (LSH parameter table, classifier calibration,
+                             DSIR target-domain preview)
       → rule battery        (Gopher-style flags: q_gopher_rules)
       → model scoring       (unigram-LM band + zlib compression ratio)
       → exact dedup         (md5 fingerprint, keep the longest copy)
@@ -55,6 +57,23 @@ def main() -> None:
     docs = load_table(spark, sf_dir, "documents")
     n0 = docs.count()
     print(f"raw corpus: {n0} docs")
+
+    # 0. plan before running: pick LSH dedup parameters from the observed
+    #    pair-similarity distribution (q_lsh_planner), check whether the
+    #    quality model's scores need recalibration (q_isotonic_calibration),
+    #    and preview target-domain selection weights (q_dsir_weights)
+    print("== planning: LSH (bands × rows) design table ==")
+    from cdmx_airquality_etl_spark.registry import QUERIES
+
+    QUERIES["q_lsh_planner"](spark, sf_dir).orderBy("bands", ascending=False).show()
+    iso = QUERIES["q_isotonic_calibration"](spark, sf_dir).orderBy("band")
+    drift = iso.select(
+        F.max(F.abs(F.col("raw_rate") - F.col("iso_rate"))).alias("d")
+    ).collect()[0]["d"]
+    print(f"quality-model calibration: max |raw - isotonic| = {drift:.3f}")
+    dsir = QUERIES["q_dsir_weights"](spark, sf_dir)
+    kept = dsir.filter(F.col("dsir_score") > 0).count()
+    print(f"DSIR preview: {kept}/{dsir.count()} docs lean toward the target domain")
 
     # 1a. rule battery: Gopher-style flags, keep rule-passing docs
     #     (scan-side; the registry's q_gopher_rules over this corpus)
