@@ -839,3 +839,103 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_markov_attribution.__doc__ = q_markov_attribution.__doc__.format(it=_MK_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# q_cohort_ltv — cumulative revenue per acquisition cohort by age
+# ---------------------------------------------------------------------------
+@register(
+    "q_cohort_ltv",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) * 12
+                  + EXTRACT(month FROM CAST(o_orderdate AS DATE)) - 1
+                  AS BIGINT) AS mi,
+             CAST(FLOOR(o_totalprice) AS BIGINT) AS usd
+      FROM orders
+    ),
+    firstm AS (
+      SELECT o_custkey, MIN(mi) AS cohort FROM o GROUP BY o_custkey
+    ),
+    sizes AS (
+      SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_custs
+      FROM firstm GROUP BY cohort
+    ),
+    cells AS (
+      SELECT f.cohort, o.mi - f.cohort AS age_months,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(o.usd) AS BIGINT) AS rev_usd
+      FROM o JOIN firstm f USING (o_custkey)
+      GROUP BY f.cohort, o.mi - f.cohort
+    ),
+    cum AS (
+      SELECT cohort, age_months, n_orders, rev_usd,
+             CAST(SUM(rev_usd) OVER (PARTITION BY cohort ORDER BY age_months
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS cum_rev
+      FROM cells
+    )
+    SELECT c.cohort, c.age_months, s.n_custs, c.n_orders, c.rev_usd,
+           c.cum_rev,
+           CAST(c.cum_rev AS DOUBLE) / s.n_custs AS ltv_usd
+    FROM cum c JOIN sizes s USING (cohort)
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers bucket by the calendar
+    month of their FIRST order; each (cohort, months-since-acquisition)
+    cell reports that month's orders and revenue plus the running
+    cumulative revenue per acquired customer — the LTV curves a
+    payback-period model reads off. The revenue twin of q_retention
+    (which counts activity, not value).
+
+    Scale shape: one per-customer MIN aggregate, the order stream joined
+    back on the same custkey partitioning, then a (cohort × age) cell
+    aggregate — output is O(months²) regardless of customer count; the
+    cumulative window runs per cohort over those bounded cells and the
+    cohort-size dim broadcasts. Determinism: month index is exact
+    calendar arithmetic (year·12+month, no locale/week rules), revenue
+    uses q_ab_welch's exact floor-dollar discipline, and LTV is one
+    division of exact BIGINTs."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        (
+            F.year(F.col("o_orderdate").cast("date")) * 12
+            + F.month(F.col("o_orderdate").cast("date"))
+            - 1
+        )
+        .cast("long")
+        .alias("mi"),
+        F.floor(F.col("o_totalprice")).cast("long").alias("usd"),
+    )
+    firstm = o.groupBy("o_custkey").agg(F.min("mi").alias("cohort"))
+    sizes = firstm.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_custs")
+    )
+    cells = (
+        o.join(firstm, "o_custkey")
+        .groupBy("cohort", (F.col("mi") - F.col("cohort")).alias("age_months"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("usd").cast("long").alias("rev_usd"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cells.withColumn(
+        "cum_rev", F.sum("rev_usd").over(w).cast("long")
+    )
+    return cum.join(F.broadcast(sizes), "cohort").select(
+        "cohort",
+        "age_months",
+        "n_custs",
+        "n_orders",
+        "rev_usd",
+        "cum_rev",
+        (F.col("cum_rev").cast("double") / F.col("n_custs")).alias("ltv_usd"),
+    )

@@ -773,3 +773,104 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     )
     return rows.select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# q_lift_curve — cumulative gains/lift of the quality model by score band
+# ---------------------------------------------------------------------------
+@register(
+    "q_lift_curve",
+    oracle=f"""
+    WITH g AS ({_SQL_GOPHER}),
+    c AS (
+      SELECT doc_id, {_SQL_QC_SCORE_MILLI} AS score_milli
+      FROM documents WHERE text IS NOT NULL
+    ),
+    p AS (
+      SELECT (least(greatest(c.score_milli, -{_BR_CLAMP}), {_BR_CLAMP})
+              + {_BR_CLAMP}) // 4 AS p_milli,
+             g.pass_all AS o
+      FROM c JOIN g USING (doc_id)
+    ),
+    bands AS (
+      SELECT p_milli // {_BR_BIN} AS band,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(o) AS BIGINT) AS n_pass
+      FROM p GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS td,
+             CAST(SUM(n_pass) AS BIGINT) AS tp
+      FROM bands
+    ),
+    cum AS (
+      SELECT band,
+             CAST(SUM(n_docs) OVER w AS BIGINT) AS cd,
+             CAST(SUM(n_pass) OVER w AS BIGINT) AS cp
+      FROM bands
+      WINDOW w AS (ORDER BY band DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT band AS threshold_band, cd AS cum_docs, cp AS cum_pass,
+           CAST(cd AS DOUBLE) / td AS depth,
+           CAST(cp AS DOUBLE) / tp AS capture_rate,
+           (CAST(cp AS DOUBLE) / cd) / (CAST(tp AS DOUBLE) / td) AS lift
+    FROM cum, tot
+    WHERE tp > 0
+    """,
+)
+def q_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains and lift for the quality classifier against the
+    Gopher battery: reading the score bands from the top down ('curate
+    the best-scoring X% of the corpus'), how many rule-passing documents
+    the cut captures (capture_rate, the gains curve) and how much denser
+    in good documents it is than a random cut of the same depth (lift).
+    Completes the eval family — ROC picks a threshold by error tradeoff,
+    this one answers the curation-budget question directly.
+
+    Scale shape: the same factored banded milli-p as
+    q_brier_decomposition/q_roc_points — two scorer scans, one ≤11-row
+    band aggregate, cumulative sums as a window over those bands (never
+    over documents), scalar totals broadcast. Determinism: all counts
+    exact BIGINTs; depth/capture are single divisions and lift is the
+    identical two-division shape in both engines."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    c = docs.select("doc_id", qc_score_milli().alias("score_milli"))
+    g = q_gopher_rules(spark, sf_dir).select("doc_id", F.col("pass_all").alias("o"))
+    p = c.join(g, "doc_id").select(
+        F.expr(
+            f"(least(greatest(score_milli, -{_BR_CLAMP}), {_BR_CLAMP})"
+            f" + {_BR_CLAMP}) DIV 4"
+        ).alias("p_milli"),
+        "o",
+    )
+    bands = p.groupBy(F.expr(f"p_milli DIV {_BR_BIN}").alias("band")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("o").cast("long").alias("n_pass"),
+    )
+    tot = bands.agg(
+        F.sum("n_docs").cast("long").alias("td"),
+        F.sum("n_pass").cast("long").alias("tp"),
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.orderBy(F.col("band").desc()).rowsBetween(W.unboundedPreceding, 0)
+    cum = bands.select(
+        "band",
+        F.sum("n_docs").over(w).cast("long").alias("cd"),
+        F.sum("n_pass").over(w).cast("long").alias("cp"),
+    )
+    cd, cp = F.col("cd").cast("double"), F.col("cp").cast("double")
+    td, tp = F.col("td"), F.col("tp")
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("tp") > 0)
+        .select(
+            F.col("band").alias("threshold_band"),
+            F.col("cd").alias("cum_docs"),
+            F.col("cp").alias("cum_pass"),
+            (cd / td).alias("depth"),
+            (cp / tp).alias("capture_rate"),
+            ((cp / F.col("cd")) / (tp.cast("double") / td)).alias("lift"),
+        )
+    )

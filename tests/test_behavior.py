@@ -195,3 +195,30 @@ def test_markov_attribution_matches_pandas(spark, sf_dir):
         assert abs(r["attribution_share"] - share) < 1e-9
         assert 0.0 <= r["attribution_share"] <= 1.0
     assert abs(sum(r["attribution_share"] for r in rows.values()) - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# q_cohort_ltv
+# ---------------------------------------------------------------------------
+def test_cohort_ltv_monotone_and_reconciles(spark, sf_dir):
+    import math
+
+    rows = QUERIES["q_cohort_ltv"](spark, sf_dir).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort"], []).append(r)
+    orders = pq.read_table(f"{sf_dir}/orders.parquet").to_pandas()
+    total_usd = int(orders["o_totalprice"].map(math.floor).sum())
+    assert sum(r["rev_usd"] for r in rows) == total_usd
+    n_custs_total = orders["o_custkey"].nunique()
+    assert sum(cells[0]["n_custs"] for cells in by_cohort.values()) == n_custs_total
+    for cells in by_cohort.values():
+        cells.sort(key=lambda r: r["age_months"])
+        assert cells[0]["age_months"] == 0  # acquisition month is present
+        run = 0
+        for c in cells:
+            assert c["age_months"] >= 0
+            run += c["rev_usd"]
+            assert c["cum_rev"] == run  # cumulative reconciles exactly
+            assert c["ltv_usd"] == c["cum_rev"] / c["n_custs"]

@@ -1,7 +1,9 @@
 """Semantics tests for q_isotonic_calibration (exact PAV via max-min) and
-q_dsir_weights (importance-resampling scores), with pure-Python replays."""
+q_dsir_weights, q_lsh_planner and q_lift_curve, with pure-Python replays."""
 
 import hashlib
+
+import pytest
 
 import pandas as pd
 import pyarrow.parquet as pq
@@ -152,3 +154,28 @@ def test_lsh_planner_s_curve_tradeoffs(spark, sf_dir):
         assert a["exp_recall"] >= b["exp_recall"] - 1e-12
         if n_near:
             assert a["exp_fp_rate"] >= b["exp_fp_rate"] - 1e-12
+
+
+# ---------------------------------------------------------------------------
+# q_lift_curve
+# ---------------------------------------------------------------------------
+def test_lift_curve_reconciles_with_reliability(spark, sf_dir):
+    rows = sorted(
+        QUERIES["q_lift_curve"](spark, sf_dir).collect(),
+        key=lambda r: -r["threshold_band"],
+    )
+    assert rows
+    # cumulative counts grow monotonically to the full corpus
+    for a, b in zip(rows, rows[1:]):
+        assert a["cum_docs"] <= b["cum_docs"]
+        assert a["cum_pass"] <= b["cum_pass"]
+    last = rows[-1]
+    assert last["depth"] == 1.0 and last["capture_rate"] == 1.0
+    assert last["lift"] == 1.0  # full depth is the base rate
+    # lift * base_rate * cum_docs == cum_pass (definition reconciliation)
+    base = last["cum_pass"] / last["cum_docs"]
+    for r in rows:
+        assert r["lift"] * base * r["cum_docs"] == pytest.approx(
+            r["cum_pass"], rel=1e-12
+        )
+        assert r["capture_rate"] >= r["depth"] - 1e-12 or r["lift"] < 1.0
