@@ -922,7 +922,11 @@ _HW_OUT_T = (
 )
 
 
-def _hw_oracle() -> str:
+def _hw_ctes() -> str:
+    """The shared recursive Holt-Winters state machine (daily → dense →
+    init → hw), reused verbatim by q_holt_winters and
+    q_forecast_backtest so the two oracles can never disagree on the
+    recurrence."""
     a, b_, g, m = _HW_ALPHA, _HW_BETA, _HW_GAMMA, _HW_SEASON
     return f"""
     WITH RECURSIVE {_SQL_DAILY.strip().rstrip(')').rstrip()}
@@ -968,6 +972,11 @@ def _hw_oracle() -> str:
              hw.l + hw.b + hw.s[1] AS fitted
       FROM hw JOIN dense e ON e.t = hw.t + 1
     )
+    """
+
+
+def _hw_oracle() -> str:
+    return f"""{_hw_ctes()}
     SELECT d AS day, y, l AS level, b AS trend, seasonal, fitted,
            y - fitted AS resid
     FROM hw WHERE d IS NOT NULL
@@ -1071,3 +1080,117 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fin")
     )
     return folded.select(F.explode(F.col("fin")["out"]).alias("r")).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# q_forecast_backtest — one-step-ahead error: Holt-Winters vs the naives
+# ---------------------------------------------------------------------------
+def _backtest_oracle() -> str:
+    return f"""{_hw_ctes()},
+    fit AS (SELECT d AS day, y, fitted FROM hw WHERE d IS NOT NULL),
+    lagged AS (
+      SELECT f.day, f.y, f.fitted, d1.y AS y_lag1, d7.y AS y_lag7
+      FROM fit f
+      JOIN dense d1 ON d1.d = f.day - 1
+      JOIN dense d7 ON d7.d = f.day - {_HW_SEASON}
+    ),
+    maes AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             list_reduce(list(ABS(CAST(y AS DOUBLE) - fitted) ORDER BY day),
+                         (a, b) -> a + b) / COUNT(*) AS mae_hw,
+             CAST(CAST(SUM(ABS(y - y_lag1)) AS BIGINT) AS DOUBLE)
+               / COUNT(*) AS mae_naive,
+             CAST(CAST(SUM(ABS(y - y_lag7)) AS BIGINT) AS DOUBLE)
+               / COUNT(*) AS mae_snaive
+      FROM lagged
+    )
+    SELECT 'holt_winters' AS model, n_days, mae_hw AS mae,
+           mae_hw / mae_snaive AS mase
+    FROM maes WHERE mae_snaive > 0.0
+    UNION ALL
+    SELECT 'naive', n_days, mae_naive, mae_naive / mae_snaive
+    FROM maes WHERE mae_snaive > 0.0
+    UNION ALL
+    SELECT 'seasonal_naive', n_days, mae_snaive, mae_snaive / mae_snaive
+    FROM maes WHERE mae_snaive > 0.0
+    """
+
+
+@register("q_forecast_backtest", oracle=_backtest_oracle())
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling one-step-ahead backtest of the q_holt_winters fit against
+    the two baselines every forecasting paper reports: the naive
+    (tomorrow = today) and the seasonal naive (tomorrow = a week ago).
+    One row per model with its MAE and MASE (MAE over the seasonal
+    naive's — Hyndman's scale-free skill score; < 1 beats the baseline).
+    The honest check that smoothing earns its keep on this series.
+
+    Scale shape: reuses q_holt_winters' day-grain fold output, joins the
+    two lag baselines on the SAME bounded day grain (left lookups into
+    the gap-densified daily counts), and folds the ≤day-span error
+    arrays on one row. Determinism: naive errors are exact integer
+    |y−lag|; the Holt-Winters error sum is a SEQUENTIAL FOLD over
+    day-sorted terms; MAEs and MASE are fixed-shape divisions — both
+    engines share the _hw_ctes recurrence verbatim."""
+    m = _HW_SEASON
+    hw = q_holt_winters(spark, sf_dir).select("day", "y", "fitted")
+    daily = _daily(spark, sf_dir).select("d", F.col("y").cast("long").alias("dy"))
+    lag1 = daily.select((F.col("d") + 1).alias("day"), F.col("dy").alias("y1"))
+    lag7 = daily.select((F.col("d") + m).alias("day"), F.col("dy").alias("y7"))
+    lagged = (
+        hw.join(lag1, "day", "left")
+        .join(lag7, "day", "left")
+        .select(
+            "day",
+            "y",
+            "fitted",
+            F.coalesce(F.col("y1"), F.lit(0)).cast("long").alias("y_lag1"),
+            F.coalesce(F.col("y7"), F.lit(0)).cast("long").alias("y_lag7"),
+        )
+    )
+    maes = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "day",
+                                F.abs(
+                                    F.col("y").cast("double") - F.col("fitted")
+                                ).alias("e"),
+                            )
+                        )
+                    ),
+                    lambda x: x["e"],
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+            / F.count(F.lit(1))
+        ).alias("mae_hw"),
+        (
+            F.sum(F.abs(F.col("y") - F.col("y_lag1"))).cast("long").cast("double")
+            / F.count(F.lit(1))
+        ).alias("mae_naive"),
+        (
+            F.sum(F.abs(F.col("y") - F.col("y_lag7"))).cast("long").cast("double")
+            / F.count(F.lit(1))
+        ).alias("mae_snaive"),
+    ).filter(F.col("mae_snaive") > 0.0)
+    rows = [
+        ("holt_winters", F.col("mae_hw")),
+        ("naive", F.col("mae_naive")),
+        ("seasonal_naive", F.col("mae_snaive")),
+    ]
+    out = None
+    for name, mae in rows:
+        sel = maes.select(
+            F.lit(name).alias("model"),
+            "n_days",
+            mae.alias("mae"),
+            (mae / F.col("mae_snaive")).alias("mase"),
+        )
+        out = sel if out is None else out.unionByName(sel)
+    return out

@@ -795,3 +795,20 @@ def test_holt_winters_matches_python_replay(spark, sf_dir):
     # relative to the series scale
     mean_abs_resid = sum(abs(x[-1]) for x in ref) / len(ref)
     assert mean_abs_resid < 2 * (max(ys) - min(ys) + 1)
+
+
+def test_forecast_backtest_reconciles_with_holt_winters(spark, sf_dir):
+    rows = {r["model"]: r for r in QUERIES["q_forecast_backtest"](spark, sf_dir).collect()}
+    assert set(rows) == {"holt_winters", "naive", "seasonal_naive"}
+    n = {r["n_days"] for r in rows.values()}
+    assert len(n) == 1
+    sn = rows["seasonal_naive"]
+    assert sn["mase"] == 1.0  # the scale's own MASE is exactly 1
+    for r in rows.values():
+        assert r["mae"] >= 0.0
+        assert r["mase"] == r["mae"] / sn["mae"]
+    # HW's MAE equals the mean |resid| of its own fitted table
+    hw = QUERIES["q_holt_winters"](spark, sf_dir).collect()
+    mean_abs = sum(abs(x["resid"]) for x in hw) / len(hw)
+    assert rows["holt_winters"]["mae"] == pytest.approx(mean_abs, rel=1e-12)
+    assert rows["holt_winters"]["n_days"] == len(hw)
