@@ -874,3 +874,80 @@ def q_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((cp / F.col("cd")) / (tp.cast("double") / td)).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_selection_parity — four-fifths-rule audit of the quality gate by lang
+# ---------------------------------------------------------------------------
+@register(
+    "q_selection_parity",
+    oracle=f"""
+    WITH c AS (
+      SELECT lang, {_SQL_QC_SCORE_MILLI} AS score_milli
+      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+    ),
+    grp AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN score_milli >= 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_selected
+      FROM c GROUP BY lang
+    ),
+    rates AS (
+      SELECT lang, n_docs, n_selected,
+             CAST(n_selected AS DOUBLE) / n_docs AS sel_rate
+      FROM grp
+    ),
+    best AS (SELECT MAX(sel_rate) AS top_rate FROM rates)
+    SELECT lang, n_docs, n_selected, sel_rate,
+           sel_rate / top_rate AS impact_ratio,
+           CAST(sel_rate / top_rate < 0.8 AS BIGINT) AS flagged
+    FROM rates, best
+    WHERE top_rate > 0.0
+    """,
+)
+def q_selection_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selection-rate parity audit of the quality gate (score ≥ 0 keeps
+    the document) across language groups: each language's selection rate,
+    its disparate-impact ratio against the most-selected group, and the
+    four-fifths-rule flag (ratio < 0.8 — the classic adverse-impact
+    screen, here catching a quality model that systematically filters
+    out a language before it ever reaches training). The governance twin
+    of q_mixing_weights: that one plans proportions, this one audits the
+    gate that produced them.
+
+    Scale shape: one scan-side scoring pass, one language-grain
+    conditional aggregate (the shuffle key is the language, not the
+    corpus), a scalar max broadcast back. Determinism: counts are exact
+    BIGINTs; sel_rate is one division, impact_ratio one more with the
+    identical shape in both engines; the flag compares those doubles
+    exactly."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    grp = docs.select(
+        "lang", qc_score_milli().alias("score_milli")
+    ).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("score_milli") >= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_selected"),
+    )
+    rates = grp.withColumn(
+        "sel_rate", F.col("n_selected").cast("double") / F.col("n_docs")
+    )
+    best = rates.agg(F.max("sel_rate").alias("top_rate"))
+    return (
+        rates.crossJoin(F.broadcast(best))
+        .filter(F.col("top_rate") > 0.0)
+        .select(
+            "lang",
+            "n_docs",
+            "n_selected",
+            "sel_rate",
+            (F.col("sel_rate") / F.col("top_rate")).alias("impact_ratio"),
+            (F.col("sel_rate") / F.col("top_rate") < 0.8)
+            .cast("long")
+            .alias("flagged"),
+        )
+    )

@@ -179,3 +179,19 @@ def test_lift_curve_reconciles_with_reliability(spark, sf_dir):
             r["cum_pass"], rel=1e-12
         )
         assert r["capture_rate"] >= r["depth"] - 1e-12 or r["lift"] < 1.0
+
+
+# ---------------------------------------------------------------------------
+# q_selection_parity
+# ---------------------------------------------------------------------------
+def test_selection_parity_invariants(spark, sf_dir):
+    rows = QUERIES["q_selection_parity"](spark, sf_dir).collect()
+    assert rows
+    top = max(r["sel_rate"] for r in rows)
+    n_top = sum(1 for r in rows if r["impact_ratio"] == 1.0)
+    assert n_top >= 1  # the reference group scores ratio exactly 1
+    for r in rows:
+        assert 0 <= r["n_selected"] <= r["n_docs"]
+        assert r["sel_rate"] == r["n_selected"] / r["n_docs"]
+        assert r["impact_ratio"] == r["sel_rate"] / top
+        assert r["flagged"] == (1 if r["impact_ratio"] < 0.8 else 0)
