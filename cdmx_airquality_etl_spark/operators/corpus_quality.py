@@ -951,3 +951,133 @@ def q_selection_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("flagged"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_eb_shrinkage — empirical-Bayes shrinkage of per-source quality rates
+# ---------------------------------------------------------------------------
+@register(
+    "q_eb_shrinkage",
+    oracle=f"""
+    WITH g AS ({_SQL_GOPHER}),
+    d AS (
+      SELECT doc_id, source FROM documents
+      WHERE text IS NOT NULL AND source IS NOT NULL
+    ),
+    grp AS (
+      SELECT d.source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(g.pass_all) AS BIGINT) AS n_pass
+      FROM d JOIN g USING (doc_id)
+      GROUP BY d.source
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(SUM(n_docs) AS BIGINT) AS tn,
+             CAST(SUM(n_pass) AS BIGINT) AS tk
+      FROM grp
+    ),
+    scal AS (
+      SELECT ng, CAST(tk AS DOUBLE) / tn AS pbar,
+             list_reduce(
+               list((CAST(n_pass AS DOUBLE) / n_docs - CAST(tk AS DOUBLE) / tn)
+                    * (CAST(n_pass AS DOUBLE) / n_docs - CAST(tk AS DOUBLE) / tn)
+                    ORDER BY source),
+               (a, b) -> a + b) / (ng - 1.0) AS s2,
+             list_reduce(list(1.0 / n_docs ORDER BY source),
+                         (a, b) -> a + b) / ng AS inv_n_mean
+      FROM grp, tot
+      WHERE ng >= 2
+      GROUP BY ng, tn, tk
+    ),
+    tau AS (
+      SELECT ng, pbar,
+             greatest(s2 - pbar * (1.0 - pbar) * inv_n_mean, 0.0) AS tau2
+      FROM scal
+    )
+    SELECT grp.source, grp.n_docs, grp.n_pass,
+           CAST(grp.n_pass AS DOUBLE) / grp.n_docs AS raw_rate,
+           tau2 / (tau2 + pbar * (1.0 - pbar) / grp.n_docs) AS shrink_weight,
+           pbar + tau2 / (tau2 + pbar * (1.0 - pbar) / grp.n_docs)
+                  * (CAST(grp.n_pass AS DOUBLE) / grp.n_docs - pbar)
+             AS shrunk_rate
+    FROM grp, tau
+    WHERE pbar > 0.0 AND pbar < 1.0
+    """,
+)
+def q_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes (James–Stein-style) shrinkage of each source's
+    Gopher pass rate toward the corpus grand mean: small sources with
+    extreme observed rates pull strongly toward p̄, large sources keep
+    their own signal — the estimator a curation dashboard should rank
+    sources by instead of raw rates (which are dominated by sampling
+    noise exactly for the sources with the least data). Method-of-moments
+    normal approximation: τ² = max(0, s²_between − p̄(1−p̄)·mean(1/nᵢ)),
+    weight wᵢ = τ²/(τ² + p̄(1−p̄)/nᵢ).
+
+    Scale shape: one doc-grain join of the two scan-side derivations,
+    ONE source-grain aggregate (the shuffle key is the source), and two
+    cross-group moments folded in source order on one collected row —
+    bounded by source cardinality, the label-cardinality discipline —
+    broadcast back to the group frame. Determinism: group counts are
+    exact BIGINTs; every rate is a single division; the two cross-group
+    float sums are SEQUENTIAL FOLDS over source-sorted terms; τ² and the
+    weights are fixed-shape expressions of those values in both
+    engines."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    g = q_gopher_rules(spark, sf_dir).select("doc_id", "pass_all")
+    grp = (
+        docs.select("doc_id", "source")
+        .join(g, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("pass_all").cast("long").alias("n_pass"),
+        )
+    )
+    tot = grp.agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("n_docs").cast("long").alias("tn"),
+        F.sum("n_pass").cast("long").alias("tk"),
+        F.array_sort(
+            F.collect_list(F.struct("source", "n_docs", "n_pass"))
+        ).alias("gs"),
+    )
+    pbar = F.col("tk").cast("double") / F.col("tn")
+
+    def _fold(term):
+        return F.aggregate(
+            F.transform(F.col("gs"), term), F.lit(0.0), lambda a, b: a + b
+        )
+
+    rate = lambda x: x["n_pass"].cast("double") / x["n_docs"]
+    scal = tot.filter(F.col("ng") >= 2).select(
+        "ng",
+        pbar.alias("pbar"),
+        (_fold(lambda x: (rate(x) - pbar) * (rate(x) - pbar)) / (F.col("ng") - 1.0)).alias("s2"),
+        (_fold(lambda x: F.lit(1.0) / x["n_docs"]) / F.col("ng")).alias(
+            "inv_n_mean"
+        ),
+    )
+    tau = scal.select(
+        "pbar",
+        F.greatest(
+            F.col("s2")
+            - F.col("pbar") * (1.0 - F.col("pbar")) * F.col("inv_n_mean"),
+            F.lit(0.0),
+        ).alias("tau2"),
+    ).filter((F.col("pbar") > 0.0) & (F.col("pbar") < 1.0))
+    raw = F.col("n_pass").cast("double") / F.col("n_docs")
+    w = F.col("tau2") / (
+        F.col("tau2") + F.col("pbar") * (1.0 - F.col("pbar")) / F.col("n_docs")
+    )
+    return grp.crossJoin(F.broadcast(tau)).select(
+        "source",
+        "n_docs",
+        "n_pass",
+        raw.alias("raw_rate"),
+        w.alias("shrink_weight"),
+        (F.col("pbar") + w * (raw - F.col("pbar"))).alias("shrunk_rate"),
+    )

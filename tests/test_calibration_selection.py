@@ -195,3 +195,28 @@ def test_selection_parity_invariants(spark, sf_dir):
         assert r["sel_rate"] == r["n_selected"] / r["n_docs"]
         assert r["impact_ratio"] == r["sel_rate"] / top
         assert r["flagged"] == (1 if r["impact_ratio"] < 0.8 else 0)
+
+
+# ---------------------------------------------------------------------------
+# q_eb_shrinkage
+# ---------------------------------------------------------------------------
+def test_eb_shrinkage_pulls_toward_grand_mean(spark, sf_dir):
+    rows = QUERIES["q_eb_shrinkage"](spark, sf_dir).collect()
+    assert rows
+    tk = sum(r["n_pass"] for r in rows)
+    tn = sum(r["n_docs"] for r in rows)
+    pbar = tk / tn
+    for r in rows:
+        assert 0.0 <= r["shrink_weight"] <= 1.0
+        assert r["raw_rate"] == r["n_pass"] / r["n_docs"]
+        # the shrunk rate sits between the raw rate and the grand mean
+        lo, hi = sorted((r["raw_rate"], pbar))
+        assert lo - 1e-12 <= r["shrunk_rate"] <= hi + 1e-12
+        # definition reconciles
+        assert r["shrunk_rate"] == pytest.approx(
+            pbar + r["shrink_weight"] * (r["raw_rate"] - pbar), rel=1e-12
+        )
+    # shrinkage is stronger (weight smaller) for smaller sources
+    by_n = sorted(rows, key=lambda r: r["n_docs"])
+    for a, b in zip(by_n, by_n[1:]):
+        assert a["shrink_weight"] <= b["shrink_weight"] + 1e-12
