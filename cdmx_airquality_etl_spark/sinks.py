@@ -90,6 +90,22 @@ def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
     return spark.read.schema(schema).json(path)
 
 
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC export — the second columnar interchange format Spark bundles
+    (orc-core ships in jars/; spark-avro does NOT, so Avro round-trips are
+    deliberately out of scope until the external module is provisioned).
+    Snappy-compressed by Spark's defaults; schema travels in the footer."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Schema-DECLARED ORC read (never inferred — the repo-wide source
+    discipline, sources/parquet.py): the declared StructType is pushed to
+    the vectorized ORC reader, so column pruning and predicate pushdown
+    work exactly as on parquet."""
+    return spark.read.schema(schema).orc(path)
+
+
 def export_jsonl_shards(
     df: DataFrame,
     path: str,

@@ -87,3 +87,39 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path):
     q.awaitTermination(60)
     got = {r["k"]: r["name"] for r in spark.read.parquet(out).collect()}
     assert got == {1: "one", 2: "two", 9: None}
+
+
+def test_orc_roundtrip_tables(spark, sf_dir, tmp_path):
+    from cdmx_airquality_etl_spark.sinks import read_orc, write_orc
+    from cdmx_airquality_etl_spark.sources.parquet import load_table
+
+    # orders exercises dates + doubles; documents exercises nullable text
+    for name, key in (("orders", "o_orderkey"), ("documents", "doc_id")):
+        df = load_table(spark, sf_dir, name)
+        path = str(tmp_path / f"orc_{name}")
+        write_orc(df, path)
+        back = read_orc(spark, path, df.schema)
+        assert back.schema == df.schema
+        assert back.count() == df.count()
+        # exact content equality both directions
+        assert df.exceptAll(back).count() == 0
+        assert back.exceptAll(df).count() == 0
+
+
+def test_orc_read_pushes_down_filters(spark, sf_dir, tmp_path):
+    from cdmx_airquality_etl_spark.sinks import read_orc, write_orc
+    from cdmx_airquality_etl_spark.sources.parquet import load_table
+
+    df = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orc_push")
+    write_orc(df, path)
+    plan = (
+        read_orc(spark, path, df.schema)
+        .filter(F.col("o_orderkey") == 1)
+        .select("o_orderkey", "o_totalprice")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,1)" in plan
+    assert "o_custkey" not in plan.split("ReadSchema")[1][:200]  # pruned
