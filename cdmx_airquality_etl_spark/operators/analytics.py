@@ -1000,3 +1000,145 @@ def q_ab_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_ab_sequential.__doc__ = q_ab_sequential.__doc__.format(c=_SEQ_C)
+
+
+# ---------------------------------------------------------------------------
+# q_diff_in_diff — two-cohort pre/post causal contrast on order value
+# ---------------------------------------------------------------------------
+# pre/post boundary: the midpoint of the observed order-day span, computed
+# in-query (exact integers) so the contrast survives testdata regeneration
+
+
+def _did_cell_sql(c: int, post: int) -> str:
+    cond = f"cohort = {c} AND post = {post}"
+    return (
+        f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS n_{c}{post},\n"
+        f"CAST(SUM(CASE WHEN {cond} THEN usd ELSE 0 END) AS BIGINT) AS s_{c}{post},\n"
+        f"CAST(SUM(CASE WHEN {cond} THEN usd * usd ELSE 0 END) AS BIGINT) AS q_{c}{post}"
+    )
+
+
+def _did_var_sql(c: int, p: int) -> str:
+    n, s, q = f"CAST(n_{c}{p} AS DOUBLE)", f"CAST(s_{c}{p} AS DOUBLE)", f"CAST(q_{c}{p} AS DOUBLE)"
+    return f"({q} - {s} * {s} / {n}) / ({n} - 1.0) / {n}"
+
+
+@register(
+    "q_diff_in_diff",
+    oracle=f"""
+    WITH d0 AS (
+      SELECT o_custkey,
+             CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                  AS BIGINT) AS day,
+             CAST(FLOOR(o_totalprice) AS BIGINT) AS usd
+      FROM orders
+    ),
+    b AS (SELECT (MIN(day) + MAX(day)) // 2 AS split_day FROM d0),
+    x AS (
+      SELECT o_custkey % 2 AS cohort,
+             CAST(day >= split_day AS INT) AS post,
+             usd
+      FROM d0, b
+    ),
+    m AS (
+      SELECT
+        {_did_cell_sql(0, 0)},
+        {_did_cell_sql(0, 1)},
+        {_did_cell_sql(1, 0)},
+        {_did_cell_sql(1, 1)}
+      FROM x
+    )
+    SELECT
+      CAST(s_10 AS DOUBLE) / n_10 AS mean_treat_pre,
+      CAST(s_11 AS DOUBLE) / n_11 AS mean_treat_post,
+      CAST(s_00 AS DOUBLE) / n_00 AS mean_ctrl_pre,
+      CAST(s_01 AS DOUBLE) / n_01 AS mean_ctrl_post,
+      (CAST(s_11 AS DOUBLE) / n_11 - CAST(s_10 AS DOUBLE) / n_10)
+        - (CAST(s_01 AS DOUBLE) / n_01 - CAST(s_00 AS DOUBLE) / n_00) AS did,
+      sqrt({_did_var_sql(1, 1)} + {_did_var_sql(1, 0)}
+           + {_did_var_sql(0, 1)} + {_did_var_sql(0, 0)}) AS se,
+      ((CAST(s_11 AS DOUBLE) / n_11 - CAST(s_10 AS DOUBLE) / n_10)
+        - (CAST(s_01 AS DOUBLE) / n_01 - CAST(s_00 AS DOUBLE) / n_00))
+        / sqrt({_did_var_sql(1, 1)} + {_did_var_sql(1, 0)}
+               + {_did_var_sql(0, 1)} + {_did_var_sql(0, 0)}) AS t_stat
+    FROM m
+    WHERE n_00 >= 2 AND n_01 >= 2 AND n_10 >= 2 AND n_11 >= 2
+    """,
+)
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: the causal contrast (treat_post −
+    treat_pre) − (ctrl_post − ctrl_pre) between the two deterministic
+    custkey cohorts around a fixed intervention date, with the
+    four-cell Welch standard error and t statistic — the quasi-
+    experimental design used when assignment wasn't randomized at the
+    moment of the change. The intervention date is the exact midpoint of
+    the observed order-day span ((min+max) DIV 2 — non-negative, so
+    Spark's truncating DIV and DuckDB's flooring // agree), computed
+    in-query rather than pinned to a literal. Completes the experimentation family: Welch
+    (one shot) → sequential (peeking) → CUPED (variance reduction) →
+    DiD (parallel-trends counterfactual).
+
+    Scale shape: ONE conditional scan aggregate produces all 12 cell
+    moments (map-side combinable; no shuffle key at all — a scalar
+    rollup), then the estimate is a closed-form expression. Determinism:
+    the floor-dollar BIGINT moment discipline of q_ab_welch; DiD, SE
+    (IEEE sqrt) and t are fixed-shape doubles of exact integers in both
+    engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    d0 = orders.select(
+        (F.col("o_custkey") % 2).alias("cohort"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("day"),
+        F.floor(F.col("o_totalprice")).cast("long").alias("usd"),
+    )
+    b = d0.agg(
+        F.expr("(MIN(day) + MAX(day)) DIV 2").alias("split_day")
+    )
+    x = d0.crossJoin(F.broadcast(b)).select(
+        "cohort",
+        (F.col("day") >= F.col("split_day")).cast("int").alias("post"),
+        "usd",
+    )
+    aggs = []
+    for c in (0, 1):
+        for p in (0, 1):
+            cell = (F.col("cohort") == c) & (F.col("post") == p)
+            aggs += [
+                F.sum(F.when(cell, 1).otherwise(0)).cast("long").alias(f"n_{c}{p}"),
+                F.sum(F.when(cell, F.col("usd")).otherwise(0))
+                .cast("long")
+                .alias(f"s_{c}{p}"),
+                F.sum(F.when(cell, F.col("usd") * F.col("usd")).otherwise(0))
+                .cast("long")
+                .alias(f"q_{c}{p}"),
+            ]
+    m = x.agg(*aggs)
+
+    def mean(c, p):
+        return F.col(f"s_{c}{p}").cast("double") / F.col(f"n_{c}{p}")
+
+    def var(c, p):
+        n = F.col(f"n_{c}{p}").cast("double")
+        s = F.col(f"s_{c}{p}").cast("double")
+        q = F.col(f"q_{c}{p}").cast("double")
+        return (q - s * s / n) / (n - 1.0) / n
+
+    did = (mean(1, 1) - mean(1, 0)) - (mean(0, 1) - mean(0, 0))
+    se = F.sqrt(var(1, 1) + var(1, 0) + var(0, 1) + var(0, 0))
+    return m.filter(
+        (F.col("n_00") >= 2)
+        & (F.col("n_01") >= 2)
+        & (F.col("n_10") >= 2)
+        & (F.col("n_11") >= 2)
+    ).select(
+        mean(1, 0).alias("mean_treat_pre"),
+        mean(1, 1).alias("mean_treat_post"),
+        mean(0, 0).alias("mean_ctrl_pre"),
+        mean(0, 1).alias("mean_ctrl_post"),
+        did.alias("did"),
+        se.alias("se"),
+        (did / se).alias("t_stat"),
+    )

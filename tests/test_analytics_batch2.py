@@ -128,3 +128,31 @@ def test_ab_sequential_consistency(spark, sf_dir):
     welch = QUERIES["q_ab_welch"](spark, sf_dir).collect()[0]
     assert rows[-1]["z_welch"] == welch["t_welch"]
     assert rows[-1]["n_a"] == welch["n_a"] and rows[-1]["n_b"] == welch["n_b"]
+
+
+def test_diff_in_diff_matches_pandas(spark, sf_dir):
+    import math
+
+    import pyarrow.parquet as pq
+
+    row = QUERIES["q_diff_in_diff"](spark, sf_dir).collect()[0]
+    o = pq.read_table(f"{sf_dir}/orders.parquet").to_pandas()
+    o["day"] = (
+        o["o_orderdate"].dt.normalize() - __import__("pandas").Timestamp("1970-01-01")
+    ).dt.days
+    o["usd"] = o["o_totalprice"].map(math.floor)
+    split = (o["day"].min() + o["day"].max()) // 2
+    cells = {}
+    for c in (0, 1):
+        for p in (0, 1):
+            sel = o[(o.o_custkey % 2 == c) & ((o.day >= split).astype(int) == p)]
+            cells[(c, p)] = (len(sel), sel["usd"].mean(), sel["usd"].var(ddof=1))
+    did = (cells[(1, 1)][1] - cells[(1, 0)][1]) - (
+        cells[(0, 1)][1] - cells[(0, 0)][1]
+    )
+    se = math.sqrt(sum(v / n for n, _, v in cells.values()))
+    assert row["mean_treat_pre"] == __import__("pytest").approx(cells[(1, 0)][1], rel=1e-12)
+    assert row["mean_ctrl_post"] == __import__("pytest").approx(cells[(0, 1)][1], rel=1e-12)
+    assert row["did"] == __import__("pytest").approx(did, rel=1e-9, abs=1e-9)
+    assert row["se"] == __import__("pytest").approx(se, rel=1e-9)
+    assert row["t_stat"] == __import__("pytest").approx(did / se, rel=1e-9, abs=1e-9)
