@@ -1133,3 +1133,209 @@ def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((center - half) / denom).alias("wilson_lo"),
         ((center + half) / denom).alias("wilson_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_fdr_screen — per-type permutation tests under Benjamini-Hochberg FDR
+# ---------------------------------------------------------------------------
+_FDR_ALPHA_SQL = "1.0e-1"  # parses as DOUBLE in both engines (bare 0.1 is
+_FDR_ALPHA = 0.1  # DECIMAL in DuckDB, which would change the arithmetic)
+
+
+@register(
+    "q_fdr_screen",
+    oracle=f"""
+    WITH per_ut AS (
+      SELECT event_type, user_id,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+             (user_id % 2) AS cohort
+      FROM events GROUP BY event_type, user_id
+    ),
+    obs AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN cohort = 0 THEN cents ELSE 0 END) AS DOUBLE)
+               / SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)
+             - CAST(SUM(CASE WHEN cohort = 1 THEN cents ELSE 0 END) AS DOUBLE)
+               / SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS t_obs
+      FROM per_ut GROUP BY event_type
+      HAVING SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) > 0
+         AND SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) > 0
+    ),
+    hashed AS (
+      SELECT event_type, user_id, cents, jj.j,
+             md5(user_id || '~' || jj.j) AS h
+      FROM per_ut, unnest(range(0, {_PERM_B // 4})) AS jj(j)
+    ),
+    draws AS (
+      SELECT event_type, cents, (j * 4 + ii.i) AS b,
+             CASE WHEN {_sql_hexslice_u('h', 'ii.i * 8 + 1')} < 0.5
+                  THEN 0 ELSE 1 END AS side
+      FROM hashed, unnest(range(0, 4)) AS ii(i)
+    ),
+    perms AS (
+      SELECT event_type, b,
+             CAST(SUM(CASE WHEN side = 0 THEN cents ELSE 0 END) AS DOUBLE)
+               / SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+             - CAST(SUM(CASE WHEN side = 1 THEN cents ELSE 0 END) AS DOUBLE)
+               / SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS t_b
+      FROM draws GROUP BY event_type, b
+      HAVING SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) > 0
+         AND SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) > 0
+    ),
+    pv AS (
+      SELECT o.event_type, o.t_obs / 100.0 AS t_obs_usd,
+             CAST(COUNT(*) AS BIGINT) AS n_perms,
+             (1.0 + COUNT(*) FILTER (WHERE abs(p.t_b) >= abs(o.t_obs)))
+               / (1.0 + COUNT(*)) AS p_value
+      FROM perms p JOIN obs o USING (event_type)
+      GROUP BY o.event_type, o.t_obs
+    ),
+    ranked AS (
+      SELECT *,
+             CAST(row_number() OVER (ORDER BY p_value, event_type)
+                  AS BIGINT) AS p_rank,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM pv) AS m
+      FROM pv
+    ),
+    kstar AS (
+      SELECT COALESCE(MAX(CASE WHEN p_value <= p_rank * {_FDR_ALPHA_SQL} / m
+                                THEN p_rank END), 0) AS k
+      FROM ranked
+    )
+    SELECT event_type, t_obs_usd, n_perms, p_value, p_rank,
+           p_rank * {_FDR_ALPHA_SQL} / m AS bh_threshold,
+           CAST(p_rank <= k AS BIGINT) AS rejected
+    FROM ranked, kstar
+    """,
+)
+def q_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing screen: q_permutation_test's assumption-free A/B
+    contrast run PER EVENT TYPE (one hypothesis per metric — the 'which
+    of my m metrics moved' dashboard question), with the m p-values
+    corrected by Benjamini-Hochberg step-up at FDR α={a}: reject every
+    hypothesis ranked at or below the largest k with p_(k) ≤ kα/m.
+    Per-type exact p-values would each be honest alone; reporting all m
+    uncorrected is the classic false-discovery machine this op exists to
+    prevent.
+
+    Scale shape: the permutation machinery is q_permutation_test's —
+    per-(type,user) integer-cent aggregate, B×users map-side hash-draw
+    explode (user sign draws SHARED across types, one md5 per user per
+    4 draws), one (type, b) hash aggregate — and the BH step runs on the
+    m-row p-value table (a metric-cardinality frame) with one window
+    rank. Determinism: p-values are exact add-one ratios of counts;
+    the BH threshold kα/m is a fixed-shape double (α written as 1.0e-1
+    so DuckDB parses a DOUBLE, not a DECIMAL); ranks break p ties on
+    event_type — a total order."""
+    ev = load_table(spark, sf_dir, "events")
+    per_ut = (
+        ev.groupBy("event_type", "user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .withColumn("cohort", F.col("user_id") % 2)
+    )
+
+    def side_mean(side_col, side):
+        s = F.sum(F.when(side_col == side, F.col("cents")).otherwise(0)).cast(
+            "double"
+        )
+        n = F.sum(F.when(side_col == side, 1).otherwise(0))
+        return s / n
+
+    def side_n(side_col, side):
+        return F.sum(F.when(side_col == side, 1).otherwise(0))
+
+    obs = (
+        per_ut.groupBy("event_type")
+        .agg(
+            (side_mean(F.col("cohort"), 0) - side_mean(F.col("cohort"), 1)).alias(
+                "t_obs"
+            ),
+            side_n(F.col("cohort"), 0).alias("nc0"),
+            side_n(F.col("cohort"), 1).alias("nc1"),
+        )
+        .filter((F.col("nc0") > 0) & (F.col("nc1") > 0))
+        .select("event_type", "t_obs")
+    )
+    hashes = F.expr(
+        f"transform(sequence(0, {_PERM_B // 4 - 1}), "
+        "j -> md5(concat(cast(user_id as string), '~', cast(j as string))))"
+    )
+    slices = F.expr(
+        "flatten(transform(hh, h -> transform(sequence(0, 3), "
+        "i -> substring(h, i * 8 + 1, 8))))"
+    )
+    draws = (
+        per_ut.select("event_type", "cents", "user_id")
+        .select("event_type", "cents", hashes.alias("hh"))
+        .select("event_type", "cents", F.posexplode(slices).alias("b", "hx"))
+        .select(
+            "event_type",
+            "cents",
+            "b",
+            F.when(
+                F.conv("hx", 16, 10).cast("long") / F.lit(4294967296.0) < 0.5, 0
+            )
+            .otherwise(1)
+            .alias("side"),
+        )
+    )
+    perms = (
+        draws.groupBy("event_type", "b")
+        .agg(
+            (side_mean(F.col("side"), 0) - side_mean(F.col("side"), 1)).alias(
+                "t_b"
+            ),
+            side_n(F.col("side"), 0).alias("n0"),
+            side_n(F.col("side"), 1).alias("n1"),
+        )
+        .filter((F.col("n0") > 0) & (F.col("n1") > 0))
+        .select("event_type", "t_b")
+    )
+    pv = (
+        perms.join(obs, "event_type")
+        .groupBy("event_type", "t_obs")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_perms"),
+            F.count(
+                F.when(F.abs(F.col("t_b")) >= F.abs(F.col("t_obs")), 1)
+            )
+            .cast("long")
+            .alias("n_extreme"),
+        )
+        .select(
+            "event_type",
+            (F.col("t_obs") / 100.0).alias("t_obs_usd"),
+            "n_perms",
+            (
+                (1.0 + F.col("n_extreme")) / (1.0 + F.col("n_perms"))
+            ).alias("p_value"),
+        )
+    )
+    m = pv.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    w = Window.orderBy("p_value", "event_type")
+    ranked = (
+        pv.crossJoin(F.broadcast(m))
+        .withColumn("p_rank", F.row_number().over(w).cast("long"))
+    )
+    thr = F.col("p_rank") * F.lit(_FDR_ALPHA) / F.col("m")
+    kstar = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("p_value") <= thr, F.col("p_rank"))), F.lit(0)
+        ).alias("k")
+    )
+    return ranked.crossJoin(F.broadcast(kstar)).select(
+        "event_type",
+        "t_obs_usd",
+        "n_perms",
+        "p_value",
+        "p_rank",
+        thr.alias("bh_threshold"),
+        (F.col("p_rank") <= F.col("k")).cast("long").alias("rejected"),
+    )
+
+
+q_fdr_screen.__doc__ = q_fdr_screen.__doc__.format(a=_FDR_ALPHA)

@@ -156,3 +156,29 @@ def test_diff_in_diff_matches_pandas(spark, sf_dir):
     assert row["did"] == __import__("pytest").approx(did, rel=1e-9, abs=1e-9)
     assert row["se"] == __import__("pytest").approx(se, rel=1e-9)
     assert row["t_stat"] == __import__("pytest").approx(did / se, rel=1e-9, abs=1e-9)
+
+
+def test_fdr_screen_bh_procedure(spark, sf_dir):
+    rows = sorted(
+        QUERIES["q_fdr_screen"](spark, sf_dir).collect(),
+        key=lambda r: r["p_rank"],
+    )
+    assert rows
+    m = len(rows)
+    # ranks are a permutation ordered by p-value
+    assert [r["p_rank"] for r in rows] == list(range(1, m + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert a["p_value"] <= b["p_value"]
+    # BH step-up replay
+    kstar = max(
+        (r["p_rank"] for r in rows if r["p_value"] <= r["p_rank"] * 0.1 / m),
+        default=0,
+    )
+    for r in rows:
+        assert r["bh_threshold"] == r["p_rank"] * 0.1 / m
+        assert r["rejected"] == (1 if r["p_rank"] <= kstar else 0)
+        assert 0.0 < r["p_value"] <= 1.0
+        assert 1 <= r["n_perms"] <= 128
+    # rejections are a prefix of the p-ordered list (step-up property)
+    flags = [r["rejected"] for r in rows]
+    assert flags == sorted(flags, reverse=True)

@@ -47,6 +47,7 @@ _NON_CORPUS = {
     "q_bootstrap_ci",
     "q_pass_at_k",
     "q_permutation_test",
+    "q_fdr_screen",
     "q_anova_oneway",
     "q_wilson_ci",
     "q_assortativity",
