@@ -939,3 +939,122 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_rev",
         (F.col("cum_rev").cast("double") / F.col("n_custs")).alias("ltv_usd"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_session_paths — top user journeys (session event-type prefixes)
+# ---------------------------------------------------------------------------
+_PATH_GAP_US = 30 * 60 * 1_000_000  # q_sessionize's 30-minute gap
+_PATH_PREFIX = 8  # journey prefix length (bounds the path string at scale)
+_PATH_TOP_K = 20
+
+
+@register(
+    "q_session_paths",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > {_PATH_GAP_US}
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, ts, event_type,
+             CAST(SUM(new_session) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
+      FROM gaps
+    ),
+    paths AS (
+      SELECT user_id, session_id,
+             array_to_string(
+               (list(event_type ORDER BY ts, event_id))[1:{_PATH_PREFIX}],
+               '>') AS path
+      FROM sess GROUP BY user_id, session_id
+    ),
+    counts AS (
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions FROM paths
+      GROUP BY path
+    ),
+    tot AS (SELECT CAST(SUM(n_sessions) AS BIGINT) AS t FROM counts),
+    ranked AS (
+      SELECT path, n_sessions,
+             CAST(row_number() OVER (ORDER BY n_sessions DESC, path)
+                  AS BIGINT) AS rank
+      FROM counts
+    )
+    SELECT path, n_sessions, rank,
+           CAST(n_sessions AS DOUBLE) / t AS share
+    FROM ranked, tot
+    WHERE rank <= {_PATH_TOP_K}
+    """,
+)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: q_sessionize's 30-minute-gap sessions reduced to
+    their first {k}-event type sequence ('view>click>purchase'), ranked
+    by frequency with each path's share of all sessions — the 'what do
+    people actually do' table product analytics reads before any funnel
+    is designed (funnels test a hypothesized path; this surfaces the
+    real ones). The prefix cap bounds the path string regardless of
+    session length, so a runaway session can't blow up the key.
+
+    Scale shape: the sessionization windows ride the same user_id
+    partitioning every per-user operator reuses; paths aggregate on the
+    (user, session) grain, then ONE hash aggregate on the path key and a
+    global top-{t} (count-desc, path tiebreak — a total order) via the
+    q_sort_limit_topk TakeOrdered discipline; the session total
+    broadcasts. Determinism: counts are exact BIGINTs, share is one
+    division, and ties cannot reorder across engines."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_us = F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        prev_us.isNull() | (F.unix_micros("ts") - prev_us > _PATH_GAP_US), 1
+    ).otherwise(0)
+    sess = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        "event_type",
+        F.sum(new_session).over(wsum).alias("session_id"),
+    )
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.concat_ws(
+            ">",
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("us", "event_id", "event_type")
+                        )
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                1,
+                _PATH_PREFIX,
+            ),
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    tot = counts.agg(F.sum("n_sessions").cast("long").alias("t"))
+    wr = Window.orderBy(F.col("n_sessions").desc(), "path")
+    ranked = counts.withColumn(
+        "rank", F.row_number().over(wr).cast("long")
+    ).filter(F.col("rank") <= _PATH_TOP_K)
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "path",
+        "n_sessions",
+        "rank",
+        (F.col("n_sessions").cast("double") / F.col("t")).alias("share"),
+    )
+
+
+q_session_paths.__doc__ = q_session_paths.__doc__.format(
+    k=_PATH_PREFIX, t=_PATH_TOP_K
+)

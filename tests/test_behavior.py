@@ -222,3 +222,25 @@ def test_cohort_ltv_monotone_and_reconciles(spark, sf_dir):
             run += c["rev_usd"]
             assert c["cum_rev"] == run  # cumulative reconciles exactly
             assert c["ltv_usd"] == c["cum_rev"] / c["n_custs"]
+
+
+# ---------------------------------------------------------------------------
+# q_session_paths
+# ---------------------------------------------------------------------------
+def test_session_paths_reconciles_with_sessionize(spark, sf_dir):
+    rows = sorted(
+        QUERIES["q_session_paths"](spark, sf_dir).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert rows and len(rows) <= 20
+    n_sessions_total = QUERIES["q_sessionize"](spark, sf_dir).count()
+    # ranks are 1..k with counts non-increasing, shares over ALL sessions
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_sessions"] >= b["n_sessions"]
+    for r in rows:
+        assert r["share"] == r["n_sessions"] / n_sessions_total
+        steps = r["path"].split(">")
+        assert 1 <= len(steps) <= 8
+        assert all(s in {"view", "click", "signup", "purchase", "error"} for s in steps)
+    assert sum(r["share"] for r in rows) <= 1.0 + 1e-12
