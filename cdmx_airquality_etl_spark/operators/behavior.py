@@ -1058,3 +1058,196 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_session_paths.__doc__ = q_session_paths.__doc__.format(
     k=_PATH_PREFIX, t=_PATH_TOP_K
 )
+
+
+# ---------------------------------------------------------------------------
+# q_shapley_attribution — coalition-value (Shapley) channel attribution
+# ---------------------------------------------------------------------------
+def _shap_terms(i: int, n: int = 4) -> list[tuple[int, int, float]]:
+    """(S, S|bit_i, weight) for every coalition S not containing channel i;
+    weight = |S|!(n-|S|-1)!/n! — shared by the SQL generator and the Spark
+    expression builder so the two engines cannot drift."""
+    import math
+
+    out = []
+    for s in range(2**n):
+        if s & (1 << i):
+            continue
+        k = bin(s).count("1")
+        w = math.factorial(k) * math.factorial(n - k - 1) / math.factorial(n)
+        out.append((s, s | (1 << i), w))
+    return out
+
+
+def _shapley_oracle() -> str:
+    n = len(_MK_CHANNELS)
+    bits = ", ".join(
+        f"CAST(SUM(CASE WHEN e.event_type = '{c}' AND (f.pus IS NULL"
+        f" OR e.us < f.pus"
+        f" OR (e.us = f.pus AND e.event_id < f.pid))"
+        f" THEN 1 ELSE 0 END) > 0 AS INT) * {1 << i} AS b{i}"
+        for i, c in enumerate(_MK_CHANNELS)
+    )
+    vcols = ", ".join(
+        f"CAST(SUM(CASE WHEN (mask & {s}) = mask THEN n_conv ELSE 0 END)"
+        f" AS BIGINT) AS v{s}"
+        for s in range(2**n)
+    )
+    phi = {}
+    for i, c in enumerate(_MK_CHANNELS):
+        terms = " + ".join(
+            f"{w!r} * (CAST(v{s1} AS DOUBLE) - v{s0})"
+            for s0, s1, w in _shap_terms(i, n)
+        )
+        phi[c] = f"({terms})"
+    tot_phi = " + ".join(phi[c] for c in _MK_CHANNELS)
+    selects = "\n    UNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS channel, {phi[c]} AS shapley_conversions,
+           CASE WHEN ({tot_phi}) > 0.0
+                THEN {phi[c]} / ({tot_phi}) ELSE 0.0 END
+             AS attribution_share,
+           v{2**n - 1} AS total_conversions, v0 AS baseline_conversions
+    FROM vs"""
+        for c in _MK_CHANNELS
+    )
+    return f"""
+    WITH ev2 AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+      FROM events
+    ),
+    firstp AS (
+      SELECT user_id, us AS pus, event_id AS pid
+      FROM (
+        SELECT user_id, us, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS rn
+        FROM ev2 WHERE event_type = 'purchase'
+      ) WHERE rn = 1
+    ),
+    j AS (
+      SELECT e.user_id, {bits},
+             CAST(MAX(CASE WHEN f.pus IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+               AS conv
+      FROM (SELECT user_id, us, event_id, event_type FROM ev2
+            WHERE event_type <> 'purchase') e
+      LEFT JOIN firstp f USING (user_id)
+      GROUP BY e.user_id
+    ),
+    cells AS (
+      SELECT b0 + b1 + b2 + b3 AS mask,
+             CAST(SUM(conv) AS BIGINT) AS n_conv
+      FROM j GROUP BY 1
+    ),
+    vs AS (SELECT {vcols} FROM cells)
+    {selects}
+    """
+
+
+@register("q_shapley_attribution", oracle=_shapley_oracle())
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value channel attribution: each channel's credit is its
+    average marginal contribution across every coalition of the other
+    channels — the order-free, axiomatically fair split (efficiency:
+    credits sum to v(all) − v(none)) that complements
+    q_markov_attribution's sequence-aware removal effects. Coalition
+    value v(S) = converted journeys whose pre-purchase channel set ⊆ S
+    (reach monotone by construction).
+
+    Scale shape: the corpus pays ONE per-user journey aggregate (channel
+    presence bits + conversion flag — no sequence assembly needed here)
+    and one 16-cell mask aggregate; the 2⁴ coalition values and all 32
+    weighted marginal terms are a CLOSED-FORM expression over those 16
+    exact BIGINTs, generated from the same _shap_terms table in both
+    engines — explicit term order, exact factorial-ratio weights, no
+    float accumulation beyond the fixed chain. Journeys cut at the first
+    purchase exactly like q_markov_attribution."""
+    n = len(_MK_CHANNELS)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        "event_type",
+    )
+    wp = Window.partitionBy("user_id").orderBy("us", "event_id")
+    firstp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", F.col("us").alias("pus"), F.col("event_id").alias("pid")
+        )
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").join(
+        firstp, "user_id", "left"
+    )
+    before_p = (
+        F.col("pus").isNull()
+        | (F.col("us") < F.col("pus"))
+        | ((F.col("us") == F.col("pus")) & (F.col("event_id") < F.col("pid")))
+    )
+    j = touches.groupBy("user_id").agg(
+        *[
+            (
+                (
+                    F.sum(
+                        F.when(
+                            (F.col("event_type") == c) & before_p, 1
+                        ).otherwise(0)
+                    )
+                    > 0
+                ).cast("int")
+                * (1 << i)
+            ).alias(f"b{i}")
+            for i, c in enumerate(_MK_CHANNELS)
+        ],
+        F.max(F.when(F.col("pus").isNotNull(), 1).otherwise(0))
+        .cast("int")
+        .alias("conv"),
+    )
+    cells = j.groupBy(
+        sum(
+            [F.col(f"b{i}") for i in range(1, n)], F.col("b0")
+        ).alias("mask")
+    ).agg(F.sum("conv").cast("long").alias("n_conv"))
+    vs = cells.agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("mask").bitwiseAND(F.lit(s)) == F.col("mask"),
+                    F.col("n_conv"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias(f"v{s}")
+            for s in range(2**n)
+        ]
+    )
+
+    def _phi(i: int):
+        terms = None
+        for s0, s1, w in _shap_terms(i, n):
+            t = F.lit(w) * (
+                F.col(f"v{s1}").cast("double") - F.col(f"v{s0}")
+            )
+            terms = t if terms is None else terms + t
+        return terms
+
+    tot = None
+    for i in range(n):
+        tot = _phi(i) if tot is None else tot + _phi(i)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("channel"),
+                _phi(i).alias("shapley_conversions"),
+                F.when(tot > 0.0, _phi(i) / tot)
+                .otherwise(F.lit(0.0))
+                .alias("attribution_share"),
+                F.col(f"v{2**n - 1}").alias("total_conversions"),
+                F.col("v0").alias("baseline_conversions"),
+            )
+            for i, c in enumerate(_MK_CHANNELS)
+        ]
+    )
+    return vs.select(F.explode(rows).alias("r")).select("r.*")

@@ -244,3 +244,62 @@ def test_session_paths_reconciles_with_sessionize(spark, sf_dir):
         assert 1 <= len(steps) <= 8
         assert all(s in {"view", "click", "signup", "purchase", "error"} for s in steps)
     assert sum(r["share"] for r in rows) <= 1.0 + 1e-12
+
+
+# ---------------------------------------------------------------------------
+# q_shapley_attribution
+# ---------------------------------------------------------------------------
+def test_shapley_efficiency_and_replay(spark, sf_dir):
+    import itertools
+
+    rows = {
+        r["channel"]: r
+        for r in QUERIES["q_shapley_attribution"](spark, sf_dir).collect()
+    }
+    channels = ("click", "error", "signup", "view")
+    assert set(rows) == set(channels)
+    tot = rows["click"]["total_conversions"]
+    base = rows["click"]["baseline_conversions"]
+    # efficiency axiom: credits sum to v(all) - v(none)
+    s = sum(r["shapley_conversions"] for r in rows.values())
+    assert abs(s - (tot - base)) < 1e-6
+    assert abs(sum(r["attribution_share"] for r in rows.values()) - 1.0) < 1e-9
+    # independent replay from raw events
+    ev = _events(sf_dir).sort_values(["user_id", "ts", "event_id"])
+    masks = {}  # user -> (mask, conv)
+    for uid, g in ev.groupby("user_id"):
+        pur = g[g.event_type == "purchase"]
+        if len(pur):
+            first = pur.iloc[0]
+            pre = g[
+                (g.ts < first.ts)
+                | ((g.ts == first.ts) & (g.event_id < first.event_id))
+            ]
+            conv = 1
+        else:
+            pre, conv = g, 0
+        mask = 0
+        for i, c in enumerate(channels):
+            if (pre.event_type == c).any():
+                mask |= 1 << i
+        masks[uid] = (mask, conv)
+    cells = {}
+    for mask, conv in masks.values():
+        cells[mask] = cells.get(mask, 0) + conv
+
+    def v(S):
+        return sum(c for m, c in cells.items() if (m & S) == m)
+
+    import math
+
+    for i, c in enumerate(channels):
+        phi = 0.0
+        for k in range(4):
+            for S in itertools.combinations([j for j in range(4) if j != i], k):
+                sm = sum(1 << j for j in S)
+                w = math.factorial(k) * math.factorial(3 - k) / 24.0
+                phi += w * (v(sm | (1 << i)) - v(sm))
+        assert rows[c]["shapley_conversions"] == __import__("pytest").approx(
+            phi, abs=1e-9
+        )
+    assert tot == v(15) and base == v(0)
