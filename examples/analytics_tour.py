@@ -6,6 +6,8 @@ runnable script — the consumer-side complement to examples/quickstart.py
                 returned-item customers (Q10), month-over-month growth,
                 ABC inventory bands, metric reconciliation
     behavior    funnel → attribution → stickiness over the event stream
+    experiment  Welch → sequential monitor → diff-in-diff → BH FDR screen
+    attribution Markov removal-effect → Shapley coalition credit
     retrieval   cosine top-k → MMR diversification → NDCG quality grade
     governance  k-anonymity audit before any of it ships
 
@@ -57,6 +59,18 @@ def main() -> None:
     QUERIES["q_similarity_topk"](spark, sf_dir).show(5)
     QUERIES["q_mmr_rerank"](spark, sf_dir).orderBy("pick").show()
     QUERIES["q_ndcg"](spark, sf_dir).show()
+
+    print("== experimentation: one-shot -> sequential -> causal -> corrected ==")
+    QUERIES["q_ab_welch"](spark, sf_dir).show()
+    seq = QUERIES["q_ab_sequential"](spark, sf_dir)
+    stops = seq.filter(seq.crossed == 1).count()
+    print(f"sequential monitor: {seq.count()} daily looks, {stops} boundary crossings")
+    QUERIES["q_diff_in_diff"](spark, sf_dir).show()
+    QUERIES["q_fdr_screen"](spark, sf_dir).orderBy("p_rank").show(truncate=False)
+
+    print("== attribution: positional -> counterfactual -> coalition ==")
+    QUERIES["q_markov_attribution"](spark, sf_dir).orderBy("channel").show()
+    QUERIES["q_shapley_attribution"](spark, sf_dir).orderBy("channel").show()
 
     print("== governance: k-anonymity before release ==")
     k = QUERIES["q_k_anonymity"](spark, sf_dir)
