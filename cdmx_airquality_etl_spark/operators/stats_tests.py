@@ -1339,3 +1339,97 @@ def q_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_fdr_screen.__doc__ = q_fdr_screen.__doc__.format(a=_FDR_ALPHA)
+
+
+# ---------------------------------------------------------------------------
+# q_err_eval — Expected Reciprocal Rank (cascade click model) @ K
+# ---------------------------------------------------------------------------
+_ERR_K = 10
+
+
+@register(
+    "q_err_eval",
+    oracle=f"""
+    WITH {_SQL_NZ_CTE},
+    q AS (SELECT embedding AS qe, label AS ql FROM nz WHERE vec_id = 0),
+    ranked AS (
+      SELECT row_number() OVER (
+               ORDER BY {_sql_cos('e.embedding', 'q.qe')} DESC, e.vec_id
+             ) AS rnk,
+             CASE WHEN e.label = q.ql THEN 1 ELSE 0 END AS rel
+      FROM nz e, q WHERE e.vec_id <> 0
+    ),
+    hits AS (
+      SELECT rnk,
+             CAST(row_number() OVER (ORDER BY rnk) AS BIGINT) AS j
+      FROM ranked WHERE rel = 1 AND rnk <= {_ERR_K}
+    ),
+    terms AS (
+      SELECT rnk, j, (1.0 / (CAST(1 AS BIGINT) << j)) / rnk AS term
+      FROM hits
+    )
+    SELECT COALESCE(
+             (SELECT list_reduce(list(term ORDER BY rnk), (a, b) -> a + b)
+              FROM terms), 0.0) AS err,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_rel_topk,
+           (SELECT MIN(rnk) FROM hits) AS first_rel_rank
+    """,
+)
+def q_err_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Reciprocal Rank @ {k} for the same cosine ranking q_ndcg
+    grades: the cascade click model (Chapelle et al. 2009) — a user scans
+    down the list and stops at each relevant result with probability ½
+    (binary relevance), so ERR = Σ_j 2^{{-j}} / rank_j over the relevant
+    items in rank order. Position-steeper than NDCG (a relevant item
+    behind another relevant item is worth half as much), completing the
+    IR-metric set: recall (q_ann_recall) → NDCG → MRR → ERR.
+
+    Determinism: with binary relevance every term is (1 / 2^j) / rank —
+    two exactly-representable-divisor divisions of exact integers (the
+    2^j power is an INTEGER SHIFT, not library pow) — and the ≤{k}-term
+    sum is a SEQUENTIAL FOLD in rank order. Same bounded ranking window
+    note as q_ndcg: production feeds this from the TakeOrdered top-k."""
+    nz = _nonzero(load_table(spark, sf_dir, "embeddings"))
+    q = nz.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), F.col("label").alias("ql")
+    )
+    cand = nz.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    cos = _dot("embedding", "qe") / (
+        F.sqrt(_dot("embedding", "embedding")) * F.sqrt(_dot("qe", "qe"))
+    )
+    ranked = cand.select(
+        F.row_number()
+        .over(Window.orderBy(cos.desc(), F.col("vec_id")))
+        .alias("rnk"),
+        F.when(F.col("label") == F.col("ql"), 1).otherwise(0).alias("rel"),
+    )
+    hits = (
+        ranked.filter((F.col("rel") == 1) & (F.col("rnk") <= _ERR_K))
+        .select(
+            "rnk",
+            F.row_number().over(Window.orderBy("rnk")).cast("long").alias("j"),
+        )
+    )
+    term = (
+        F.lit(1.0) / F.expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))")
+    ) / F.col("rnk")
+    return hits.agg(
+        F.coalesce(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rnk", term.alias("t")))
+                    ),
+                    lambda x: x["t"],
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ),
+            F.lit(0.0),
+        ).alias("err"),
+        F.count(F.lit(1)).cast("long").alias("n_rel_topk"),
+        F.min("rnk").alias("first_rel_rank"),
+    )
+
+
+q_err_eval.__doc__ = q_err_eval.__doc__.format(k=_ERR_K)

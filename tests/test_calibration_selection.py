@@ -220,3 +220,64 @@ def test_eb_shrinkage_pulls_toward_grand_mean(spark, sf_dir):
     by_n = sorted(rows, key=lambda r: r["n_docs"])
     for a, b in zip(by_n, by_n[1:]):
         assert a["shrink_weight"] <= b["shrink_weight"] + 1e-12
+
+
+# ---------------------------------------------------------------------------
+# q_err_eval
+# ---------------------------------------------------------------------------
+def test_err_eval_matches_cascade_replay(spark, sf_dir):
+    row = QUERIES["q_err_eval"](spark, sf_dir).collect()[0]
+    ndcg = QUERIES["q_ndcg"](spark, sf_dir).collect()[0]
+    assert 0.0 <= row["err"] <= 1.0
+    if row["n_rel_topk"] == 0:
+        assert row["err"] == 0.0 and row["first_rel_rank"] is None
+        return
+    # cascade replay from the MRR-style facts: ERR is bounded above by
+    # 1/2 / first_rel_rank + the geometric tail
+    assert row["first_rel_rank"] >= 1
+    first_term = 0.5 / row["first_rel_rank"]
+    assert row["err"] >= first_term - 1e-15
+    tail = sum(
+        (0.5**j) / row["first_rel_rank"] for j in range(1, row["n_rel_topk"] + 1)
+    )
+    assert row["err"] <= tail + 1e-12
+    # ERR and NDCG grade the same ranking: both zero or both positive
+    assert (row["err"] > 0) == (ndcg["dcg"] > 0)
+
+
+def test_pav_maxmin_identity_hypothesis():
+    """The max-min representation q_isotonic_calibration evaluates must
+    equal stack-based PAV on arbitrary bins — the algebraic identity the
+    Spark expression relies on, checked exhaustively-ish."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    bins_st = st.lists(
+        st.tuples(st.integers(1, 50), st.integers(0, 50)).map(
+            lambda t: (t[0], min(t[1], t[0]))
+        ),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(bins_st)
+    def check(bins):
+        ref = _pav(bins)
+        n = len(bins)
+        cn = [0]
+        cp = [0]
+        for nn, pp in bins:
+            cn.append(cn[-1] + nn)
+            cp.append(cp[-1] + pp)
+        for i in range(n):
+            got = max(
+                min(
+                    (cp[k + 1] - cp[j]) / (cn[k + 1] - cn[j])
+                    for k in range(i, n)
+                )
+                for j in range(0, i + 1)
+            )
+            assert abs(got - ref[i]) < 1e-12
+
+    check()
