@@ -88,6 +88,10 @@ ALLOWLIST: dict[str, str] = {
         "builds are the single labeled query vector (pushed vec_id "
         "equality filter) — 1 row each"
     ),
+    "q_err_eval": (
+        "build is the single labeled query vector (pushed vec_id "
+        "equality filter) — 1 row, the q_ndcg shape"
+    ),
     "q_query_expansion": (
         "builds are the 1-row seed query embedding and the 1-row "
         "Rocchio-expanded query (pushed vec_id equality filters) — "
