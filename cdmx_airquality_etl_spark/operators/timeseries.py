@@ -1004,8 +1004,14 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     constants are exact binary fractions, and every step is the same
     fixed-shape double expression in both engines — bitwise equal, no
     float accumulation ambiguity anywhere."""
+    return hw_from_daily(_daily(spark, sf_dir))
+
+
+def hw_from_daily(daily: DataFrame) -> DataFrame:
+    """The Holt-Winters fold over any (d, y) day-count frame — shared by
+    the batch query above and the ST-HW streaming monitor
+    (streaming/forecast_monitor.py), so the two can be compared bitwise."""
     m, a, b_, g = _HW_SEASON, _HW_ALPHA, _HW_BETA, _HW_GAMMA
-    daily = _daily(spark, sf_dir)
     one = daily.agg(
         F.min("d").alias("mn"),
         F.max("d").alias("mx"),
