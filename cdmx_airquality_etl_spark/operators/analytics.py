@@ -1142,3 +1142,71 @@ def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         se.alias("se"),
         (did / se).alias("t_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_srm_check — sample-ratio-mismatch guardrail for the A/B assignment
+# ---------------------------------------------------------------------------
+# chi-square(1df) critical value at alpha = 0.001 — the industry SRM
+# threshold (Fabijan et al. 2019); a literal, so no CDF/erf dependency
+_SRM_CRIT = 10.828
+
+
+@register(
+    "q_srm_check",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id % 2 AS cohort FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM u
+    )
+    SELECT na AS n_a, nb AS n_b,
+           CAST(na AS DOUBLE) / (na + nb) AS ratio_a,
+           CAST((na - nb) * (na - nb) AS DOUBLE) / (na + nb) AS chi2,
+           CAST(CAST((na - nb) * (na - nb) AS DOUBLE) / (na + nb)
+                > {_SRM_CRIT} AS BIGINT) AS srm_detected
+    FROM m
+    WHERE na + nb > 0
+    """,
+)
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail: before reading ANY experiment
+    metric, test whether the unit-level 50/50 hash assignment actually
+    produced a 50/50 split — a skewed ratio means broken randomization
+    (redirect bugs, bot filtering, logging loss) and invalidates every
+    downstream readout. Chi-square goodness-of-fit against equal
+    expected counts collapses to (n_a − n_b)²/(n_a + n_b) for two cells;
+    the verdict compares against the literal 1-df α=0.001 critical value
+    ({c}) — the industry threshold — so no CDF is evaluated anywhere.
+    First gate of the experimentation family (SRM → Welch → sequential →
+    CUPED → DiD → FDR).
+
+    Scale shape: one per-user distinct aggregate (the same user_id
+    shuffle every experiment op rides) and a two-cell scalar rollup.
+    Determinism: counts are exact BIGINTs; the statistic is one
+    fixed-shape division; the flag compares against a literal."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select((F.col("user_id") % 2).alias("cohort"), "user_id").distinct()
+    m = u.agg(
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    chi2 = ((na - nb) * (na - nb)).cast("double") / (na + nb)
+    return m.filter(na + nb > 0).select(
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        (na.cast("double") / (na + nb)).alias("ratio_a"),
+        chi2.alias("chi2"),
+        (chi2 > _SRM_CRIT).cast("long").alias("srm_detected"),
+    )
+
+
+q_srm_check.__doc__ = q_srm_check.__doc__.format(c=_SRM_CRIT)

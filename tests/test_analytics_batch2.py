@@ -182,3 +182,20 @@ def test_fdr_screen_bh_procedure(spark, sf_dir):
     # rejections are a prefix of the p-ordered list (step-up property)
     flags = [r["rejected"] for r in rows]
     assert flags == sorted(flags, reverse=True)
+
+
+def test_srm_check_replays_from_users(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    row = QUERIES["q_srm_check"](spark, sf_dir).collect()[0]
+    ev = pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
+    users = ev["user_id"].drop_duplicates()
+    na = int((users % 2 == 0).sum())
+    nb = int((users % 2 == 1).sum())
+    assert row["n_a"] == na and row["n_b"] == nb
+    assert row["ratio_a"] == na / (na + nb)
+    chi2 = (na - nb) ** 2 / (na + nb)
+    assert abs(row["chi2"] - chi2) < 1e-12
+    assert row["srm_detected"] == (1 if chi2 > 10.828 else 0)
+    # the synthetic hash split is healthy: no mismatch expected
+    assert row["srm_detected"] == 0
