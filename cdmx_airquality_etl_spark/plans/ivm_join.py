@@ -25,9 +25,11 @@ Scale notes: both paths keep the big side (A) partitioned by the join
 key; ΔB and the affected-key set are dimension-sized and broadcast. The
 view is stored partitioned the same way the merge writer stores targets
 (plans/merge.py), so the delete+append touches only affected files on a
-real table format. Writes go through an overwrite of the view path at
-this demo's scale; a production deployment swaps in the ACID
-MERGE/DELETE of plans/merge.py's Delta seam.
+real table format. The dimension-update rewrite goes through
+plans/maintenance._atomic_swap_write (write staging, rename swap, keep a
+``__old_`` survivor for recover_table) so a crash never loses the view;
+a production deployment swaps in the ACID MERGE/DELETE of
+plans/merge.py's Delta seam.
 """
 
 from __future__ import annotations
@@ -67,12 +69,13 @@ def apply_dim_delta(
     a_touched = a.join(F.broadcast(affected), key, "left_semi")
     refreshed = build_view(a_touched, b_delta_new, key)
     out = kept.unionByName(refreshed)
-    # the parquet fallback rewrites via a staging dir so a crash never
-    # leaves a half-deleted view (same discipline as plans/merge.py)
-    staging = view_path + "._ivm_staging"
-    out.write.mode("overwrite").parquet(staging)
-    final = spark.read.parquet(staging)
-    final.write.mode("overwrite").parquet(view_path)
-    import shutil
+    # crash-safe rewrite via the shared write-tmp-then-rename swap
+    # (plans/maintenance._atomic_swap_write): the new view materializes
+    # fully in a tmp dir BEFORE the old one moves aside, the swap window
+    # is covered by recover_table's __old_ survivor, and the local-only /
+    # file:-scheme guard applies — a plain mode('overwrite') of view_path
+    # was itself non-atomic (crash mid-overwrite lost the view with
+    # nothing to recover).
+    from .maintenance import _atomic_swap_write
 
-    shutil.rmtree(staging.replace("file:", ""), ignore_errors=True)
+    _atomic_swap_write(out, view_path)

@@ -33,24 +33,54 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_REMOTE_SCHEME = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://")
+_REMOTE_SCHEME = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*:")
 
 
-def _assert_local_path(path: str) -> None:
-    """This module is EXPLICITLY local/POSIX-only: the M-TXN guarantee
+def _local_path(path: str) -> str:
+    """Resolve ``path`` to a plain POSIX path the os module can operate on.
+
+    This module is EXPLICITLY local/POSIX-only: the M-TXN guarantee
     rests on os.rename being atomic, which holds for a local filesystem
     and for nothing behind an object-store scheme (S3 rename is
     copy+delete; a crash mid-'rename' loses the guarantee silently).
     Cluster tables get maintenance from their table format instead — the
     ACID seam (plans/merge.py ACID_PROVIDERS) dispatches to engines whose
     OPTIMIZE/rewrite own the commit protocol. Fail loudly rather than
-    corrupt quietly."""
-    if _REMOTE_SCHEME.match(path) and not path.startswith("file://"):
+    corrupt quietly.
+
+    ``file:`` URIs ARE local, but must be stripped to a bare path before
+    any os.walk/os.stat/os.rename — passing the raw URI through made
+    table_stats('file:///x') silently report 0 files (os.walk of a
+    nonexistent relative './file:///x') and merge's os.rename raise
+    mid-swap, exactly the silent-wrong-answer/corrupt-window this guard
+    exists to prevent. Accepted forms: ``file:/p``, ``file:///p``
+    (empty authority); a ``file://host/p`` remote authority is refused."""
+    if path.startswith("file:"):
+        rest = path[len("file:"):]
+        if rest.startswith("//"):
+            rest = rest[2:]
+            if not rest.startswith("/"):
+                raise NotImplementedError(
+                    f"file:// URI with a remote host authority is not a "
+                    f"local path: {path!r}"
+                )
+        if not rest.startswith("/"):
+            raise NotImplementedError(f"malformed file: URI: {path!r}")
+        return rest
+    if _REMOTE_SCHEME.match(path):
         raise NotImplementedError(
             f"parquet maintenance is local-filesystem-only (atomic-rename "
             f"M-TXN guarantee); got {path!r}. On cluster storage use an "
             f"ACID table format's own maintenance (see plans/merge.py)."
         )
+    return path
+
+
+def _assert_local_path(path: str) -> None:
+    """Validation-only form of :func:`_local_path` (kept for callers that
+    must refuse remote schemes but handle the path themselves — they are
+    expected to rebind through ``_local_path`` before os-level work)."""
+    _local_path(path)
 
 
 def _data_files(path: str) -> list[tuple[str, int]]:
@@ -66,7 +96,7 @@ def _data_files(path: str) -> list[tuple[str, int]]:
 def table_stats(spark: SparkSession, path: str) -> dict:
     """Layout health: file count, bytes, avg file size — the signal that
     decides whether a compaction pass is worth scheduling."""
-    _assert_local_path(path)
+    path = _local_path(path)
     files = _data_files(path)
     total = sum(sz for _, sz in files)
     return {
@@ -79,7 +109,7 @@ def table_stats(spark: SparkSession, path: str) -> dict:
 def partition_columns(path: str) -> list[str]:
     """Hive-style partition columns of a parquet dir (from `col=value`
     subdirectory names), outermost first; [] for flat tables."""
-    _assert_local_path(path)
+    path = _local_path(path)
     cols: list[str] = []
     cur = path
     while True:
@@ -105,7 +135,7 @@ def _atomic_swap_write(
     previous state survives at ``<path>__old_*`` for manual recovery (true
     atomic dir swap needs a transactional table format — Delta/Iceberg slot
     in here)."""
-    _assert_local_path(path)
+    path = _local_path(path)
     tmp = f"{path}__tmp_{uuid.uuid4().hex}"
     writer = df.write.mode("overwrite")
     if partition_cols:
@@ -123,7 +153,7 @@ def recover_table(path: str) -> bool:
     died between the two renames), restore the newest survivor. Returns True
     when a restore happened. Run before reads on a table whose maintenance
     job may have crashed."""
-    _assert_local_path(path)
+    path = _local_path(path)
     if os.path.exists(path):
         return False
     parent, base = os.path.dirname(path) or ".", os.path.basename(path)
@@ -146,7 +176,7 @@ def vacuum(path: str, max_age_seconds: int = 24 * 3600) -> int:
     write or the post-swap rmtree died). Never touches a survivor that
     recover_table would still need: if ``path`` itself is missing, vacuum
     refuses to delete ``__old_*`` dirs. Returns the number removed."""
-    _assert_local_path(path)
+    path = _local_path(path)
     import time
 
     def tree_mtime(p: str) -> float:

@@ -198,11 +198,12 @@ def merge_into_parquet(
         )
     else:
         merged = merge_upsert(target, source, keys, counter_col=counter_col)
-        # the rename swap is POSIX-only — refuse object-store schemes
+        # the rename swap is POSIX-only — refuse object-store schemes and
+        # strip a file: scheme so os.rename sees a real path
         # (the ACID seam below is the cluster path)
-        from .maintenance import _assert_local_path
+        from .maintenance import _local_path
 
-        _assert_local_path(path)
+        path = _local_path(path)
         tmp = f"{path}__tmp_{uuid.uuid4().hex}"
         merged.write.mode("overwrite").parquet(tmp)
         old = f"{path}__old_{uuid.uuid4().hex}"

@@ -1,6 +1,11 @@
 from .corpus_ingest import corpus_ingest_stream, dedup_batch_against_corpus
 from .dedup import content_fingerprint, dedup_stream_within_watermark
-from .drift import batch_drift, category_profile, drift_monitor_stream
+from .drift import (
+    batch_drift,
+    category_profile,
+    drift_monitor_stream,
+    read_drift_log,
+)
 from .hygiene import decontaminate_batch, decontaminate_stream
 from .index_maintenance import assign_cells, ivf_ingest_stream
 from .kmv_maintenance import kmv_stream, read_kmv_estimate, read_sketch, update_sketch
@@ -21,6 +26,7 @@ __all__ = [
     "batch_drift",
     "category_profile",
     "drift_monitor_stream",
+    "read_drift_log",
     "ingest_stream",
     "ivf_ingest_stream",
     "kmv_stream",

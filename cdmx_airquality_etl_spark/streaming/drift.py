@@ -63,6 +63,30 @@ def batch_drift(batch_df: DataFrame, reference: DataFrame, key_col: str) -> Data
     )
 
 
+def read_drift_log(spark: SparkSession, out_path: str) -> DataFrame:
+    """The monitor's verdict log: union of all COMMITTED per-batch rows
+    (uncommitted crash leftovers excluded by the marker check, the same
+    filter the writer's replay guard applies). Empty relation before any
+    batch commits."""
+    from .block_index import assert_success_markers_enabled
+    from .cms_maintenance import _fs_and_path
+
+    assert_success_markers_enabled(spark)
+    fs, root, jvm = _fs_and_path(spark, out_path)
+    committed: list[str] = []
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            p = st.getPath()
+            if st.isDirectory() and p.getName().startswith("state="):
+                if fs.exists(jvm.org.apache.hadoop.fs.Path(p, "_SUCCESS")):
+                    committed.append(p.toString())
+    if not committed:
+        return spark.createDataFrame(
+            [], "batch_id long, n_rows long, l1_distance double, drifted boolean"
+        )
+    return spark.read.parquet(*sorted(committed))
+
+
 def drift_monitor_stream(
     spark: SparkSession,
     source_dir: str,
@@ -73,17 +97,34 @@ def drift_monitor_stream(
     checkpoint_dir: str,
     threshold: float = DEFAULT_THRESHOLD,
 ):
-    """Wire the monitor as a checkpointed AvailableNow stream appending one
+    """Wire the monitor as a checkpointed AvailableNow stream emitting one
     (batch_id, n_rows, l1_distance, drifted) row per micro-batch. The
     reference profile is materialized ONCE up front (category-cardinality
     rows collected to a literal frame) so each batch pays no re-scan of
-    the reference corpus."""
+    the reference corpus.
+
+    Replay-safe: foreachBatch is at-least-once, and a plain append would
+    re-emit a batch's row after a crash-before-checkpoint-commit,
+    double-counting drift alerts downstream. Each verdict row therefore
+    commits to its own ``state=<batch_id>/`` subdirectory under the
+    block-index ``_SUCCESS``-marker protocol — a replayed committed id is
+    skipped, a crashed half-write lacks the marker, is invisible to
+    :func:`read_drift_log`, and is overwritten on retry."""
+    from .block_index import assert_success_markers_enabled
+    from .cms_maintenance import _fs_and_path
+
+    assert_success_markers_enabled(spark)
     ref_rows = reference.collect()  # bounded: one row per category
     ref_lit = spark.createDataFrame(ref_rows, reference.schema)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        vdir = posixpath.join(out_path, f"state={int(batch_id)}")
+        fs, _, jvm = _fs_and_path(sess, vdir)
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(posixpath.join(vdir, "_SUCCESS"))):
+            return  # replayed, fully-committed batch
         row = batch_drift(batch_df, ref_lit, key_col).collect()[0]
-        batch_df.sparkSession.createDataFrame(
+        sess.createDataFrame(
             [
                 (
                     int(batch_id),
@@ -93,7 +134,7 @@ def drift_monitor_stream(
                 )
             ],
             "batch_id long, n_rows long, l1_distance double, drifted boolean",
-        ).coalesce(1).write.mode("append").parquet(out_path)
+        ).coalesce(1).write.mode("overwrite").parquet(vdir)
 
     stream = (
         spark.readStream.schema(source_schema)

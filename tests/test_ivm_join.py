@@ -89,6 +89,8 @@ def test_streaming_view_maintenance(spark, tmp_path):
     from pyspark.sql.types import IntegerType, StructField, StructType
 
     from cdmx_airquality_etl_spark.streaming.view_maintenance import (
+        read_view,
+        seed_view,
         view_maintenance_stream,
     )
 
@@ -115,9 +117,10 @@ def test_streaming_view_maintenance(spark, tmp_path):
     spark.createDataFrame(batches[0], fact_schema).write.parquet(
         os.path.join(fact_dir, "b0")
     )
-    build_view(
-        spark.read.parquet(os.path.join(fact_dir, "b0")), dim, "k"
-    ).write.parquet(view_path)
+    seed_view(
+        build_view(spark.read.parquet(os.path.join(fact_dir, "b0")), dim, "k"),
+        view_path,
+    )
     # the stream starts AFTER the seed: point it at a fresh landing dir
     # (part files appended directly — the file source does not recurse)
     land = str(tmp_path / "landing")
@@ -133,13 +136,52 @@ def test_streaming_view_maintenance(spark, tmp_path):
     all_facts = spark.createDataFrame(
         [r for b in batches for r in b], fact_schema
     )
-    assert _rows(spark.read.parquet(view_path)) == _rows(
+    assert _rows(read_view(spark, view_path)) == _rows(
         build_view(all_facts, dim, "k")
     )
     # a second run over the same landing dir is a no-op (checkpoint)
-    n = spark.read.parquet(view_path).count()
+    n = read_view(spark, view_path).count()
     q2 = view_maintenance_stream(
         spark, land, fact_schema, dim, "k", view_path, ckpt
     )
     q2.awaitTermination()
-    assert spark.read.parquet(view_path).count() == n
+    assert read_view(spark, view_path).count() == n
+
+    # at-least-once replay: a FRESH checkpoint re-delivers every landed
+    # file; committed batch ids must be skipped, not double-appended
+    q3 = view_maintenance_stream(
+        spark, land, fact_schema, dim, "k", view_path, str(tmp_path / "ckpt2")
+    )
+    q3.awaitTermination()
+    assert read_view(spark, view_path).count() == n
+
+
+def test_versioned_fact_delta_replay_and_crash(spark, tmp_path):
+    """The commit guard itself: a committed batch id short-circuits; a
+    crashed (markerless) batch is invisible to read_view and is
+    rewritten in place on retry."""
+    import os
+
+    from cdmx_airquality_etl_spark.streaming.view_maintenance import (
+        apply_fact_delta_versioned,
+        read_view,
+        seed_view,
+    )
+
+    dim = spark.createDataFrame([Row(k=1, name="one"), Row(k=2, name="two")], DIM)
+    seed = spark.createDataFrame([Row(k=1, fid=1, qty=10)], FACT)
+    view_path = str(tmp_path / "view")
+    seed_view(build_view(seed, dim, "k"), view_path)
+    delta = spark.createDataFrame([Row(k=2, fid=2, qty=20)], FACT)
+
+    assert apply_fact_delta_versioned(spark, view_path, delta, dim, "k", 0) is True
+    assert read_view(spark, view_path).count() == 2
+    # replay of a committed id: skipped, no double-append
+    assert apply_fact_delta_versioned(spark, view_path, delta, dim, "k", 0) is False
+    assert read_view(spark, view_path).count() == 2
+    # crash sim: strip the marker — the batch disappears from reads and
+    # the retry rewrites it exactly once
+    os.remove(os.path.join(view_path, "batch=0", "_SUCCESS"))
+    assert read_view(spark, view_path).count() == 1
+    assert apply_fact_delta_versioned(spark, view_path, delta, dim, "k", 0) is True
+    assert read_view(spark, view_path).count() == 2

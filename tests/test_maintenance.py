@@ -191,3 +191,34 @@ def test_remote_schemes_are_rejected(spark, tmp_path):
     d = tmp_path / "t"
     d.mkdir()
     assert table_stats(spark, str(d))["n_files"] == 0
+
+
+def test_file_uri_paths_resolve_like_plain_paths(spark, sf_dir, tmp_path):
+    """The round-7 ADVICE fix: a file:// URI must behave exactly like the
+    bare path everywhere the module touches the os layer — previously
+    table_stats('file:///x') silently reported 0 files and the rename
+    swap raised mid-window."""
+    from cdmx_airquality_etl_spark.plans.maintenance import _local_path, compact
+
+    path = str(tmp_path / "t")
+    load_table(spark, sf_dir, "nation").repartition(4).write.parquet(path)
+
+    for uri in (f"file://{path}", f"file:{path}"):
+        assert table_stats(spark, uri) == table_stats(spark, path)
+    assert table_stats(spark, path)["n_files"] == 4
+
+    before = _rows(spark.read.parquet(path))
+    # the full rewrite path (stats → swap → stats) under a file:// URI
+    res = compact(spark, f"file://{path}", target_file_bytes=1 << 30)
+    assert res["rewritten"] is True and res["after"]["n_files"] == 1
+    assert _rows(spark.read.parquet(path)) == before
+
+    # scheme algebra: local forms strip, remote authority/other schemes fail
+    assert _local_path("file:///a/b") == "/a/b"
+    assert _local_path("file:/a/b") == "/a/b"
+    assert _local_path("/a/b") == "/a/b"
+    import pytest as _pytest
+
+    for bad in ("file://host/a", "hdfs:///a", "s3a://b/t"):
+        with _pytest.raises(NotImplementedError):
+            _local_path(bad)

@@ -16,6 +16,7 @@ from cdmx_airquality_etl_spark.streaming.drift import (
     batch_drift,
     category_profile,
     drift_monitor_stream,
+    read_drift_log,
 )
 
 DOC_SCHEMA = StructType(
@@ -84,8 +85,31 @@ def test_drift_monitor_stream_verdicts(spark, sf_dir, tmp_path):
         spark, str(src), DOC_SCHEMA, ref, "lang", out, str(tmp_path / "ckpt")
     )
     q.awaitTermination(120)
-    rows = {r["batch_id"]: r for r in spark.read.parquet(out).collect()}
+    rows = {r["batch_id"]: r for r in read_drift_log(spark, out).collect()}
     assert len(rows) == 2
     assert not rows[0]["drifted"], rows[0]
     assert rows[1]["drifted"], rows[1]
     assert rows[1]["l1_distance"] > rows[0]["l1_distance"]
+
+    # replay guard: re-running the whole stream from a FRESH checkpoint
+    # re-delivers both batches; committed ids must be skipped, not
+    # double-appended (foreachBatch is at-least-once)
+    q2 = drift_monitor_stream(
+        spark, str(src), DOC_SCHEMA, ref, "lang", out, str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination(120)
+    assert read_drift_log(spark, out).count() == 2
+
+    # crash sim: a batch dir without _SUCCESS is invisible to the reader
+    # and rewritten (not duplicated) when its id replays
+    import os
+
+    marker = os.path.join(out, "state=1", "_SUCCESS")
+    os.remove(marker)
+    assert read_drift_log(spark, out).count() == 1
+    q3 = drift_monitor_stream(
+        spark, str(src), DOC_SCHEMA, ref, "lang", out, str(tmp_path / "ckpt3")
+    )
+    q3.awaitTermination(120)
+    recovered = {r["batch_id"]: r for r in read_drift_log(spark, out).collect()}
+    assert len(recovered) == 2 and recovered[1]["drifted"]
