@@ -785,71 +785,88 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     day-grain lag histogram plus the step's share and the funnel rate
     vs the signup cohort.
 
-    Scale shape: three per-user MIN aggregates chained by equi-joins all
-    partitioned on user_id (AQE reuses the exchange; no new shuffle key
-    anywhere), then ≤{d}+1-row day-grain histograms with scalar-aggregate
-    totals broadcast into the final projection. Determinism: anchors are
-    exact integer microseconds compared and differenced exactly; the two
+    Scale shape (round-7 shuffle diet — the per-step deadline scans
+    collapsed into ONE conditional-aggregation pass): a single
+    groupBy(user_id) over the 3-type-filtered events collects each
+    user's signup anchor plus their sorted click/purchase times
+    (per-group state = one user's funnel-relevant events, session-scale,
+    the same grain every sessionization op here carries); the chained
+    deadline anchors t2/t3 are then array filter/head expressions — no
+    join back per step. The day-grain histograms for BOTH steps plus the
+    signup cohort count ride one (step, lag) aggregate, with totals
+    attached by windows over that ≤3×{d}-row frame instead of
+    crossJoin(broadcast(scalar)) pairs. Plan: 2 data-sized shuffles
+    (user agg, step-lag agg) — was 18. Determinism: anchors are exact
+    integer microseconds compared and differenced exactly; the two
     ratios are single exact-integer divisions. Timestamps difference as
     raw µs, and the lag division only ever sees non-negatives (Spark DIV
     truncates, DuckDB // floors — they agree there)."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.unix_micros("ts").alias("us"), "event_type"
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.unix_micros("ts").alias("us"), "event_type")
+        .filter(F.col("event_type").isin("signup", "click", "purchase"))
     )
-    s1 = (
-        ev.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("us").alias("t1"))
-    )
-    s2 = (
-        ev.filter(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .filter(
-            (F.col("us") >= F.col("t1"))
-            & (F.col("us") <= F.col("t1") + _WEEK_US)
-        )
-        .groupBy("user_id")
-        .agg(F.min("us").alias("t2"), F.min("t1").alias("t1"))
-    )
-    s3 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(s2.select("user_id", "t2"), "user_id")
-        .filter(
-            (F.col("us") >= F.col("t2"))
-            & (F.col("us") <= F.col("t2") + _WEEK_US)
-        )
-        .groupBy("user_id")
-        .agg(F.min("us").alias("t3"), F.min("t2").alias("t2"))
-    )
-    n1 = s1.agg(F.count(F.lit(1)).cast("long").alias("n_signup"))
-
-    def _hist(df, a, b):
-        return df.groupBy(
-            F.expr(f"({a} - {b}) DIV {_FW_DAY_US}").alias("lag_days")
-        ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-
-    h2 = _hist(s2, "t2", "t1")
-    h3 = _hist(s3, "t3", "t2")
-
-    def _decorate(h, step):
-        tot = h.agg(F.sum("n_users").cast("long").alias("tot"))
-        return (
-            h.crossJoin(F.broadcast(tot))
-            .crossJoin(F.broadcast(n1))
-            .select(
-                F.lit(step).alias("step"),
-                "lag_days",
-                "n_users",
-                (F.col("n_users").cast("double") / F.col("tot")).alias(
-                    "step_share"
-                ),
-                (F.col("tot").cast("double") / F.col("n_signup")).alias(
-                    "funnel_rate"
-                ),
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("us"))).alias("t1"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "click", F.col("us")))
+        ).alias("clicks"),
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("event_type") == "purchase", F.col("us"))
             )
+        ).alias("purchases"),
+    )
+    anchored = per_user.withColumn(
+        "t2",
+        F.try_element_at(
+            F.expr(f"filter(clicks, c -> c >= t1 AND c <= t1 + {_WEEK_US})"),
+            F.lit(1),
+        ),
+    ).withColumn(
+        "t3",
+        F.try_element_at(
+            F.expr(
+                f"filter(purchases, p -> p >= t2 AND p <= t2 + {_WEEK_US})"
+            ),
+            F.lit(1),
+        ),
+    )
+    entries = F.expr(
+        "filter(array("
+        " struct('signup' as step, cast(0 as bigint) as lag_days, t1 as anchor),"
+        f" struct('click' as step, (t2 - t1) DIV {_FW_DAY_US} as lag_days, t2 as anchor),"
+        f" struct('purchase' as step, (t3 - t2) DIV {_FW_DAY_US} as lag_days, t3 as anchor)"
+        "), s -> s.anchor IS NOT NULL)"
+    )
+    hist = (
+        anchored.select(F.explode(entries).alias("e"))
+        .groupBy(F.col("e.step").alias("step"), F.col("e.lag_days").alias("lag_days"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    w_step = Window.partitionBy("step")
+    w_all = Window.partitionBy()
+    return (
+        hist.withColumn("tot", F.sum("n_users").over(w_step).cast("long"))
+        .withColumn(
+            "n_signup",
+            F.sum(
+                F.when(F.col("step") == "signup", F.col("n_users"))
+            )
+            .over(w_all)
+            .cast("long"),
         )
-
-    return _decorate(h2, "click").unionByName(_decorate(h3, "purchase"))
+        .filter(F.col("step") != "signup")
+        .select(
+            "step",
+            "lag_days",
+            "n_users",
+            (F.col("n_users").cast("double") / F.col("tot")).alias("step_share"),
+            (F.col("tot").cast("double") / F.col("n_signup")).alias(
+                "funnel_rate"
+            ),
+        )
+    )
 
 
 q_funnel_windowed.__doc__ = q_funnel_windowed.__doc__.format(d=7)

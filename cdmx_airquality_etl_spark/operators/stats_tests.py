@@ -1218,15 +1218,21 @@ def q_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     uncorrected is the classic false-discovery machine this op exists to
     prevent.
 
-    Scale shape: the permutation machinery is q_permutation_test's —
-    per-(type,user) integer-cent aggregate, B×users map-side hash-draw
-    explode (user sign draws SHARED across types, one md5 per user per
-    4 draws), one (type, b) hash aggregate — and the BH step runs on the
-    m-row p-value table (a metric-cardinality frame) with one window
-    rank. Determinism: p-values are exact add-one ratios of counts;
-    the BH threshold kα/m is a fixed-shape double (α written as 1.0e-1
-    so DuckDB parses a DOUBLE, not a DECIMAL); ranks break p ties on
-    event_type — a total order."""
+    Scale shape (round-7 shuffle diet — one shared pass, the
+    q_dedup_weighted lesson applied to metrics): the OBSERVED cohort
+    split rides the permutation explode as pseudo-draw ``b = -1``
+    (side = cohort), so obs and all B draws flow through ONE
+    (type, b) hash aggregate instead of re-deriving the per-(type,user)
+    cohort aggregate in a second branch; t_obs then reaches each
+    permutation row via a metric-partitioned window max over the
+    (m × B)-row aggregate — no join back. The BH step-up tail
+    (rank, m, k*) is chained windows over the single m-row partition —
+    no crossJoin(broadcast(scalar)) exchanges. Plan: 2 data-sized
+    shuffles total (per-(type,user) agg; (type,b) agg with map-side
+    partial), everything after is metric-grain. Determinism: p-values
+    are exact add-one ratios of counts; the BH threshold kα/m is a
+    fixed-shape double (α written as 1.0e-1 so DuckDB parses a DOUBLE,
+    not a DECIMAL); ranks break p ties on event_type — a total order."""
     ev = load_table(spark, sf_dir, "events")
     per_ut = (
         ev.groupBy("event_type", "user_id")
@@ -1248,40 +1254,26 @@ def q_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     def side_n(side_col, side):
         return F.sum(F.when(side_col == side, 1).otherwise(0))
 
-    obs = (
-        per_ut.groupBy("event_type")
-        .agg(
-            (side_mean(F.col("cohort"), 0) - side_mean(F.col("cohort"), 1)).alias(
-                "t_obs"
-            ),
-            side_n(F.col("cohort"), 0).alias("nc0"),
-            side_n(F.col("cohort"), 1).alias("nc1"),
-        )
-        .filter((F.col("nc0") > 0) & (F.col("nc1") > 0))
-        .select("event_type", "t_obs")
-    )
+    # per user: [(b=-1, side=cohort)] ++ B hash sign-draws (one md5 per
+    # 4 draws, sliced — same draw function as q_permutation_test, so the
+    # oracle is unchanged)
     hashes = F.expr(
         f"transform(sequence(0, {_PERM_B // 4 - 1}), "
         "j -> md5(concat(cast(user_id as string), '~', cast(j as string))))"
     )
-    slices = F.expr(
-        "flatten(transform(hh, h -> transform(sequence(0, 3), "
-        "i -> substring(h, i * 8 + 1, 8))))"
+    entries = F.expr(
+        "concat("
+        " array(struct(cast(-1 as int) as b, cast(cohort as int) as side)),"
+        " flatten(transform(hh, (h, j) -> transform(sequence(0, 3), i -> "
+        "  struct(cast(j * 4 + i as int) as b, "
+        "         cast(case when cast(conv(substring(h, i * 8 + 1, 8), 16, 10)"
+        "              as bigint) / 4294967296.0 < 0.5 then 0 else 1 end"
+        "              as int) as side)))))"
     )
     draws = (
-        per_ut.select("event_type", "cents", "user_id")
-        .select("event_type", "cents", hashes.alias("hh"))
-        .select("event_type", "cents", F.posexplode(slices).alias("b", "hx"))
-        .select(
-            "event_type",
-            "cents",
-            "b",
-            F.when(
-                F.conv("hx", 16, 10).cast("long") / F.lit(4294967296.0) < 0.5, 0
-            )
-            .otherwise(1)
-            .alias("side"),
-        )
+        per_ut.select("event_type", "cents", "cohort", hashes.alias("hh"))
+        .select("event_type", "cents", F.explode(entries).alias("e"))
+        .select("event_type", "cents", F.col("e.b").alias("b"), F.col("e.side").alias("side"))
     )
     perms = (
         draws.groupBy("event_type", "b")
@@ -1293,11 +1285,17 @@ def q_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             side_n(F.col("side"), 1).alias("n1"),
         )
         .filter((F.col("n0") > 0) & (F.col("n1") > 0))
-        .select("event_type", "t_b")
+        .select("event_type", "b", "t_b")
     )
+    # t_obs (the b = -1 row) broadcast within each metric partition; a
+    # metric whose observed split lacks a cohort side has no b = -1 row
+    # (the HAVING above) and drops entirely — the oracle's inner join
+    w_type = Window.partitionBy("event_type")
+    with_obs = perms.withColumn(
+        "t_obs", F.max(F.when(F.col("b") == -1, F.col("t_b"))).over(w_type)
+    ).filter(F.col("t_obs").isNotNull() & (F.col("b") >= 0))
     pv = (
-        perms.join(obs, "event_type")
-        .groupBy("event_type", "t_obs")
+        with_obs.groupBy("event_type", "t_obs")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_perms"),
             F.count(
@@ -1315,19 +1313,25 @@ def q_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_value"),
         )
     )
-    m = pv.agg(F.count(F.lit(1)).cast("long").alias("m"))
-    w = Window.orderBy("p_value", "event_type")
-    ranked = (
-        pv.crossJoin(F.broadcast(m))
-        .withColumn("p_rank", F.row_number().over(w).cast("long"))
-    )
+    # BH step-up over the m-row table: rank, m, and k* are chained
+    # windows on ONE single-row-group partition (m is metric cardinality)
+    w_rank = Window.orderBy("p_value", "event_type")
+    w_all = Window.partitionBy()
     thr = F.col("p_rank") * F.lit(_FDR_ALPHA) / F.col("m")
-    kstar = ranked.agg(
-        F.coalesce(
-            F.max(F.when(F.col("p_value") <= thr, F.col("p_rank"))), F.lit(0)
-        ).alias("k")
+    ranked = (
+        pv.withColumn("p_rank", F.row_number().over(w_rank).cast("long"))
+        .withColumn("m", F.count(F.lit(1)).over(w_all).cast("long"))
+        .withColumn(
+            "k",
+            F.coalesce(
+                F.max(F.when(F.col("p_value") <= thr, F.col("p_rank"))).over(
+                    w_all
+                ),
+                F.lit(0),
+            ),
+        )
     )
-    return ranked.crossJoin(F.broadcast(kstar)).select(
+    return ranked.select(
         "event_type",
         "t_obs_usd",
         "n_perms",

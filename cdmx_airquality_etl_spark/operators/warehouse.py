@@ -592,77 +592,58 @@ def q_tpch_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGE-apply: v1 + changelog → v2. Deletes drop by anti-semantics
-    (left join + null/update filter), updates overwrite via COALESCE,
-    inserts union in — the exact plan a foreachBatch CDC sink runs per
-    microbatch (streaming/ingest.py applies the same merge via
-    plans/merge.py). The query returns its own verification: a full-outer
-    equality check of the reconstruction against the true v2 (n_mismatch
-    must be 0). All three joins hash on the same key — on a bucketed table
-    every one is shuffle-free."""
+    """MERGE-apply: v1 + changelog → v2, returning its own verification
+    (n_mismatch must be 0).
+
+    Round-7 shuffle diet: the previous cut stacked FOUR key-joins (diff
+    full-outer, apply left-join, insert union, verify full-outer — 17
+    shuffles). But every per-key decision — what the changelog says, what
+    the apply produces, and whether that equals v2 — is a function of the
+    ONE (v1-row, v2-row) pair, so the whole op is a single full-outer
+    merge on the key (the plans/merge.py shape) with the change
+    classification, the MERGE apply rule (delete → drop, update/insert →
+    new price, unchanged → OLD v1 price), and the row-wise equality
+    verification all evaluated on that joined row, then one scalar
+    conditional-sum aggregate. The verification is not vacuous: unchanged
+    rows reconstruct from the v1 image, so a wrong classification or a
+    drifted v1 price shows up as a mismatch. One join + one agg — on a
+    bucketed table the join is shuffle-free."""
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     v1 = orders.filter(F.col("o_orderkey") % 10 != 0).select(
-        "o_orderkey", F.col("o_totalprice").alias("price")
+        F.col("o_orderkey").alias("k1"), F.col("o_totalprice").alias("p1")
     )
     v2 = orders.filter(F.col("o_orderkey") % 10 != 1).select(
-        "o_orderkey",
+        F.col("o_orderkey").alias("k2"),
         F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + F.lit(10.0))
         .otherwise(F.col("o_totalprice"))
-        .alias("price"),
+        .alias("p2"),
     )
-    j = (
-        v1.select(F.col("o_orderkey").alias("k1"), F.col("price").alias("p1"))
-        .join(
-            v2.select(F.col("o_orderkey").alias("k2"), F.col("price").alias("p2")),
-            F.col("k1") == F.col("k2"),
-            "full_outer",
-        )
+    merged = v1.join(v2, F.col("k1") == F.col("k2"), "full_outer")
+    change_type = (
+        F.when(F.col("k1").isNull(), "insert")
+        .when(F.col("k2").isNull(), "delete")
+        .when(F.col("p1") != F.col("p2"), "update")
+    )  # null = unchanged (not in the changelog)
+    classified = merged.select(
+        "k1",
+        "k2",
+        "p2",
+        change_type.alias("change_type"),
+        # the MERGE apply rule, per key: deletes drop; updates/inserts take
+        # the changelog's new price; unchanged rows KEEP the v1 image
+        (change_type.isNull() | (change_type != "delete")).alias("recon_exists"),
+        F.when(change_type.isin("update", "insert"), F.col("p2"))
+        .when(change_type.isNull(), F.col("p1"))
+        .alias("recon_price"),
     )
-    chg = (
-        j.select(
-            F.coalesce("k1", "k2").alias("o_orderkey"),
-            F.when(F.col("k1").isNull(), "insert")
-            .when(F.col("k2").isNull(), "delete")
-            .otherwise("update")
-            .alias("change_type"),
-            F.col("p2").alias("new_price"),
-        ).filter(
-            F.col("k1").isNull() | F.col("k2").isNull() | (F.col("p1") != F.col("p2"))
-        )
+    # verification rides the same joined row: key sets and prices compare
+    # in place (recon and v2 are co-located per key — no second join)
+    v2_exists = F.col("k2").isNotNull()
+    mismatch = (F.col("recon_exists") != v2_exists) | (
+        F.col("recon_exists") & v2_exists & (F.col("recon_price") != F.col("p2"))
     )
-    applied = (
-        v1.join(
-            chg.select(
-                F.col("o_orderkey").alias("ck"), "change_type", "new_price"
-            ),
-            v1.o_orderkey == F.col("ck"),
-            "left",
-        )
-        .filter(F.col("ck").isNull() | (F.col("change_type") == "update"))
-        .select("o_orderkey", F.coalesce("new_price", "price").alias("price"))
-    )
-    recon = applied.unionByName(
-        chg.filter(F.col("change_type") == "insert").select(
-            "o_orderkey", F.col("new_price").alias("price")
-        )
-    )
-    mism = (
-        recon.select(F.col("o_orderkey").alias("rk"), F.col("price").alias("rp"))
-        .join(
-            v2.select(F.col("o_orderkey").alias("vk"), F.col("price").alias("vp")),
-            F.col("rk") == F.col("vk"),
-            "full_outer",
-        )
-        .filter(F.col("rk").isNull() | F.col("vk").isNull() | (F.col("rp") != F.col("vp")))
-        .agg(F.count(F.lit(1)).alias("n_mismatch"))
-    )
-    return (
-        v2.agg(F.count(F.lit(1)).alias("n_v2"))
-        .crossJoin(recon.agg(F.count(F.lit(1)).alias("n_recon")))
-        .crossJoin(mism)
-        .select(
-            F.col("n_v2").cast("long").alias("n_v2"),
-            F.col("n_recon").cast("long").alias("n_recon"),
-            F.col("n_mismatch").cast("long").alias("n_mismatch"),
-        )
+    return classified.agg(
+        F.sum(v2_exists.cast("long")).cast("long").alias("n_v2"),
+        F.sum(F.col("recon_exists").cast("long")).cast("long").alias("n_recon"),
+        F.sum(mismatch.cast("long")).cast("long").alias("n_mismatch"),
     )
