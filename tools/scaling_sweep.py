@@ -1,0 +1,134 @@
+"""Scaling-curve measurement for the heavy-tail operators (VERDICT r6 #1).
+
+Runs each swept query at several scale factors (the generated
+``.scaledata/sf*`` twins — see tools/gen_scale_data.py) and fits the
+log-log slope of wall time vs driving-table rows: the measured scaling
+exponent. A capped/banded/bucketed operator must stay ~linear
+(exponent ≤ ~1.2); anything near 2 means a pair expansion escaped its cap
+and would not survive 100 TB.
+
+Protocol (the BASELINE.md discipline): one un-timed warm-up execution per
+(query, sf) so plan codegen/JIT is never attributed to the data, then
+``--runs`` timed noop-sink executions keeping the MIN; caches cleared
+between runs. Times are warm steady-state by construction — the quantity
+that scales with data, not with first-run compilation.
+
+Usage:
+  python tools/scaling_sweep.py [--root /root/repo/.scaledata]
+      [--sfs 0.1 0.3 1] [--runs 2] [--out SCALING.json] [query ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+from cdmx_airquality_etl_spark import QUERIES  # noqa: E402
+from cdmx_airquality_etl_spark.session import get_spark  # noqa: E402
+from cdmx_airquality_etl_spark.sources.parquet import load_table  # noqa: E402
+
+# query -> the table whose row count drives its cost (the x-axis)
+DEFAULT_SWEEP = {
+    "q_dedup_fuzzy": "documents",
+    "q_dedup_minhash": "documents",
+    "q_dedup_weighted": "documents",
+    "q_dedup_text_clusters": "documents",
+    "q_pagerank": "lineitem",
+    "q_triangle_count": "lineitem",
+    "q_shortest_path": "lineitem",
+    "q_knn_graph": "embeddings",
+}
+
+
+def fit_exponent(ns: list[int], ts: list[float]) -> float:
+    """Least-squares slope of log(t) on log(n)."""
+    xs = [math.log(n) for n in ns]
+    ys = [math.log(t) for t in ts]
+    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+    num = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    den = sum((x - mx) ** 2 for x in xs)
+    return num / den
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("queries", nargs="*", default=None)
+    ap.add_argument("--root", default=os.path.join(REPO_ROOT, ".scaledata"))
+    ap.add_argument("--sfs", nargs="+", type=float, default=[0.1, 0.3, 1.0])
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--out", default=os.path.join(REPO_ROOT, "SCALING.json"))
+    args = ap.parse_args()
+
+    sweep = {
+        q: DEFAULT_SWEEP.get(q, "documents")
+        for q in (args.queries or DEFAULT_SWEEP)
+    }
+    spark = get_spark("scaling-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf_dirs = {sf: os.path.join(args.root, f"sf{sf:g}") for sf in args.sfs}
+    rows: dict[float, dict[str, int]] = {}
+    for sf, d in sf_dirs.items():
+        rows[sf] = {
+            t: load_table(spark, d, t).count()
+            for t in set(sweep.values())
+        }
+
+    results: dict[str, dict] = {}
+    for q, table in sweep.items():
+        per_sf: dict[str, dict] = {}
+        for sf in args.sfs:
+            d = sf_dirs[sf]
+            # warm-up: plan + codegen, un-timed
+            QUERIES[q](spark, d).write.format("noop").mode("overwrite").save()
+            spark.catalog.clearCache()
+            best = math.inf
+            for _ in range(args.runs):
+                t0 = time.time()
+                QUERIES[q](spark, d).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.time() - t0)
+                spark.catalog.clearCache()
+            per_sf[f"{sf:g}"] = {
+                "sec": round(best, 3),
+                "rows": rows[sf][table],
+            }
+            print(
+                f"{q} sf{sf:g}: {best:.2f}s ({rows[sf][table]} {table} rows)",
+                flush=True,
+            )
+        ns = [per_sf[f"{sf:g}"]["rows"] for sf in args.sfs]
+        ts = [per_sf[f"{sf:g}"]["sec"] for sf in args.sfs]
+        exp = fit_exponent(ns, ts)
+        results[q] = {
+            "driving_table": table,
+            "per_sf": per_sf,
+            "exponent": round(exp, 3),
+        }
+        print(f"{q}: exponent {exp:.3f}", flush=True)
+
+    out = {
+        "protocol": (
+            f"min of {args.runs} warm noop-sink runs per (query, sf) after "
+            "an un-timed warm-up; exponent = least-squares slope of "
+            "log(sec) vs log(driving-table rows)"
+        ),
+        "sfs": [f"{sf:g}" for sf in args.sfs],
+        "results": results,
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(json.dumps({q: r["exponent"] for q, r in results.items()}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
