@@ -1,25 +1,28 @@
-"""Tests for q_compression_ratio (zlib quality signal, mapInPandas) and
+"""Tests for the compression-ratio surface (compression_scores per-doc
+scorer + q_compression_ratio fixture calibration, mapInPandas) and
 export_jsonl_shards (deterministic sharded training-data delivery)."""
 
 import zlib
 
 from pyspark.sql import functions as F
 
-from cdmx_airquality_etl_spark.operators.udf_surface import q_compression_ratio
+from cdmx_airquality_etl_spark.operators.udf_surface import (
+    compression_scores,
+    q_compression_ratio,
+)
 from cdmx_airquality_etl_spark.sinks import export_jsonl_shards
 
 
-def test_compression_ratio_matches_direct_zlib(spark, sf_dir):
-    docs = {
-        r.doc_id: r.text
-        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .limit(20)
-        .collect()
-    }
+def test_compression_scores_match_direct_zlib(spark, sf_dir):
+    docs_df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    docs = {str(r.doc_id): r.text for r in docs_df.collect()}
     got = {
         r.doc_id: r
-        for r in q_compression_ratio(spark, sf_dir).collect()
-        if r.doc_id in docs
+        for r in compression_scores(
+            docs_df.select(F.col("doc_id").cast("string"), "text"),
+            "doc_id",
+            "text",
+        ).collect()
     }
     assert set(got) == set(docs)
     for doc_id, text in docs.items():
@@ -33,36 +36,30 @@ def test_compression_ratio_matches_direct_zlib(spark, sf_dir):
         assert r.ratio == r.n_compressed / r.n_bytes
 
 
-def test_compression_ratio_discriminates_repetition(spark):
+def test_compression_scores_discriminate_repetition(spark):
     rows = [
-        (1, "spam " * 200),  # highly repetitive → compresses hard
-        (2, " ".join(f"w{i * 7919 % 104729}" for i in range(200))),  # high-entropy
+        ("1", "spam " * 200),  # highly repetitive → compresses hard
+        ("2", " ".join(f"w{i * 7919 % 104729}" for i in range(200))),  # high-entropy
     ]
-    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
-        "lang", F.lit("en")
-    )
-    import cdmx_airquality_etl_spark.operators.udf_surface as mod
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {
+        r.doc_id: r.ratio
+        for r in compression_scores(df, "doc_id", "text").collect()
+    }
+    assert out["1"] < 0.1  # repetitive text crushes
+    assert out["2"] > out["1"] * 3  # high-entropy text compresses far worse
 
-    # reuse the operator's inner mapInPandas by writing a temp parquet dir
-    # shaped like the documents table
-    import tempfile
 
-    with tempfile.TemporaryDirectory() as d:
-        (
-            df.select(
-                "doc_id",
-                "text",
-                "lang",
-                F.lit("srcX").alias("source"),
-                F.length("text").cast("long").alias("n_chars"),
-            )
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(f"{d}/documents.parquet")
-        )
-        out = {r.doc_id: r.ratio for r in mod.q_compression_ratio(spark, d).collect()}
-    assert out[1] < 0.1  # repetitive text crushes
-    assert out[2] > out[1] * 3  # high-entropy text compresses far worse
+def test_compression_ratio_calibration_is_green_and_ordered(spark):
+    """The fixture calibration itself: every class fully in its band, and
+    the semantic ordering rep < hex < mix holds (a broken compressor
+    cannot keep all three flags green)."""
+    rows = {r["class"]: r for r in q_compression_ratio(spark, "unused").collect()}
+    assert set(rows) == {"rep", "hex", "mix"}
+    for cls, r in rows.items():
+        assert r.n_docs == 64
+        assert r.n_docs_in_band == 64, cls
+        assert r.mean_ratio_in_band == 1, cls
 
 
 def test_export_jsonl_shards_roundtrip_and_stability(spark, sf_dir, tmp_path):

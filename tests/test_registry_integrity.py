@@ -8,11 +8,12 @@ from cdmx_airquality_etl_spark.registry import ORACLE_FACTORIES, ORACLES, QUERIE
 # this test until it is justified here (SURVEY.md §7: only genuinely
 # non-SQL-expressible ops qualify).
 ROWS_ONLY = {
-    "q_compression_ratio": "zlib DEFLATE — no compression fn in DuckDB SQL",
     "q_multimodal_decode": "stubbed binary decode (build contract) — the "
     "float feature stream has no SQL equivalent; the metadata path is "
     "oracle-checked as q_multimodal_meta",
 }
+# (q_compression_ratio left this list in round 7: its checkable surface is
+# the deterministic fixture-corpus calibration — see operators/udf_surface.)
 
 CHECKED = set(ORACLES) | set(ORACLE_FACTORIES)
 
