@@ -1185,18 +1185,22 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("mae_snaive"),
     ).filter(F.col("mae_snaive") > 0.0)
-    rows = [
-        ("holt_winters", F.col("mae_hw")),
-        ("naive", F.col("mae_naive")),
-        ("seasonal_naive", F.col("mae_snaive")),
-    ]
-    out = None
-    for name, mae in rows:
-        sel = maes.select(
-            F.lit(name).alias("model"),
-            "n_days",
-            mae.alias("mae"),
-            (mae / F.col("mae_snaive")).alias("mase"),
-        )
-        out = sel if out is None else out.unionByName(sel)
-    return out
+    # one explode of a 3-struct array instead of a 3-way union of selects:
+    # the union branches each re-derived the whole hw-fold + lag pipeline
+    # (12 shuffles); the single-pass form pays it once (round-7 diet)
+    models = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("model"),
+                F.col("n_days").alias("n_days"),
+                mae.alias("mae"),
+                (mae / F.col("mae_snaive")).alias("mase"),
+            )
+            for name, mae in [
+                ("holt_winters", F.col("mae_hw")),
+                ("naive", F.col("mae_naive")),
+                ("seasonal_naive", F.col("mae_snaive")),
+            ]
+        ]
+    )
+    return maes.select(F.explode(models).alias("r")).select("r.*")
