@@ -40,10 +40,18 @@ DEFAULT_SWEEP = {
     "q_dedup_minhash": "documents",
     "q_dedup_weighted": "documents",
     "q_dedup_text_clusters": "documents",
+    "q_dedup_simhash": "documents",
+    "q_lsh_planner": "documents",
+    "q_curation_pipeline": "documents",
     "q_pagerank": "lineitem",
     "q_triangle_count": "lineitem",
     "q_shortest_path": "lineitem",
+    "q_bootstrap_ci": "lineitem",
     "q_knn_graph": "embeddings",
+    "q_dedup_semantic": "embeddings",
+    "q_similarity_ann_ivfpq": "embeddings",
+    "q_join_skew_salted": "orders",
+    "q_sessionize": "events",
 }
 
 
