@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import word_shingles
 from ..registry import QUERIES, register
@@ -97,23 +98,33 @@ def _shared_shingle_pairs(
     """(doc_id_a, doc_id_b, n_a, n_b, shared) for every pair sharing ≥1
     shingle — the inverted-index core both set-similarity metrics build on.
 
-    Plan shape: ONE shuffle groups postings by shingle; the postings cap is
-    a plain ``size(ps) <= max_postings`` filter on the grouped lists;
-    candidate pairs expand MAP-SIDE from each list with native array
-    higher-order functions (sorted, so doc_id_a < doc_id_b by
-    construction); a second shuffle counts shared shingles per pair.
-    Compared to an explode + sort-merge self-join this computes the
-    shingling once, shuffles once less, and — the scale property — bounds
-    BOTH per-group state and per-row pair fan-out by the cap: a group holds
-    ≤ cap structs and emits ≤ cap·(cap−1)/2 pairs, so no task can see a
-    quadratic blow-up regardless of key skew (previously the cap needed its
-    own aggregate + anti-join pass).
+    Plan shape: ONE shuffle groups postings by shingle; the postings cap
+    is enforced BEFORE any list materializes — a count window over the
+    shingle partition tags each posting with its shingle's document
+    frequency and rows outside [2, cap] drop there, so ``collect_list``
+    only ever aggregates ≤ cap rows per group (round-7 fix: the previous
+    ``size(ps) <= cap`` filter ran AFTER the collect, which meant the
+    hottest stop-shingle groups — exactly the ones the cap exists to
+    kill — still paid an unbounded list build in the aggregation buffer
+    before being thrown away; measured as the superlinear tail of the
+    sf1 scaling sweep on the saturating-vocabulary corpus). The window
+    and the collect share the same hash partitioning on shingle — still
+    one data-sized shuffle. Candidate pairs expand MAP-SIDE from each
+    capped list with native array higher-order functions (sorted, so
+    doc_id_a < doc_id_b by construction); a second shuffle counts shared
+    shingles per pair. Per-group state and per-row pair fan-out are both
+    bounded by the cap: ≤ cap structs, ≤ cap·(cap−1)/2 pairs — no task
+    can see a quadratic blow-up regardless of key skew.
     """
+    exploded = shingled.select(
+        "doc_id", "n_sh", F.explode("sh").alias("shingle")
+    )
+    w_sh = Window.partitionBy("shingle")
     posts = (
-        shingled.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+        exploded.withColumn("sdf", F.count(F.lit(1)).over(w_sh))
+        .filter(F.col("sdf").between(2, max_postings))
         .groupBy("shingle")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ps"))
-        .filter(F.size("ps").between(2, max_postings))
     )
     pairs = F.explode(
         F.expr(
@@ -944,21 +955,26 @@ def q_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = _doc_shingles(docs)
     e = shingled.select("doc_id", F.explode("sh").alias("shingle"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    posts = (
-        e.groupBy("shingle")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ps"))
+    # one shingle-partitioned count window tags every posting row with its
+    # shingle's document frequency; BOTH downstream consumers derive from
+    # this tagged frame (the exchange is built once and reused):
+    #  - the per-doc total mass sums w = N − df over EVERY shingle row —
+    #    no postings list ever materializes for the denominator (round-7
+    #    fix: the previous cut collected the full, uncapped list per
+    #    shingle first, an unbounded aggregation buffer on a saturating
+    #    vocabulary — the measured superlinear tail at sf1)
+    #  - the pair expansion filters to df ∈ [2, cap] BEFORE its collect,
+    #    so the capped lists are bounded in the buffer too, same as
+    #    _shared_shingle_pairs
+    w_sh = Window.partitionBy("shingle")
+    tagged = (
+        e.withColumn("sdf", F.count(F.lit(1)).over(w_sh))
         .crossJoin(F.broadcast(n_docs))
-        .select(
-            "ps",
-            F.size("ps").alias("sdf"),
-            (F.col("n_docs") - F.size("ps")).cast("long").alias("w"),
-        )
+        .withColumn("w", (F.col("n_docs") - F.col("sdf")).cast("long"))
     )
     # per-doc total mass counts EVERY shingle (the denominator stays exact)
-    wtot = (
-        posts.select(F.explode("ps").alias("doc_id"), "w")
-        .groupBy("doc_id")
-        .agg(F.sum("w").cast("long").alias("w_total"))
+    wtot = tagged.groupBy("doc_id").agg(
+        F.sum("w").cast("long").alias("w_total")
     )
     # the PAIR expansion carries q_dedup_fuzzy's _MAX_POSTINGS cap (a
     # stop-phrase shingle's pair fan-out is df², the quadratic failure
@@ -969,6 +985,14 @@ def q_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # construction (w = N − df), so even when the cap does engage, retained
     # scores barely move and can only shrink — the cap never creates false
     # positives.
+    posts = (
+        tagged.filter(F.col("sdf").between(2, _MAX_POSTINGS))
+        .groupBy("shingle")
+        .agg(
+            F.array_sort(F.collect_list("doc_id")).alias("ps"),
+            F.first("w").alias("w"),
+        )
+    )
     pair = F.explode(
         F.expr(
             """flatten(transform(ps, (x, i) ->
@@ -977,8 +1001,7 @@ def q_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).alias("p")
     wshared = (
-        posts.filter(F.col("sdf").between(2, _MAX_POSTINGS))
-        .select(pair, "w")
+        posts.select(pair, "w")
         .select("p.*", "w")
         .groupBy("doc_id_a", "doc_id_b")
         .agg(F.sum("w").cast("long").alias("w_shared"))
