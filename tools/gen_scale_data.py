@@ -129,11 +129,21 @@ def gen_orders(sf: float) -> tuple[pa.Table, np.ndarray, np.ndarray]:
     return t, np.arange(n), odate
 
 
-def gen_lineitem(sf: float, orderkeys: np.ndarray, odate: np.ndarray) -> pa.Table:
+def gen_lineitem(
+    sf: float, orderkeys: np.ndarray, odate: np.ndarray, skew: bool = False
+) -> pa.Table:
     rng = _rng("lineitem", sf)
     n_part = int(round(200_000 * sf))
     n_supp = int(round(10_000 * sf))
     k = np.maximum(1, rng.poisson(4.0, len(orderkeys)))
+    if skew:
+        # celebrity-key variant: 3 orders own ~25% of ALL lines each —
+        # hot-reducer work must DOMINATE the stage wall-clock for the
+        # probe to show the funnel (a milder 1% hot key measures nothing
+        # at local[32]: 100k-row reducers finish in noise). Hot keys are
+        # spread across the key range (not all id 0).
+        hot = rng.choice(len(orderkeys), size=1, replace=False)
+        k[hot] = int(4 * k.sum())  # ONE order owns ~80% of all lines
     lok = np.repeat(orderkeys, k)
     lod = np.repeat(odate, k)
     n = len(lok)
@@ -170,10 +180,40 @@ def gen_lineitem(sf: float, orderkeys: np.ndarray, odate: np.ndarray) -> pa.Tabl
     )
 
 
-def gen_events(sf: float) -> pa.Table:
+def gen_events(sf: float, skew: bool = False) -> pa.Table:
     rng = _rng("events", sf)
     n = int(round(1_000_000 * sf))
     n_users = int(round(15_000 * sf))
+    if skew:
+        # zipf(1.3) user activity: the busiest user owns a few percent of
+        # all events — sessionize/retention per-user state under hot keys
+        u = rng.zipf(1.3, n)
+        user_id = (u - 1) % n_users
+        base = (
+            np.datetime64("2024-01-01").astype("datetime64[us]").astype(np.int64)
+        )
+        ts = base + rng.integers(0, 30 * US_DAY, n)
+        return pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array(user_id.astype(np.int64), pa.int64()),
+                "event_type": pa.array(
+                    np.array(["signup", "click", "view", "purchase", "error"])[
+                        rng.integers(0, 5, n)
+                    ],
+                    pa.string(),
+                ),
+                "value": pa.array(
+                    np.round(np.abs(rng.standard_normal(n)) * 70.0, 2),
+                    pa.float64(),
+                ),
+                "props": pa.array(
+                    [json.dumps({"k": int(v)}) for v in rng.integers(0, 100, n)],
+                    pa.string(),
+                ),
+            }
+        )
     base = np.datetime64("2024-01-01").astype("datetime64[us]").astype(np.int64)
     ts = base + rng.integers(0, 30 * US_DAY, n)
     return pa.table(
@@ -291,16 +331,16 @@ def gen_dims(sf: float) -> dict[str, pa.Table]:
     }
 
 
-def generate(sf: float, out_root: str) -> None:
-    out = os.path.join(out_root, f"sf{sf:g}")
+def generate(sf: float, out_root: str, skew: bool = False) -> None:
+    out = os.path.join(out_root, f"sf{sf:g}" + ("-skew" if skew else ""))
     os.makedirs(out, exist_ok=True)
     orders, okeys, odate = gen_orders(sf)
     tables = {
         "documents": gen_documents(sf),
         "embeddings": gen_embeddings(sf),
         "orders": orders,
-        "lineitem": gen_lineitem(sf, okeys, odate),
-        "events": gen_events(sf),
+        "lineitem": gen_lineitem(sf, okeys, odate, skew=skew),
+        "events": gen_events(sf, skew=skew),
         **gen_dims(sf),
     }
     for name, t in tables.items():
@@ -313,6 +353,12 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("sfs", nargs="+", type=float)
     ap.add_argument("--out", default="/root/repo/.scaledata")
+    ap.add_argument(
+        "--skew",
+        action="store_true",
+        help="celebrity-key lineitem + zipf(1.3) event users; dir gets "
+        "an -skew suffix",
+    )
     args = ap.parse_args()
     for sf in args.sfs:
-        generate(sf, args.out)
+        generate(sf, args.out, skew=args.skew)
