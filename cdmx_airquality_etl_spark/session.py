@@ -65,6 +65,21 @@ def get_spark(
         # spine: effectively unlimited for calendar recursion while still
         # terminating a genuinely runaway CTE.
         .config("spark.sql.cteRecursionLevelLimit", "1000000")
+        # AQE's skew-join split requires the hot partition to exceed BOTH
+        # skewedPartitionFactor × median AND this byte threshold. The
+        # 256 MB default is sized for multi-GB cluster partitions; at this
+        # harness's partition sizes a pathological key can sit UNDER it and
+        # AQE silently does nothing (measured: an 80%-hot-key join ran
+        # 16.5 s with the default vs 3.1 s with the split firing —
+        # tools/skew_probe.py, BASELINE.md "skew robustness"). 64 MB makes
+        # the split fire at local scale while staying conservative enough
+        # not to shred healthy partitions; cluster deployments with
+        # multi-GB partitions should revisit alongside
+        # advisoryPartitionSizeInBytes.
+        .config(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            os.environ.get("SPARK_GRAFT_SKEW_THRESHOLD", "64MB"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
