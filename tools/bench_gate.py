@@ -60,17 +60,21 @@ def main() -> int:
               "outlier gate")
         return 0
 
-    def pick(d: dict, name: str) -> float | None:
-        w = d.get("warm_queries", {})
-        if name in w and w[name] > 0:
-            return w[name]
-        v = d.get("queries", {}).get(name, -1.0)
-        return v if v > 0 else None
+    def pick(d: dict, name: str, tier: str) -> float | None:
+        v = d.get(tier, {}).get(name, -1.0)
+        return v if v and v > 0 else None
 
     outliers = []
     for name in fresh.get("queries", {}):
-        new = pick(fresh, name)
-        old = pick(committed, name)
+        # like-for-like ONLY: warm-vs-warm when BOTH runs warmed this query
+        # (the r07 false alarm: a HEADLINE-only warm pass compared fresh
+        # COLD against the previous run's full-warm numbers and flagged
+        # pure first-run JIT), else cold-vs-cold.
+        new = pick(fresh, name, "warm_queries")
+        old = pick(committed, name, "warm_queries")
+        if new is None or old is None:
+            new = pick(fresh, name, "queries")
+            old = pick(committed, name, "queries")
         if new is None or old is None:
             continue
         if new >= MIN_ABS_SEC and new > OUTLIER_FACTOR * old:
