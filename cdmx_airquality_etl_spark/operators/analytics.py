@@ -785,18 +785,21 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     day-grain lag histogram plus the step's share and the funnel rate
     vs the signup cohort.
 
-    Scale shape (round-7 shuffle diet — the per-step deadline scans
-    collapsed into ONE conditional-aggregation pass): a single
-    groupBy(user_id) over the 3-type-filtered events collects each
-    user's signup anchor plus their sorted click/purchase times
-    (per-group state = one user's funnel-relevant events, session-scale,
-    the same grain every sessionization op here carries); the chained
-    deadline anchors t2/t3 are then array filter/head expressions — no
-    join back per step. The day-grain histograms for BOTH steps plus the
-    signup cohort count ride one (step, lag) aggregate, with totals
-    attached by windows over that ≤3×{d}-row frame instead of
-    crossJoin(broadcast(scalar)) pairs. Plan: 2 data-sized shuffles
-    (user agg, step-lag agg) — was 18. Determinism: anchors are exact
+    Scale shape (round-7 shuffle diet, round-8 bounded-state fix): the
+    chained deadline anchors are three stacked window-mins over ONE
+    user_id partitioning — t1 = min signup, t2 = min click in
+    [t1, t1+{d}d] (the min of the qualifying set IS its first element,
+    so this equals the old sorted-array head), t3 = min purchase in
+    [t2, t2+{d}d]. Per-group state is three scalars — NO collect_list,
+    so a celebrity user (zipf skew twin) costs sort time, never an
+    unspillable aggregation buffer (the round-8 ADVICE fix: the previous
+    form collected every click/purchase per user). The groupBy(user_id)
+    that dedups to one row per user reuses the window's hash
+    partitioning — no extra exchange. The day-grain histograms for BOTH
+    steps plus the signup cohort count ride one (step, lag) aggregate,
+    with totals attached by windows over that ≤3×{d}-row frame instead
+    of crossJoin(broadcast(scalar)) pairs. Plan: 2 data-sized shuffles
+    (user window+agg, step-lag agg) — was 18. Determinism: anchors are exact
     integer microseconds compared and differenced exactly; the two
     ratios are single exact-integer divisions. Timestamps difference as
     raw µs, and the lag division only ever sees non-negatives (Spark DIV
@@ -806,31 +809,41 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.unix_micros("ts").alias("us"), "event_type")
         .filter(F.col("event_type").isin("signup", "click", "purchase"))
     )
-    per_user = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "signup", F.col("us"))).alias("t1"),
-        F.sort_array(
-            F.collect_list(F.when(F.col("event_type") == "click", F.col("us")))
-        ).alias("clicks"),
-        F.sort_array(
-            F.collect_list(
-                F.when(F.col("event_type") == "purchase", F.col("us"))
-            )
-        ).alias("purchases"),
+    w_user = Window.partitionBy("user_id")
+    anchored_ev = (
+        ev.withColumn(
+            "t1",
+            F.min(
+                F.when(F.col("event_type") == "signup", F.col("us"))
+            ).over(w_user),
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("us") >= F.col("t1"))
+                    & (F.col("us") <= F.col("t1") + _WEEK_US),
+                    F.col("us"),
+                )
+            ).over(w_user),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("us") >= F.col("t2"))
+                    & (F.col("us") <= F.col("t2") + _WEEK_US),
+                    F.col("us"),
+                )
+            ).over(w_user),
+        )
     )
-    anchored = per_user.withColumn(
-        "t2",
-        F.try_element_at(
-            F.expr(f"filter(clicks, c -> c >= t1 AND c <= t1 + {_WEEK_US})"),
-            F.lit(1),
-        ),
-    ).withColumn(
-        "t3",
-        F.try_element_at(
-            F.expr(
-                f"filter(purchases, p -> p >= t2 AND p <= t2 + {_WEEK_US})"
-            ),
-            F.lit(1),
-        ),
+    anchored = anchored_ev.groupBy("user_id").agg(
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"),
     )
     entries = F.expr(
         "filter(array("

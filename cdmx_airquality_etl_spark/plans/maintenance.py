@@ -33,7 +33,16 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_REMOTE_SCHEME = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*:")
+# A path is remote when it carries an authority-form URI (scheme://) or a
+# known cluster-storage scheme in its single-colon form (hdfs:/x is valid
+# Hadoop shorthand for the default authority). A relative local path whose
+# first segment merely contains a colon (e.g. 'run:2026/table') is NOT a
+# scheme — rejecting it was the round-7 over-match this anchors away.
+_REMOTE_SCHEME = re.compile(
+    r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://"
+    r"|(?:s3a?|s3n|hdfs|gs|wasbs?|abfss?|adl|oss|viewfs|o3fs|cosn|swift):)",
+    re.IGNORECASE,
+)
 
 
 def _local_path(path: str) -> str:

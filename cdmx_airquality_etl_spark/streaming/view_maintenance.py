@@ -49,6 +49,23 @@ def _is_committed(spark: SparkSession, bdir: str) -> bool:
     return fs.exists(jvm.org.apache.hadoop.fs.Path(posixpath.join(bdir, "_SUCCESS")))
 
 
+def _assert_no_batch_column(df: DataFrame, where: str) -> None:
+    """Fail loudly if the view schema carries a data column named
+    ``batch``: read_view discovers the ``batch=<id>`` partition dirs via
+    basePath and then drops that inferred column — a same-named data
+    column would collide with the partition column and the drop would
+    silently destroy user data. Validated at write time (seed + every
+    delta), where the caller can still rename, rather than detected at
+    read time when the data is already ambiguous on disk."""
+    if "batch" in df.columns:
+        raise ValueError(
+            f"{where}: view schema must not contain a column named 'batch' "
+            f"— it collides with the batch=<id> partition directory column "
+            f"that read_view infers and drops. Rename the column before "
+            f"writing (columns: {df.columns})."
+        )
+
+
 def apply_fact_delta_versioned(
     spark: SparkSession,
     view_path: str,
@@ -68,7 +85,9 @@ def apply_fact_delta_versioned(
     bdir = _batch_dir(view_path, batch_id)
     if _is_committed(spark, bdir):
         return False
-    build_view(a_delta, b, key).write.mode("overwrite").parquet(bdir)
+    view = build_view(a_delta, b, key)
+    _assert_no_batch_column(view, "apply_fact_delta_versioned")
+    view.write.mode("overwrite").parquet(bdir)
     return True
 
 
@@ -76,6 +95,7 @@ def seed_view(view_df: DataFrame, view_path: str) -> None:
     """Write the initial (pre-stream) view state as the committed seed
     batch, so the seed and every later delta live under one uniform
     commit protocol."""
+    _assert_no_batch_column(view_df, "seed_view")
     view_df.write.mode("overwrite").parquet(_batch_dir(view_path, SEED_BATCH_ID))
 
 

@@ -137,11 +137,13 @@ def gen_lineitem(
     n_supp = int(round(10_000 * sf))
     k = np.maximum(1, rng.poisson(4.0, len(orderkeys)))
     if skew:
-        # celebrity-key variant: 3 orders own ~25% of ALL lines each —
+        # celebrity-key variant: ONE randomly-placed order owns ~80% of
+        # all lines (k[hot] = 4 * sum(k) ≈ 4/5 of the inflated total) —
         # hot-reducer work must DOMINATE the stage wall-clock for the
         # probe to show the funnel (a milder 1% hot key measures nothing
-        # at local[32]: 100k-row reducers finish in noise). Hot keys are
-        # spread across the key range (not all id 0).
+        # at local[32]: 100k-row reducers finish in noise). NOTE: this
+        # quintuples the lineitem row count vs the 6M*sf law, so sweep
+        # row-count laws do NOT hold for -skew dirs.
         hot = rng.choice(len(orderkeys), size=1, replace=False)
         k[hot] = int(4 * k.sum())  # ONE order owns ~80% of all lines
     lok = np.repeat(orderkeys, k)

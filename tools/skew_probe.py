@@ -91,11 +91,11 @@ def _time(spark, df_fn, sf_dir, runs):
     # force a shuffle join: the probe is about reducer skew, and a
     # broadcast of the dim side would dodge the phenomenon entirely
     best = math.inf
-    for _ in range(runs + 1):  # first run is the un-timed warm-up
+    for i in range(runs + 1):  # first run is the un-timed warm-up
         t0 = time.time()
         df_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
-        if best is not math.inf or True:
+        if i > 0:  # warm-up excluded from the min, per the protocol
             best = min(best, dt)
         spark.catalog.clearCache()
     return round(best, 3)
