@@ -325,9 +325,9 @@ _MAX_FRAMES = 8  # per-media frame cap
     )
     SELECT media_id,
            CAST(frame_idx AS INT) AS frame_idx,
-           octet_length(encode(substr(text,
+           CAST(octet_length(encode(substr(text,
              CAST(frame_idx * {_FRAME_BYTES} + 1 AS BIGINT),
-             {_FRAME_BYTES}))) AS frame_len,
+             {_FRAME_BYTES}))) AS INT) AS frame_len,
            substr(sha256(substr(text,
              CAST(frame_idx * {_FRAME_BYTES} + 1 AS BIGINT),
              {_FRAME_BYTES})), 1, 16) AS frame_digest
