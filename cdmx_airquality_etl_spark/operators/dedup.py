@@ -942,39 +942,40 @@ def q_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums, and the score is ONE double division — bitwise-identical across
     engines.
 
-    Plan: the same inverted-index discipline as q_dedup_fuzzy, built on the
-    grouped-postings shape of _shared_shingle_pairs: ONE shuffle groups
-    postings per shingle (each carrying its weight N − df), candidate pairs
-    expand MAP-SIDE from each sorted list, per-doc total mass re-explodes
-    the same postings — so the shingling is computed once and the plan
-    never joins the exploded (doc, shingle) set against a vocabulary-sized
-    table (the previous formulation's extra shuffle; 6.8 s → ~2 s at
-    sf0.1). Nothing is all-pairs; weights change scoring, not the
-    candidate structure."""
+    Plan (round-8 diet, 9 exchanges → 4): the inverted-index discipline of
+    q_dedup_fuzzy, with the denominator folded INTO the postings instead
+    of computed as a separate branch joined back twice. Two chained
+    windows over one tagged frame — count over shingle gives df, then sum
+    of w = N − df over doc_id gives each posting its OWN document's total
+    mass — so every posting row already knows wt(doc). The per-shingle
+    collect then stores struct(doc_id, wt), the map-side pair expansion
+    emits (a, b, wt_a, wt_b) alongside the shared weight, and ONE pair
+    aggregate finishes the score: the former wtot branch, its doc_id
+    re-shuffle, and both join-backs are gone. Exchanges: shingle window,
+    doc window, shingle group, pair group — nothing vocabulary-joined,
+    nothing all-pairs; weights change scoring, not the candidate
+    structure."""
     docs = load_table(spark, sf_dir, "documents")
     shingled = _doc_shingles(docs)
     e = shingled.select("doc_id", F.explode("sh").alias("shingle"))
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    # one shingle-partitioned count window tags every posting row with its
-    # shingle's document frequency; BOTH downstream consumers derive from
-    # this tagged frame (the exchange is built once and reused):
-    #  - the per-doc total mass sums w = N − df over EVERY shingle row —
-    #    no postings list ever materializes for the denominator (round-7
-    #    fix: the previous cut collected the full, uncapped list per
-    #    shingle first, an unbounded aggregation buffer on a saturating
-    #    vocabulary — the measured superlinear tail at sf1)
-    #  - the pair expansion filters to df ∈ [2, cap] BEFORE its collect,
-    #    so the capped lists are bounded in the buffer too, same as
-    #    _shared_shingle_pairs
+    # The corpus size N is a weight-MODEL constant, not data: resolve it
+    # driver-side (one no-column parquet count — row-group footers only)
+    # and inline it as a literal, the same bounded pre-pass discipline as
+    # IVF/PQ's driver-side centroid training. Keeping it in-plan as
+    # crossJoin(broadcast(agg)) cost a fifth exchange (the global count's
+    # SinglePartition) on every run for a number the planner can know.
+    n_docs = docs.count()
+    # shingle-partitioned count tags every posting with its shingle's
+    # document frequency; the doc-partitioned sum then tags it with its
+    # document's TOTAL mass (over EVERY shingle row, including df>cap ones
+    # — the denominator stays exact and no postings list ever materializes
+    # for it, the round-7 bounded-buffer rule)
     w_sh = Window.partitionBy("shingle")
+    w_doc = Window.partitionBy("doc_id")
     tagged = (
         e.withColumn("sdf", F.count(F.lit(1)).over(w_sh))
-        .crossJoin(F.broadcast(n_docs))
-        .withColumn("w", (F.col("n_docs") - F.col("sdf")).cast("long"))
-    )
-    # per-doc total mass counts EVERY shingle (the denominator stays exact)
-    wtot = tagged.groupBy("doc_id").agg(
-        F.sum("w").cast("long").alias("w_total")
+        .withColumn("w", (F.lit(n_docs) - F.col("sdf")).cast("long"))
+        .withColumn("wt", F.sum("w").over(w_doc).cast("long"))
     )
     # the PAIR expansion carries q_dedup_fuzzy's _MAX_POSTINGS cap (a
     # stop-phrase shingle's pair fan-out is df², the quadratic failure
@@ -984,12 +985,16 @@ def q_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # here. A capped high-df shingle also carries ~zero weight by
     # construction (w = N − df), so even when the cap does engage, retained
     # scores barely move and can only shrink — the cap never creates false
-    # positives.
+    # positives. The collect is filtered BEFORE it buffers (bounded), and
+    # array_sort on struct(doc_id, wt) orders by doc_id (unique per
+    # shingle), preserving the a<b pair discipline.
     posts = (
         tagged.filter(F.col("sdf").between(2, _MAX_POSTINGS))
         .groupBy("shingle")
         .agg(
-            F.array_sort(F.collect_list("doc_id")).alias("ps"),
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "wt"))
+            ).alias("ps"),
             F.first("w").alias("w"),
         )
     )
@@ -997,30 +1002,23 @@ def q_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             """flatten(transform(ps, (x, i) ->
                  transform(slice(ps, i + 2, size(ps) - i - 1), y ->
-                   struct(x AS doc_id_a, y AS doc_id_b))))"""
+                   struct(x.doc_id AS doc_id_a, y.doc_id AS doc_id_b,
+                          x.wt AS wt_a, y.wt AS wt_b))))"""
         )
     ).alias("p")
-    wshared = (
-        posts.select(pair, "w")
-        .select("p.*", "w")
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.sum("w").cast("long").alias("w_shared"))
-    )
-    ta = wtot.select(
-        F.col("doc_id").alias("doc_id_a"), F.col("w_total").alias("wt_a")
-    )
-    tb = wtot.select(
-        F.col("doc_id").alias("doc_id_b"), F.col("w_total").alias("wt_b")
-    )
     score = F.col("w_shared").cast("double") / (
         F.col("wt_a") + F.col("wt_b") - F.col("w_shared")
     ).cast("double")
     return (
-        wshared.join(ta, "doc_id_a")
-        .join(tb, "doc_id_b")
-        .select(
-            "doc_id_a", "doc_id_b", score.alias("weighted_jaccard")
+        posts.select(pair, "w")
+        .select("p.*", "w")
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(
+            F.sum("w").cast("long").alias("w_shared"),
+            F.max("wt_a").alias("wt_a"),
+            F.max("wt_b").alias("wt_b"),
         )
+        .select("doc_id_a", "doc_id_b", score.alias("weighted_jaccard"))
         .filter(F.col("weighted_jaccard") >= _WEIGHTED_THRESHOLD)
     )
 

@@ -13,7 +13,9 @@ version drift moves counts by ±1; a genuine regression re-derives a whole
 subtree and jumps far more). Measured 2026-08-15 on sf0.001, AQE on:
 q_fdr_screen 4, q_funnel_windowed 4, q_changelog_apply 3,
 q_forecast_backtest 4, q_triangle_count 19, q_shortest_path ≤6 (final
-plan: frontier checkpoints + union tree).
+plan: frontier checkpoints + union tree); round-8 additions:
+q_dedup_weighted 4 (was 9 — wt folded into the postings via a chained
+doc window, N resolved driver-side).
 """
 
 from __future__ import annotations
@@ -33,6 +35,7 @@ BUDGETS = {
     "q_forecast_backtest": 6,
     "q_triangle_count": 21,
     "q_shortest_path": 8,
+    "q_dedup_weighted": 6,
 }
 
 
