@@ -102,7 +102,20 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pre-partitioned by src once and every superstep reuses that
     partitioning; ranks (|V| rows) are the only iterating state. Integer
     fixed-point makes the result independent of partitioning, join order,
-    and engine — the property the oracle proves."""
+    and engine — the property the oracle proves.
+
+    Exchange accounting (round-8 audit, pinned by
+    tests/test_graph_exchange_reuse.py): the STATIC plan carries ~7
+    exchanges per iteration (the count PLANS.md reports), but AQE's
+    exchange reuse collapses the repeats at runtime — measured at
+    sf0.001: 21 static Exchange nodes → 7 executed ShuffleQueryStages
+    with 6 ReusedExchange, i.e. the edge list, degree table, and node
+    count each shuffle exactly ONCE and the marginal cost of a superstep
+    is the single dst-side aggregation shuffle the Pregel model requires.
+    Settled-mass pruning (the q_shortest_path diet) does NOT apply:
+    power iteration is a dense update — teleport plus re-weighted
+    incoming mass changes every node's rank every round, so no node ever
+    leaves the frontier."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
