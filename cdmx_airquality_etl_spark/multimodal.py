@@ -2,12 +2,15 @@
 opaque ``binary`` columns with typed metadata, processed by Arrow-batched
 ``mapInPandas`` stages.
 
-The container has no image/audio libraries, so the *decode* step is stubbed
-(per the build contract): ``decode_media`` raises NotImplementedError unless
-``fake=True``, in which case it produces deterministic features derived from
-the bytes. Everything Spark-side — schemas, partitioning, UDF signatures,
-Arrow batch shapes — is real and tested; swapping the stub for PIL/ffmpeg is
-a pure executor-side change.
+The container has no image/audio libraries, so the *general* decode seam is
+gated (per the build contract): ``decode_media`` raises NotImplementedError
+unless ``fake=True``, in which case it produces deterministic features
+derived from the bytes. Everything Spark-side — schemas, partitioning, UDF
+signatures, Arrow batch shapes — is real and tested; swapping the stub for
+PIL/ffmpeg is a pure executor-side change. Since round 8 one decode IS real
+end to end with zero libraries: :func:`decode_ppm` parses genuine P6 PPM
+image bytes with a pure-stdlib parser, and q_multimodal_decode hash-checks
+its exact channel sums against a DuckDB oracle over the same fixture spec.
 
 Design for 100 TB:
 - payloads stay opaque binary; metadata is a separate narrow struct column so
@@ -141,6 +144,131 @@ def decode_media(media: DataFrame, dim: int = 8, fake: bool = False) -> DataFram
             )
 
     return media.select("media_id", "payload").mapInPandas(_decode, FEATURE_SCHEMA)
+
+
+PPM_FIXTURE_N = 64
+
+PPM_DECODE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("maxval", IntegerType(), True),
+        StructField("n_pixels", LongType(), True),
+        StructField("sum_r", LongType(), True),
+        StructField("sum_g", LongType(), True),
+        StructField("sum_b", LongType(), True),
+    ]
+)
+
+
+def ppm_fixture_payload(i: int) -> bytes:
+    """Deterministic binary PPM (P6) image for fixture id ``i``: variable
+    dimensions (so header parsing is load-bearing), a comment line (so
+    comment handling is load-bearing), and pixel bytes from a closed-form
+    modular formula a SQL oracle can recompute exactly. This is a REAL
+    image file — any PPM reader (PIL, ImageMagick, netpbm) opens it."""
+    w = 8 + (i % 5) * 4  # 8..24
+    h = 6 + (i % 7) * 3  # 6..24
+    header = f"P6\n# fixture {i}\n{w} {h}\n255\n".encode("ascii")
+    body = bytes((i * 7 + p * 13) % 256 for p in range(w * h * 3))
+    return header + body
+
+
+def encode_ppm_fixture(ids: DataFrame) -> DataFrame:
+    """``spark.range`` frame → one real P6 payload per id (Arrow-batched)."""
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["id"],
+                    "payload": [ppm_fixture_payload(int(i)) for i in pdf["id"]],
+                }
+            )
+
+    return ids.mapInPandas(_enc, "media_id long, payload binary")
+
+
+def _parse_ppm(data: bytes) -> tuple[int, int, int, int, int, int, int]:
+    """Pure-stdlib P6 parser, written against the netpbm spec (not the
+    fixture writer): magic, then three whitespace-separated decimal fields
+    with ``#`` comments allowed anywhere in the header, exactly one
+    whitespace byte after maxval, then ``3*w*h`` raw sample bytes. Returns
+    (width, height, maxval, n_pixels, sum_r, sum_g, sum_b) with exact
+    integer channel sums."""
+    pos = 0
+
+    def _token() -> bytes:
+        nonlocal pos
+        while pos < len(data):
+            c = data[pos : pos + 1]
+            if c in (b" ", b"\t", b"\r", b"\n"):
+                pos += 1
+            elif c == b"#":
+                while pos < len(data) and data[pos : pos + 1] != b"\n":
+                    pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(data) and data[pos : pos + 1] not in (
+            b" ",
+            b"\t",
+            b"\r",
+            b"\n",
+        ):
+            pos += 1
+        return data[start:pos]
+
+    if _token() != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    width, height, maxval = int(_token()), int(_token()), int(_token())
+    if maxval > 255:
+        raise ValueError("2-byte-sample PPM not supported")
+    pos += 1  # the single whitespace byte terminating the header
+    body = data[pos : pos + width * height * 3]
+    if len(body) != width * height * 3:
+        raise ValueError("truncated PPM body")
+    return (
+        width,
+        height,
+        maxval,
+        width * height,
+        sum(body[0::3]),
+        sum(body[1::3]),
+        sum(body[2::3]),
+    )
+
+
+def decode_ppm(media: DataFrame) -> DataFrame:
+    """REAL binary image decode (no fake flag, no gated library): parse
+    each payload as a P6 PPM with :func:`_parse_ppm` and emit exact header
+    fields + per-channel integer sums. Same mapInPandas batch shape as
+    :func:`decode_media`; this is the decode seam actually executing
+    against real image bytes, using nothing beyond the stdlib."""
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [
+                _parse_ppm(bytes(p)) if p is not None else (None,) * 7
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [t[0] for t in parsed],
+                    "height": [t[1] for t in parsed],
+                    "maxval": [t[2] for t in parsed],
+                    "n_pixels": [t[3] for t in parsed],
+                    "sum_r": [t[4] for t in parsed],
+                    "sum_g": [t[5] for t in parsed],
+                    "sum_b": [t[6] for t in parsed],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _dec, PPM_DECODE_SCHEMA
+    )
 
 
 def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 4,

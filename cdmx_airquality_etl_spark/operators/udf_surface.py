@@ -99,8 +99,9 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     column pruning keeps metadata-only queries from deserializing payloads,
     the property that makes 100 TB media tables queryable — and every
     output is exact (BIGINT counts, hex digests), so the whole path is
-    hash-checked against DuckDB's blob functions. The stubbed feature
-    decode lives in q_multimodal_decode (rows-only by contract)."""
+    hash-checked against DuckDB's blob functions. The decode path lives in
+    q_multimodal_decode (since round 8: a real stdlib PPM parse, also
+    oracle-checked)."""
     from ..multimodal import attach_binary
 
     docs = load_table(spark, sf_dir, "documents")
@@ -116,28 +117,49 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_multimodal_decode")
+@register(
+    "q_multimodal_decode",
+    oracle="""
+    WITH ids AS (SELECT unnest(range(0, 64)) AS i),
+    dims AS (
+      SELECT i, 8 + (i % 5) * 4 AS w, 6 + (i % 7) * 3 AS h FROM ids
+    ),
+    px AS (
+      SELECT i, w, h, unnest(range(0, w * h * 3)) AS p FROM dims
+    )
+    SELECT CAST(i AS BIGINT) AS media_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(255 AS INT) AS maxval,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(SUM(CASE WHEN p % 3 = 0
+                         THEN (i * 7 + p * 13) % 256 END) AS BIGINT) AS sum_r,
+           CAST(SUM(CASE WHEN p % 3 = 1
+                         THEN (i * 7 + p * 13) % 256 END) AS BIGINT) AS sum_g,
+           CAST(SUM(CASE WHEN p % 3 = 2
+                         THEN (i * 7 + p * 13) % 256 END) AS BIGINT) AS sum_b
+    FROM px
+    GROUP BY i, w, h
+    """,
+)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal DECODE path (rows-only: the decoder is the documented
-    stub): binary payload → Arrow-batched (fake) feature decode → per-source
-    feature statistics. Exercises the mapInPandas batch shape end to end."""
-    from ..multimodal import attach_binary, decode_media
+    """Multimodal DECODE path — a REAL binary image decode, oracle-checked
+    (the round-8 close of the last rows-only entry, via the
+    q_compression_ratio fixture-calibration playbook): a deterministic
+    corpus of genuine P6 PPM images (variable dimensions, header comments,
+    closed-form pixel bytes) is encoded in one Arrow-batched stage and
+    decoded by a pure-stdlib PPM parser in another, emitting exact header
+    fields and per-channel BIGINT pixel sums that DuckDB recomputes from
+    the same generating formula. A parser that misreads the header, the
+    comment, the maxval terminator, or any byte offset changes an integer
+    sum and fails the value hash. The general library-gated decode seam
+    (PIL/ffmpeg-class codecs absent from this container) remains
+    multimodal.decode_media; this query proves the decode PLUMBING —
+    mapInPandas batch shape, binary columns end to end, schema — against
+    real image bytes."""
+    from ..multimodal import PPM_FIXTURE_N, decode_ppm, encode_ppm_fixture
 
-    docs = load_table(spark, sf_dir, "documents")
-    media = attach_binary(docs, "doc_id", "text", mime="text/plain")
-    feats = decode_media(media, dim=8, fake=True)
-    joined = feats.join(
-        docs.select(F.col("doc_id").alias("media_id"), "source"), "media_id"
-    )
-    return (
-        joined.select("source", "n_bytes", F.element_at("feature", 1).alias("f0"))
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_media"),
-            F.sum("n_bytes").alias("total_bytes"),
-            (F.sum("f0") / F.count(F.lit(1))).alias("avg_f0"),
-        )
-    )
+    return decode_ppm(encode_ppm_fixture(spark.range(PPM_FIXTURE_N)))
 
 
 def compression_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -86,3 +86,52 @@ def test_resize_media_fixed_output_size(media):
 def test_resize_media_real_path_gated(media):
     with pytest.raises(Exception, match="NotImplementedError|image resizing"):
         resize_media(media, fake=False).collect()
+
+
+# ---------------------------------------------------------------------------
+# Real PPM decode path (round 8 — the query-facing decode, oracle-backed)
+# ---------------------------------------------------------------------------
+from cdmx_airquality_etl_spark.multimodal import (  # noqa: E402
+    _parse_ppm,
+    decode_ppm,
+    encode_ppm_fixture,
+    ppm_fixture_payload,
+)
+
+
+def test_ppm_parser_spec_features():
+    # comments and arbitrary whitespace in the header, per the netpbm spec
+    body = bytes(range(2 * 2 * 3))
+    data = b"P6 # trailing comment\n # another\n  2\t2\n# before maxval\n255\n" + body
+    w, h, maxval, n_px, sr, sg, sb = _parse_ppm(data)
+    assert (w, h, maxval, n_px) == (2, 2, 255, 4)
+    assert (sr, sg, sb) == (sum(body[0::3]), sum(body[1::3]), sum(body[2::3]))
+
+
+def test_ppm_parser_rejects_bad_payloads():
+    with pytest.raises(ValueError, match="P6"):
+        _parse_ppm(b"P5\n1 1\n255\n\x00")
+    with pytest.raises(ValueError, match="truncated"):
+        _parse_ppm(b"P6\n2 2\n255\n\x00\x00")  # body too short
+    with pytest.raises(ValueError, match="2-byte"):
+        _parse_ppm(b"P6\n1 1\n65535\n" + b"\x00" * 6)
+
+
+def test_ppm_fixture_roundtrip_matches_closed_form():
+    for i in (0, 3, 17, 63):
+        payload = ppm_fixture_payload(i)
+        w, h, maxval, n_px, sr, sg, sb = _parse_ppm(payload)
+        assert (w, h) == (8 + (i % 5) * 4, 6 + (i % 7) * 3)
+        exp = [(i * 7 + p * 13) % 256 for p in range(w * h * 3)]
+        assert sr == sum(exp[0::3])
+        assert sg == sum(exp[1::3])
+        assert sb == sum(exp[2::3])
+
+
+def test_decode_ppm_end_to_end(spark):
+    rows = decode_ppm(encode_ppm_fixture(spark.range(8))).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r["maxval"] == 255
+        assert r["n_pixels"] == r["width"] * r["height"]
+        assert 0 <= r["sum_r"] <= 255 * r["n_pixels"]

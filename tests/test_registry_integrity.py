@@ -7,13 +7,13 @@ from cdmx_airquality_etl_spark.registry import ORACLE_FACTORIES, ORACLES, QUERIE
 # The exhaustive rows-only allowlist. Adding a query without an oracle fails
 # this test until it is justified here (SURVEY.md §7: only genuinely
 # non-SQL-expressible ops qualify).
-ROWS_ONLY = {
-    "q_multimodal_decode": "stubbed binary decode (build contract) — the "
-    "float feature stream has no SQL equivalent; the metadata path is "
-    "oracle-checked as q_multimodal_meta",
-}
-# (q_compression_ratio left this list in round 7: its checkable surface is
-# the deterministic fixture-corpus calibration — see operators/udf_surface.)
+ROWS_ONLY: dict[str, str] = {}
+# EMPTY since round 8: every registered query carries an exact oracle.
+# (q_compression_ratio left in round 7 via the fixture-corpus calibration;
+# q_multimodal_decode left in round 8 — the decode now runs a real
+# pure-stdlib PPM parse over a deterministic fixture corpus whose exact
+# channel sums DuckDB recomputes from the generating formula. The driver's
+# rows-only branch is dead code from here on.)
 
 CHECKED = set(ORACLES) | set(ORACLE_FACTORIES)
 
