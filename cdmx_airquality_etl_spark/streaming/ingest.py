@@ -34,6 +34,7 @@ def ingest_stream(
     partition_col: str | None = None,
     checkpoint_dir: str | None = None,
     available_now: bool = True,
+    max_files_per_trigger: int = 64,
 ):
     """Run (or start) the incremental ingest stream.
 
@@ -43,7 +44,7 @@ def ingest_stream(
     """
     stream = (
         spark.readStream.schema(source_schema)
-        .option("maxFilesPerTrigger", 64)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
 

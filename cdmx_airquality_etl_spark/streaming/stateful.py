@@ -81,12 +81,17 @@ def run_windowed_counts_stream(
     key_col: str = "event_type",
     window_duration: str = "1 hour",
     watermark_delay: str = "30 minutes",
+    max_files_per_trigger: int = 64,
 ):
     """File-source stream → windowed counts → parquet sink (complete-by-
     append via foreachBatch overwrite, since plain append mode would hold
     back open windows until the watermark passes — with AvailableNow over a
     closed directory we want every window emitted)."""
-    stream = spark.readStream.schema(source_schema).parquet(source_dir)
+    stream = (
+        spark.readStream.schema(source_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
     counts = windowed_counts(
         stream, ts_col=ts_col, key_col=key_col,
         window_duration=window_duration, watermark_delay=watermark_delay,

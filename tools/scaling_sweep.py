@@ -52,6 +52,15 @@ DEFAULT_SWEEP = {
     "q_similarity_ann_ivfpq": "embeddings",
     "q_join_skew_salted": "orders",
     "q_sessionize": "events",
+    # round-8 additions (VERDICT r7 #3): the 10-12-exchange tier that was
+    # never swept — every 100 TB claim is a measurement, uniformly
+    "q_label_propagation": "lineitem",
+    "q_source_skew_tv": "documents",
+    "q_assortativity": "lineitem",
+    "q_spearman_matrix": "events",
+    "q_cohen_kappa": "documents",
+    "q_kaplan_meier": "events",
+    "q_funnel_windowed": "events",
 }
 
 
