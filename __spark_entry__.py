@@ -35,9 +35,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable oracle SQL per query; keys missing here (vs queries())
-    are the genuinely non-SQL-expressible ops → driver's rows-only check.
-    Data-derived oracles are rendered for $SPARK_GRAFT_ORACLE_SF_DIR
-    (default: the driver's sf0.01 correctness tables)."""
+    """DuckDB-runnable oracle SQL per query. Since round 8 EVERY key in
+    queries() appears here (the rows-only tier is empty — see
+    tests/test_registry_integrity.py). Data-derived oracles are rendered
+    for $SPARK_GRAFT_ORACLE_SF_DIR (default: the driver's sf0.01
+    correctness tables)."""
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", ORACLE_SF_DIR)
     return resolve_oracles(sf_dir)

@@ -60,6 +60,7 @@ def merge_upsert(
     keys: list[str],
     counter_col: str | None = None,
     dedup_source: bool = False,
+    version_col: str | None = None,
 ) -> DataFrame:
     """Full-outer-join merge of ``source`` into ``target`` on ``keys``.
 
@@ -68,6 +69,16 @@ def merge_upsert(
     target rows are kept verbatim; unmatched source rows insert. If
     ``counter_col`` is given it is maintained as the reference's ``nupdates``:
     existing value (or 1) + 1 on match, 1 on insert.
+
+    ``version_col`` makes the counter replay-safe (exactly-once under
+    foreachBatch's at-least-once contract): the source carries a constant
+    batch version in that column, the target stores it per row, and a
+    match only bumps the counter when the incoming version differs
+    (null-safe, so pre-versioned target rows bump normally). A replayed
+    batch then reproduces the EXACT target state — data columns were
+    already idempotent, and the version guard makes the counter so —
+    with no ledger side-channel: the version rides the same atomic write
+    as the data, so there is no crash window between them.
     """
     if dedup_source:
         source = collapse_to_key_grain(source, keys)
@@ -85,8 +96,14 @@ def merge_upsert(
     out_cols: list[Column] = [
         F.coalesce(F.col(f"s.{k}"), F.col(f"t.{k}")).alias(k) for k in keys
     ]
+    if version_col is not None and version_col not in source.columns:
+        raise ValueError(
+            f"version_col {version_col!r} must be present in the source "
+            f"(a constant batch version column)"
+        )
+    skip = set(keys) | {counter_col, version_col}
     source_cols = set(source.columns)
-    data_cols = [c for c in target.columns if c not in keys and c != counter_col]
+    data_cols = [c for c in target.columns if c not in skip]
     for c in data_cols:
         if c in source_cols:
             # matched → source wins even if source value is NULL (the reference
@@ -101,8 +118,17 @@ def merge_upsert(
             out_cols.append(F.col(f"t.{c}").alias(c))
     # columns new in source (schema widening)
     for c in source.columns:
-        if c not in target.columns and c != counter_col:
+        if c not in target.columns and c not in skip:
             out_cols.append(F.col(f"s.{c}").alias(c))
+
+    if version_col is not None:
+        v_new = (
+            F.when(s_present, F.col(f"s.{version_col}"))
+            .otherwise(F.col(f"t.{version_col}"))
+            if version_col in target.columns
+            else F.col(f"s.{version_col}")
+        )
+        out_cols.append(v_new.alias(version_col))
 
     if counter_col is not None:
         prev = (
@@ -110,12 +136,18 @@ def merge_upsert(
             if counter_col in target.columns
             else F.lit(1)
         )
-        out_cols.append(
-            F.when(t_present & s_present, prev + 1)
-            .when(t_present, prev)
-            .otherwise(F.lit(1))
-            .alias(counter_col)
-        )
+        if version_col is not None and version_col in target.columns:
+            # bump only when this batch version hasn't touched the row yet
+            # (null-safe: a pre-versioned target row bumps normally)
+            fresh = ~F.col(f"t.{version_col}").eqNullSafe(
+                F.col(f"s.{version_col}")
+            )
+            bump = F.when(t_present & s_present & fresh, prev + 1).when(
+                t_present, prev
+            )
+        else:
+            bump = F.when(t_present & s_present, prev + 1).when(t_present, prev)
+        out_cols.append(bump.otherwise(F.lit(1)).alias(counter_col))
 
     return joined.select(*out_cols)
 
@@ -128,6 +160,7 @@ def merge_into_parquet(
     counter_col: str | None = None,
     partition_col: str | None = None,
     check_partition_alignment: bool = False,
+    version_col: str | None = None,
 ) -> None:
     """Merge a batch into a parquet table at ``path`` (M-TXN equivalent).
 
@@ -186,7 +219,10 @@ def merge_into_parquet(
                     f"{keys} for this batch; merge with partition_col=None"
                 )
         target_slice = target.filter(F.col(partition_col).isin(touched))
-        merged = merge_upsert(target_slice, source, keys, counter_col=counter_col)
+        merged = merge_upsert(
+            target_slice, source, keys,
+            counter_col=counter_col, version_col=version_col,
+        )
         # per-write option, NOT spark.conf.set: mutating the session conf
         # would silently switch every later partitioned overwrite in the
         # session to dynamic semantics
@@ -197,7 +233,10 @@ def merge_into_parquet(
             .parquet(path)
         )
     else:
-        merged = merge_upsert(target, source, keys, counter_col=counter_col)
+        merged = merge_upsert(
+            target, source, keys,
+            counter_col=counter_col, version_col=version_col,
+        )
         # the rename swap is POSIX-only — refuse object-store schemes and
         # strip a file: scheme so os.rename sees a real path
         # (the ACID seam below is the cluster path)

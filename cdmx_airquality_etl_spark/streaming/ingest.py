@@ -19,6 +19,7 @@ partitions it touches.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from ..plans.merge import merge_into_parquet
@@ -35,12 +36,21 @@ def ingest_stream(
     checkpoint_dir: str | None = None,
     available_now: bool = True,
     max_files_per_trigger: int = 64,
+    version_col: str | None = "_ingest_batch_id",
 ):
     """Run (or start) the incremental ingest stream.
 
     With ``available_now=True`` this processes every unseen file then stops —
     the scheduled-batch shape of the reference (one launcher run ≙ one call).
     Returns the finished/running StreamingQuery.
+
+    ``version_col`` (default on) stamps each batch's rows with the
+    micro-batch id and routes it to the merge's version guard, making the
+    whole upsert — counter included — idempotent when foreachBatch
+    replays a batch after a crash between the sink write and the
+    checkpoint commit (plans/merge.merge_upsert docstring; pinned by
+    tests/test_streaming_recovery.py). Pass None for the raw
+    reference-parity behavior where every re-merge bumps the counter.
     """
     stream = (
         spark.readStream.schema(source_schema)
@@ -51,13 +61,17 @@ def ingest_stream(
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        src = batch_df
+        if version_col is not None:
+            src = src.withColumn(version_col, F.lit(int(batch_id)))
         merge_into_parquet(
             batch_df.sparkSession,
-            batch_df,
+            src,
             target_path,
             keys,
             counter_col=counter_col,
             partition_col=partition_col,
+            version_col=version_col,
         )
 
     writer = stream.writeStream.foreachBatch(_merge_batch).outputMode("update")

@@ -142,3 +142,42 @@ def test_half_written_batch_dir_is_invisible_and_rewritten(spark, tmp_path):
     # and a SECOND replay of the now-committed id is a no-op
     assert apply_fact_delta_versioned(spark, view_path, facts, dim, "k", 0) is False
     assert read_view(spark, view_path).count() == 2
+
+
+def test_ingest_merge_version_guard_makes_counter_replay_safe(spark, tmp_path):
+    """The ingest half of crash recovery: merge_into_parquet's data columns
+    were always idempotent under replay, but the nupdates counter bumped
+    once per merge call — a replayed foreachBatch batch double-bumped it.
+    The version guard (ingest_stream stamps each batch with its batch id)
+    must make the WHOLE merge, counter included, reproduce the exact
+    target state when the same batch id replays, while a genuinely new
+    batch still bumps."""
+    from pyspark.sql import functions as F
+
+    from cdmx_airquality_etl_spark.plans.merge import merge_into_parquet
+
+    tgt = str(tmp_path / "tbl")
+    rows = [Row(k=1, v="a"), Row(k=2, v="b")]
+    batch0 = spark.createDataFrame(rows, "k long, v string").withColumn(
+        "_b", F.lit(0)
+    )
+
+    merge_into_parquet(spark, batch0, tgt, ["k"], counter_col="nupdates",
+                       version_col="_b")
+    state1 = {r["k"]: (r["v"], r["nupdates"]) for r in spark.read.parquet(tgt).collect()}
+    assert state1 == {1: ("a", 1), 2: ("b", 1)}
+
+    # crash-replay of batch 0: EXACT same state, counter included
+    merge_into_parquet(spark, batch0, tgt, ["k"], counter_col="nupdates",
+                       version_col="_b")
+    state2 = {r["k"]: (r["v"], r["nupdates"]) for r in spark.read.parquet(tgt).collect()}
+    assert state2 == state1
+
+    # a real new batch (new id, re-scraped key) bumps exactly once
+    batch1 = spark.createDataFrame([Row(k=1, v="a2")], "k long, v string").withColumn(
+        "_b", F.lit(1)
+    )
+    merge_into_parquet(spark, batch1, tgt, ["k"], counter_col="nupdates",
+                       version_col="_b")
+    state3 = {r["k"]: (r["v"], r["nupdates"]) for r in spark.read.parquet(tgt).collect()}
+    assert state3 == {1: ("a2", 2), 2: ("b", 1)}
