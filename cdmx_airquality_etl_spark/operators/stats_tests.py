@@ -63,18 +63,33 @@ _BENFORD = [math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
              CAST(SUM(x * yc) AS BIGINT) AS sxy,
              CAST(SUM(yc * yc) AS BIGINT) AS syy
       FROM pts GROUP BY event_type
+    ),
+    -- the scalar combinations n*s2 - s1*s1 overflow BIGINT at sf1 row
+    -- counts (~1e21), so they run in exact DECIMAL: (19,0)x(19,0)
+    -- products cast to (37,0), difference in (38,0), ONE cast to double
+    d AS (
+      SELECT event_type, n, sx, sy,
+             CAST(CAST(CAST(n AS DECIMAL(19,0)) * CAST(sxy AS DECIMAL(19,0))
+                       AS DECIMAL(37,0))
+                - CAST(CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
+                       AS DECIMAL(37,0)) AS DOUBLE) AS num,
+             CAST(CAST(CAST(n AS DECIMAL(19,0)) * CAST(sxx AS DECIMAL(19,0))
+                       AS DECIMAL(37,0))
+                - CAST(CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0))
+                       AS DECIMAL(37,0)) AS DOUBLE) AS den,
+             CAST(CAST(CAST(n AS DECIMAL(19,0)) * CAST(syy AS DECIMAL(19,0))
+                       AS DECIMAL(37,0))
+                - CAST(CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
+                       AS DECIMAL(37,0)) AS DOUBLE) AS den2
+      FROM s
     )
     SELECT event_type, n,
-           CAST(CAST(n * sxy - sx * sy AS DOUBLE)
-                / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0 AS DOUBLE) AS slope,
+           CAST(num / den / 100.0 AS DOUBLE) AS slope,
            CAST((CAST(sy AS DOUBLE) / 100.0
-                 - (CAST(n * sxy - sx * sy AS DOUBLE)
-                    / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0)
-                   * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS DOUBLE) AS intercept,
-           CAST(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
-                / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
-                AS DOUBLE) AS r2
-    FROM s
+                 - (num / den / 100.0) * CAST(sx AS DOUBLE))
+                / CAST(n AS DOUBLE) AS DOUBLE) AS intercept,
+           CAST(num * num / (den * den2) AS DOUBLE) AS r2
+    FROM d
     """,
 )
 def q_ols_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -84,8 +99,12 @@ def q_ols_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     intercept and R² are then a fixed expression over those scalars —
     bit-identical across engines and partitionings. At 100 TB this is the
     canonical "trend per segment" plan: one shuffle keyed by the group, no
-    window, no second pass. Magnitude check: x ≤ ~12k days, yc ≤ ~33k ⇒
-    Σx·yc ≤ 4·10^8 per million rows — BIGINT-safe to trillions of rows."""
+    window, no second pass. Magnitude check: x ≤ ~21k days, yc ≤ ~33k ⇒
+    the five SUMS are BIGINT-safe to trillions of rows, but the scalar
+    combinations n·sxy − sx·sy are NOT (the round-8 sf1 sweep caught the
+    long overflow at ~1e21): they run in exact DECIMAL — (19,0)×(19,0)
+    products cast to (37,0), difference in (38,0), one cast to double —
+    identical in both engines, overflow-safe past 10^12-row groups."""
     ev = load_table(spark, sf_dir, "events")
     x = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).cast("bigint")
     yc = F.round(F.col("value") * 100).cast("bigint")
@@ -101,16 +120,21 @@ def q_ols_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("yc") * F.col("yc")).alias("syy"),
         )
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    def _dec_diff(a1: str, a2: str, b1: str, b2: str):
+        # exact decimal n*s2 - s1*s1': mirrors the oracle's DECIMAL ladder
+        p = lambda u, v: (
+            F.col(u).cast("decimal(19,0)") * F.col(v).cast("decimal(19,0)")
+        ).cast("decimal(37,0)")
+        return (p(a1, a2) - p(b1, b2)).cast("double")
+
+    num = _dec_diff("n", "sxy", "sx", "sy")
+    den = _dec_diff("n", "sxx", "sx", "sx")
+    den2 = _dec_diff("n", "syy", "sy", "sy")
     slope = num / den / F.lit(100.0)
     intercept = (
         F.col("sy").cast("double") / F.lit(100.0) - slope * F.col("sx").cast("double")
     ) / F.col("n").cast("double")
-    r2 = (
-        num * num
-        / (den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
-    )
+    r2 = num * num / (den * den2)
     return s.select(
         "event_type", "n",
         slope.alias("slope"), intercept.alias("intercept"), r2.alias("r2"),
