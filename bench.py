@@ -70,7 +70,13 @@ def main() -> int:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    spark = get_spark("bench")
+    # experiment hook (e.g. the round-8 codegen A/B): semicolon-separated
+    # k=v pairs applied on top of the standard session config
+    extra = {}
+    for kv in filter(None, os.environ.get("SPARK_GRAFT_BENCH_CONF", "").split(";")):
+        k, _, v = kv.partition("=")
+        extra[k.strip()] = v.strip()
+    spark = get_spark("bench", extra_conf=extra or None)
     spark.sparkContext.setLogLevel("ERROR")
     # Clearing the cache between queries races the ContextCleaner against
     # in-flight task completions, producing benign-but-noisy
