@@ -53,3 +53,14 @@ def test_pagerank_supersteps_reuse_static_table_shuffles(spark):
     # the static plan still shows the repeats — that's expected and is
     # what PLANS.md counts; the point of this test is the runtime shape
     assert len(re.findall(r"\bExchange\b", plan)) >= executed
+
+
+def test_label_propagation_supersteps_reuse_static_table_shuffles(spark):
+    # same fixed-point shape as pagerank (12 static exchanges in
+    # PLANS.md): the edge list shuffles once, later rounds reuse it
+    df = QUERIES["q_label_propagation"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 2, (
+        "label-propagation rounds are re-shuffling the static edge list"
+    )
