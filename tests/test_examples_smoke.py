@@ -1,0 +1,25 @@
+"""Smoke gate for the runnable examples: a user following README's
+"Running" section must not hit an import error or a drifted API. Each
+example exposes main() and reuses the session via getOrCreate, so the
+smoke runs in-process against the test session."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(name: str):
+    path = os.path.join(REPO, "examples", f"{name}.py")
+    spec = importlib.util.spec_from_file_location(f"examples_{name}", path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_incremental_ingest_example_runs(spark):
+    assert _load("incremental_ingest").main([]) == 0
