@@ -197,8 +197,10 @@ def compression_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             out["ratio"] = out["n_compressed"] / out["n_bytes"]
             yield out
 
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, text_col).mapInPandas(
-        score, f"{id_col} string, n_bytes long, n_compressed long, ratio double"
+        score,
+        f"{id_col} {id_type}, n_bytes long, n_compressed long, ratio double",
     )
 
 

@@ -14,7 +14,7 @@ stage over the driver test corpus.
       → deterministic shuffle → sharded JSONL a trainer streams
 
 Every stage is the library form of an oracle-checked registry query
-(q_gopher_rules, q_unigram_lm, q_compression_ratio, q_dedup_keep_best,
+(q_gopher_rules, q_unigram_lm, compression_scores, q_dedup_keep_best,
 q_decontaminate, q_train_test_split, q_pack_sequences, q_global_shuffle),
 so the example is a tour, not new semantics.
 
@@ -42,7 +42,7 @@ from cdmx_airquality_etl_spark.operators.corpus_quality import (
     q_gopher_rules,
     q_unigram_lm,
 )
-from cdmx_airquality_etl_spark.operators.udf_surface import q_compression_ratio
+from cdmx_airquality_etl_spark.operators.udf_surface import compression_scores
 from cdmx_airquality_etl_spark.session import get_spark
 from cdmx_airquality_etl_spark.sinks import export_jsonl_shards
 from cdmx_airquality_etl_spark.sources.parquet import load_table
@@ -84,7 +84,10 @@ def main() -> None:
     # 1b. model scores: drop the extreme unigram-LM band (common-word soup)
     #     and near-incompressible noise (zlib ratio ≈ 1)
     lm = q_unigram_lm(spark, sf_dir).select("doc_id", "avg_prob")
-    comp = q_compression_ratio(spark, sf_dir).select("doc_id", "ratio")
+    # per-document zlib ratios come from the production scorer
+    # (q_compression_ratio is its fixture-CALIBRATION twin — it returns
+    # per-class band aggregates, not per-doc rows)
+    comp = compression_scores(docs, "doc_id", "text").select("doc_id", "ratio")
     grams3 = _grams_spark(3)
     dup_ratio = F.when(
         F.size(grams3) > 0,

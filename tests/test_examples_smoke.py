@@ -21,5 +21,36 @@ def _load(name: str):
     return mod
 
 
+class _bare_argv:
+    """The tours read optional overrides from sys.argv; under pytest that
+    would be the test file path — run them as if invoked with no args."""
+
+    def __enter__(self):
+        self._saved, sys.argv = sys.argv, [sys.argv[0]]
+
+    def __exit__(self, *exc):
+        sys.argv = self._saved
+
+
 def test_incremental_ingest_example_runs(spark):
     assert _load("incremental_ingest").main([]) == 0
+
+
+def test_quickstart_example_runs(spark):
+    with _bare_argv():
+        _load("quickstart").main()
+
+
+def test_analytics_tour_example_runs(spark):
+    with _bare_argv():
+        _load("analytics_tour").main()
+
+
+def test_curation_pipeline_example_runs(spark):
+    with _bare_argv():
+        _load("curation_pipeline").main()
+
+
+def test_contrastive_data_example_runs(spark):
+    with _bare_argv():
+        _load("contrastive_data").main()
