@@ -83,8 +83,9 @@ def main() -> None:
     print(f"training triples: {n}")
     triples.orderBy("anchor_id").show(5, truncate=False)
 
-    spark.stop()
 
 
 if __name__ == "__main__":
     main()
+    from cdmx_airquality_etl_spark.session import get_spark
+    get_spark().stop()  # script invocation owns the session; main() does not

@@ -164,8 +164,9 @@ def main() -> None:
         total = sum(c for _, c in manifest)
         print(f"wrote {len(manifest)} deterministic JSONL shards, {total} rows")
 
-    spark.stop()
 
 
 if __name__ == "__main__":
     main()
+    from cdmx_airquality_etl_spark.session import get_spark
+    get_spark().stop()  # script invocation owns the session; main() does not
