@@ -33,14 +33,17 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# A path is remote when it carries an authority-form URI (scheme://) or a
-# known cluster-storage scheme in its single-colon form (hdfs:/x is valid
-# Hadoop shorthand for the default authority). A relative local path whose
-# first segment merely contains a colon (e.g. 'run:2026/table') is NOT a
-# scheme — rejecting it was the round-7 over-match this anchors away.
+# A path is remote when it carries an authority-form URI (scheme://) or ANY
+# scheme in its single-colon shorthand form — 'scheme:/path' (colon followed
+# immediately by a slash) is valid Hadoop shorthand for whatever filesystem
+# that scheme is configured to, so an allowlist of known schemes would let an
+# unlisted one (dbfs:/tbl, alluxio:/tbl) slip through as a relative POSIX
+# path and silently report 0 files (round-8 ADVICE). 'file:' is handled by
+# the caller before this check. A relative local path whose first segment
+# merely contains a colon followed by a NON-slash (e.g. 'run:2026/table') is
+# NOT a scheme — rejecting it was the round-7 over-match this anchors away.
 _REMOTE_SCHEME = re.compile(
-    r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://"
-    r"|(?:s3a?|s3n|hdfs|gs|wasbs?|abfss?|adl|oss|viewfs|o3fs|cosn|swift):)",
+    r"^[a-zA-Z][a-zA-Z0-9+.-]+:(?://|/)",
     re.IGNORECASE,
 )
 

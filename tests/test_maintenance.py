@@ -219,6 +219,13 @@ def test_file_uri_paths_resolve_like_plain_paths(spark, sf_dir, tmp_path):
     assert _local_path("/a/b") == "/a/b"
     import pytest as _pytest
 
-    for bad in ("file://host/a", "hdfs:///a", "s3a://b/t"):
+    # round-8 ADVICE: ANY scheme:/ shorthand is remote (not an allowlist) —
+    # an unlisted scheme must fail loudly, never resolve as a relative path
+    for bad in (
+        "file://host/a", "hdfs:///a", "s3a://b/t",
+        "hdfs:/a", "dbfs:/tbl", "alluxio:/tbl", "o3fs:/x", "madeupfs:/y",
+    ):
         with _pytest.raises(NotImplementedError):
             _local_path(bad)
+    # colon followed by a NON-slash is not a scheme (round-7 false positive)
+    assert _local_path("run:2026/table") == "run:2026/table"
