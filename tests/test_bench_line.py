@@ -37,3 +37,50 @@ def test_headline_queries_are_registered():
 
     missing = [k for k in bench.HEADLINE if k not in QUERIES]
     assert not missing, f"HEADLINE references unregistered queries: {missing}"
+
+
+def test_cross_round_gate_flags_unexplained_regression(tmp_path, monkeypatch, capsys):
+    """VERDICT r8 #8: the closing ritual must fail on an unexplained ≥1.5×
+    per-query regression vs the previous round's pinned closing artifact,
+    and pass when the regression is declared in tools/bench_allowlist.json."""
+    import json
+    import sys as _sys
+    import os as _os
+
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", "tools"))
+    import bench_gate
+    import importlib
+
+    importlib.reload(bench_gate)
+
+    def seed(allowlist):
+        prev = {
+            "value": 10.0, "sf": 0.1, "n_queries": 2,
+            "queries": {"q_a": 1.0, "q_b": 2.0},
+            "warm_queries": {"q_a": 1.0},
+        }
+        fresh = {
+            "value": 12.0, "sf": 0.1, "n_queries": 2,
+            # q_a regressed 2x warm; q_b fine cold
+            "queries": {"q_a": 2.5, "q_b": 2.1},
+            "warm_queries": {"q_a": 2.0},
+        }
+        root = tmp_path / "repo"
+        (root / "tools").mkdir(parents=True, exist_ok=True)
+        (root / "BENCH_DETAIL.json").write_text(json.dumps(fresh))
+        (root / "BENCH_CLOSING_r08.json").write_text(json.dumps(prev))
+        (root / "tools" / "bench_allowlist.json").write_text(
+            json.dumps(allowlist)
+        )
+        return root
+
+    monkeypatch.setattr(bench_gate, "REPO_ROOT", str(seed({"r09": {}})))
+    monkeypatch.setattr(bench_gate.sys, "argv", ["bench_gate.py", "r09"])
+    assert bench_gate.main() == 1
+    assert "q_a" in capsys.readouterr().out
+
+    root = seed({"r09": {"q_a": "stub became real implementation"}})
+    monkeypatch.setattr(bench_gate, "REPO_ROOT", str(root))
+    assert bench_gate.main() == 0
+    out = capsys.readouterr().out
+    assert "allowlisted" in out and "stub became real" in out

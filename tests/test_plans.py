@@ -208,3 +208,25 @@ def test_cap_per_source_uses_window_group_limit(spark, sf_dir):
     # shuffle never carries the full corpus for a hot source
     plan = _plan(spark, sf_dir, "q_cap_per_source")
     assert "WindowGroupLimit" in plan
+
+
+def test_wscg_detection_uses_aqe_off_plan(spark, sf_dir):
+    """Round-8 VERDICT #7: AQE's pre-execution formatted plan omits
+    "[codegen id :" below the AdaptiveSparkPlan node, so WSCG detection on
+    it under-reports. dump_plans now detects codegen from a second AQE-off
+    explain — known-codegen plans must read wscg=True there."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from dump_plans import summarize
+
+    for name in ("q_scan_project", "q_group_agg"):
+        plan = _plan(spark, sf_dir, name)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            plan_no_aqe = _plan(spark, sf_dir, name)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+        assert summarize(plan, plan_no_aqe)["wscg"] is True
+    # and the under-reporting the fix replaces: the AQE-on string alone
+    # misses q_group_agg's codegen spans
+    assert "[codegen id :" not in _plan(spark, sf_dir, "q_group_agg")

@@ -16,13 +16,26 @@ This gate runs right after ``bench.py`` inside the closing ritual and:
    with JVM noise and are exempt). Warm timings are compared when both
    sides have them (less JIT noise), cold otherwise.
 
+Round 9 adds the CROSS-ROUND ledger (VERDICT r8 #8): after the within-round
+>3× check, the fresh closing artifact is compared against the PREVIOUS
+round's ``BENCH_CLOSING_r(N-1).json`` and the gate exits nonzero on any
+query that regressed ≥1.5× round-over-round (warm-vs-warm when both rounds
+warmed it, else cold-vs-cold; ≥1 s floor — sub-second timings swing freely
+with shared-JVM noise). Adjudicated baseline changes (a stub became a real
+implementation, an algorithm was deliberately traded) are declared in
+``tools/bench_allowlist.json`` as ``{"<tag>": {"<query>": "<reason>"}}`` —
+the allowlist is per-round and explicit, so every regression is either
+explained in a committed artifact or fails the ritual.
+
 Usage: python tools/bench_gate.py <round-tag>   (after bench.py)
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import shutil
 import subprocess
 import sys
@@ -30,7 +43,35 @@ import sys
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 OUTLIER_FACTOR = 3.0
+CROSS_ROUND_FACTOR = 1.5
 MIN_ABS_SEC = 1.0
+
+
+def previous_closing(tag: str) -> tuple[str, dict] | None:
+    """The newest committed BENCH_CLOSING_r*.json with a round number below
+    ``tag``'s (not simply N-1: a round may legitimately not pin one)."""
+    m = re.fullmatch(r"r(\d+)", tag)
+    if not m:
+        return None
+    cur = int(m.group(1))
+    best: tuple[int, str] | None = None
+    for p in glob.glob(os.path.join(REPO_ROOT, "BENCH_CLOSING_r*.json")):
+        pm = re.fullmatch(r"BENCH_CLOSING_r(\d+)\.json", os.path.basename(p))
+        if pm and int(pm.group(1)) < cur:
+            if best is None or int(pm.group(1)) > best[0]:
+                best = (int(pm.group(1)), p)
+    if best is None:
+        return None
+    with open(best[1]) as f:
+        return f"r{best[0]:02d}", json.load(f)
+
+
+def load_allowlist(tag: str) -> dict[str, str]:
+    p = os.path.join(REPO_ROOT, "tools", "bench_allowlist.json")
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f).get(tag, {})
 
 
 def main() -> int:
@@ -55,10 +96,10 @@ def main() -> int:
                 text=True,
             )
         )
-    except subprocess.CalledProcessError:
+    except (subprocess.CalledProcessError, FileNotFoundError):
         print("no committed BENCH_DETAIL.json to compare against — skipping "
               "outlier gate")
-        return 0
+        committed = {"queries": {}, "warm_queries": {}}
 
     def pick(d: dict, name: str, tier: str) -> float | None:
         v = d.get(tier, {}).get(name, -1.0)
@@ -89,6 +130,44 @@ def main() -> int:
               "clearCache between) before believing or committing this sweep")
         return 1
     print("bench gate: no >3× outliers vs last committed BENCH_DETAIL.json")
+
+    # -------- cross-round ledger (VERDICT r8 #8) --------
+    prev = previous_closing(tag)
+    if prev is None:
+        print("no previous BENCH_CLOSING_r*.json — skipping cross-round gate")
+        return 0
+    prev_tag, prev_bench = prev
+    allow = load_allowlist(tag)
+    regressions, allowed = [], []
+    for name in fresh.get("queries", {}):
+        new = pick(fresh, name, "warm_queries")
+        old = pick(prev_bench, name, "warm_queries")
+        tier = "warm"
+        if new is None or old is None:
+            new = pick(fresh, name, "queries")
+            old = pick(prev_bench, name, "queries")
+            tier = "cold"
+        if new is None or old is None:
+            continue  # new query this round — no prior baseline
+        if new >= MIN_ABS_SEC and new >= CROSS_ROUND_FACTOR * old:
+            if name in allow:
+                allowed.append((name, old, new, tier, allow[name]))
+            else:
+                regressions.append((name, old, new, tier))
+    for name, old, new, tier, why in allowed:
+        print(f"  allowlisted ({tag}): {name} {old:.2f}s -> {new:.2f}s "
+              f"({tier}) — {why}")
+    if regressions:
+        print(f"BENCH GATE FAILED — {len(regressions)} unexplained "
+              f"≥{CROSS_ROUND_FACTOR}× regressions vs {prev_tag}:")
+        for name, old, new, tier in sorted(regressions, key=lambda x: -x[2]):
+            print(f"  {name}: {old:.2f}s -> {new:.2f}s ({tier})")
+        print("standalone re-time each (4 runs, clearCache between); if the "
+              "new baseline is adjudicated real, declare it in "
+              f"tools/bench_allowlist.json under {tag!r} with the reason")
+        return 1
+    print(f"bench gate: no unexplained ≥{CROSS_ROUND_FACTOR}× regressions "
+          f"vs {prev_tag}")
     return 0
 
 
