@@ -42,6 +42,45 @@ _NDCG_DISC = [1.0 / math.log2(i + 1) for i in range(1, _NDCG_K + 1)]
 _BENFORD = [math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
 
 
+def _exact_moment_diff(a1: str, a2: str, b1: str, b2: str):
+    """Exact DECIMAL ``a1·a2 − b1·b2`` over BIGINT sum columns — the scalar
+    moment combination of q_ols_group (and the shape the round-8 sf1 sweep
+    caught overflowing in plain long arithmetic): (19,0)×(19,0) products
+    cast to (37,0), difference in (38,0), ONE cast to double, mirroring the
+    oracle's ladder text-for-text.
+
+    Under Spark's default non-ANSI mode a decimal(37,0) overflow returns
+    NULL where DuckDB would error — past the analyzed ~10^12-row-group
+    envelope that would silently NULL the slope/r2 instead of failing
+    (round-8 ADVICE #3). The inputs are non-null sums, so a NULL diff can
+    only mean overflow: raise loudly instead."""
+    p = lambda u, v: (
+        F.col(u).cast("decimal(19,0)") * F.col(v).cast("decimal(19,0)")
+    ).cast("decimal(37,0)")
+    d = p(a1, a2) - p(b1, b2)
+    overflow = (
+        d.isNull()
+        & F.col(a1).isNotNull()
+        & F.col(a2).isNotNull()
+        & F.col(b1).isNotNull()
+        & F.col(b2).isNotNull()
+    )
+    return (
+        F.when(
+            overflow,
+            F.raise_error(
+                F.lit(
+                    "exact_moment_diff: decimal(37,0) combination "
+                    "overflowed — group is beyond the analyzed ~10^12-row "
+                    "envelope; widen the DECIMAL ladder in BOTH engines "
+                    "before trusting any output"
+                )
+            ).cast("double"),
+        )
+        .otherwise(d.cast("double"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # q_ols_group — per-group least-squares trend from exact sufficient stats
 # ---------------------------------------------------------------------------
@@ -120,16 +159,9 @@ def q_ols_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("yc") * F.col("yc")).alias("syy"),
         )
     )
-    def _dec_diff(a1: str, a2: str, b1: str, b2: str):
-        # exact decimal n*s2 - s1*s1': mirrors the oracle's DECIMAL ladder
-        p = lambda u, v: (
-            F.col(u).cast("decimal(19,0)") * F.col(v).cast("decimal(19,0)")
-        ).cast("decimal(37,0)")
-        return (p(a1, a2) - p(b1, b2)).cast("double")
-
-    num = _dec_diff("n", "sxy", "sx", "sy")
-    den = _dec_diff("n", "sxx", "sx", "sx")
-    den2 = _dec_diff("n", "syy", "sy", "sy")
+    num = _exact_moment_diff("n", "sxy", "sx", "sy")
+    den = _exact_moment_diff("n", "sxx", "sx", "sx")
+    den2 = _exact_moment_diff("n", "syy", "sy", "sy")
     slope = num / den / F.lit(100.0)
     intercept = (
         F.col("sy").cast("double") / F.lit(100.0) - slope * F.col("sx").cast("double")

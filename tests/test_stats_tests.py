@@ -150,3 +150,55 @@ def test_ndcg_matches_manual(spark, sf_dir):
     assert abs(got["idcg"] - idcg) < 1e-12
     assert abs(got["ndcg"] - dcg / idcg) < 1e-9
     assert 0.0 <= got["ndcg"] <= 1.0
+
+
+def test_exact_moment_diff_raises_on_overflow_instead_of_null(spark):
+    """Round-8 ADVICE #3: under non-ANSI mode a decimal(37,0) overflow
+    returns NULL (DuckDB errors) — beyond the analyzed envelope the slope
+    would silently NULL. The guard must raise loudly there, and stay exact
+    (and silent) inside the envelope."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+    from cdmx_airquality_etl_spark.operators.stats_tests import (
+        _exact_moment_diff,
+    )
+
+    # in-envelope: matches plain integer arithmetic exactly
+    ok = spark.createDataFrame(
+        [Row(n=10**6, sxy=10**12, sx=10**9, sy=10**9)],
+        "n long, sxy long, sx long, sy long",
+    )
+    got = ok.select(
+        _exact_moment_diff("n", "sxy", "sx", "sy").alias("d")
+    ).first()["d"]
+    assert got == float(10**6 * 10**12 - 10**9 * 10**9)
+
+    # out of envelope: (19,0)x(19,0) product needs 38 digits -> must RAISE,
+    # never a silent NULL. Under Spark 4's default ANSI mode the cast
+    # itself errors (NUMERIC_VALUE_OUT_OF_RANGE); with ANSI off — the mode
+    # the round-8 ADVICE worried about, where the cast silently NULLs —
+    # the guard's raise_error must fire instead.
+    big = 9 * 10**18  # within bigint/decimal(19,0); product ~8.1e37
+    bad = spark.createDataFrame(
+        [Row(n=big, sxy=big, sx=0, sy=0)],
+        "n long, sxy long, sx long, sy long",
+    )
+    with _pytest.raises(Exception, match="overflowed|NUMERIC_VALUE_OUT_OF_RANGE"):
+        bad.select(
+            _exact_moment_diff("n", "sxy", "sx", "sy").alias("d")
+        ).collect()
+
+    ansi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with _pytest.raises(Exception, match="overflowed"):
+            bad.select(
+                _exact_moment_diff("n", "sxy", "sx", "sy").alias("d")
+            ).collect()
+        # and the in-envelope value is still exact with ANSI off
+        got2 = ok.select(
+            _exact_moment_diff("n", "sxy", "sx", "sy").alias("d")
+        ).first()["d"]
+        assert got2 == got
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi)
