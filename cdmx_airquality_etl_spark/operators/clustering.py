@@ -272,12 +272,13 @@ def q_dedup_text_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents the embedding pass groups but the text pass doesn't are
     paraphrases, the interesting band).
 
-    Same scale shape as its parts: capped inverted-index candidate
-    generation (dedup._shared_shingle_pairs), then the O(diameter)
-    min-label propagation with per-round lineage cuts
-    (connected_components above). The pair CTE text is SHARED with the
-    fuzzy oracle (dedup._SQL_SHINGLE_PAIR_CTES), so the two stages can
-    never disagree about what a duplicate pair is."""
+    Same scale shape as its parts: adjacency-anchor candidate generation
+    with exact verification (dedup._anchor_jaccard_pairs — the round-9
+    restructure that keeps the pair stage ~linear on saturating
+    vocabularies), then the O(diameter) min-label propagation with
+    per-round lineage cuts (connected_components above). The pair CTE
+    text is SHARED with the fuzzy oracle (dedup._SQL_SHINGLE_PAIR_CTES),
+    so the two stages can never disagree about what a duplicate pair is."""
     from ..registry import QUERIES
 
     pairs = QUERIES["q_dedup_fuzzy"](spark, sf_dir)

@@ -162,6 +162,117 @@ def _jaccard_pairs(
     )
 
 
+def anchor_params(threshold: float) -> tuple[int, int]:
+    """(max anchor distance k, singleton-emission size cutoff) for
+    :func:`_anchor_jaccard_pairs` at a given Jaccard threshold t.
+
+    k = ⌊2(1−t)/t⌋ + 1 and cutoff = ⌊(1+t)/t⌋ − 1; the coverage proof is on
+    _anchor_jaccard_pairs. The tiny epsilon only ever rounds UP (a larger k
+    or cutoff emits MORE anchors — always safe)."""
+    t = threshold
+    k = int(2.0 * (1.0 - t) / t + 1e-9) + 1
+    cutoff = int((1.0 + t) / t + 1e-9) - 1
+    return k, cutoff
+
+
+def _anchor_jaccard_pairs(shingled: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard-≥-t pairs via ADJACENCY ANCHORS — the round-9
+    restructure of the fuzzy-dedup core after the sf3 scaling decade showed
+    the per-shingle inverted index going superlinear (exponent 1.38 over
+    sf0.1→3) on a saturating vocabulary: with V fixed, every shingle's df
+    grows ∝ n and candidate volume Σ df²/2 grows ∝ n²/V (measured 1.07e9
+    candidate rows at sf3 for 216 true pairs).
+
+    Scheme (an exact filter-verify join in the AllPairs/PPJoin family, but
+    keyed on token ADJACENCY instead of prefixes, which saturation defeats):
+
+    1. Each doc sorts its distinct shingle set and emits an anchor
+       (lo, hi) for every pair of shingles at distance ≤ k in ITS OWN
+       sorted list (k from :func:`anchor_params`; k = 3 at t = 0.5), plus
+       degenerate (s, s) anchors when the doc has ≤ cutoff shingles.
+    2. Candidates = anchor-key self-join (a.doc_id < b.doc_id).
+    3. Every candidate is verified EXACTLY: join both docs' shingle
+       arrays, shared = size(array_intersect), jaccard ≥ t, distinct.
+
+    COVERAGE PROOF (no qualifying pair is missed). Let S = |A∩B|,
+    extras = (|A|−S) + (|B|−S). J ≥ t ⇒ (1+t)S ≥ t(|A|+|B|) ⇒
+    extras ≤ S(1−t)/t. Walk A's sorted list: the S shared shingles form
+    S−1 consecutive-in-intersection pairs; such a pair fails to be an
+    anchor of A only when ≥ k of A's extras sit inside its gap, and gaps
+    are disjoint, so A loses ≤ ⌊extras_A/k⌋ of them (same for B). With
+    k = ⌊2(1−t)/t⌋+1: for S = 2, extras ≤ ⌊2(1−t)/t⌋ = k−1 < k, so neither
+    side can lose the single pair; for S = 3, extras/k ≤ 3(1−t)/(tk) ≤ 1.5
+    loses ≤ 1 of 2; for S ≥ 4, losses ≤ S/2 ≤ S−2 — in every case ≥ 1
+    anchor survives in BOTH docs. S = 1 qualifying pairs force
+    |A|+|B| ≤ (1+t)/t, i.e. both docs ≤ cutoff, and the (s, s) singleton
+    anchors cover them. S = 0 pairs don't qualify. ∎
+
+    Scale shape (100 TB): anchor rows are ≤ (k + 1)·|shingles| — LINEAR —
+    and an anchor's postings df counts docs where the same two shingles are
+    ≤ k apart, which stays O(1) even when every single shingle is corpus-hot
+    (measured on the saturated sf3 twin: 23M anchor rows, 6.5M candidates —
+    165× below the inverted index — and the n² coefficient shrinks from
+    ~1/V to ~1/V²-ish). Verification is two narrow id-joins against the
+    shingle arrays plus one map-side array_intersect per candidate; the
+    final distinct dedupes the ≈1.6 % multi-anchor multiplicity on the
+    OUTPUT (a few hundred rows), never on the candidate set. Adversarial
+    boilerplate (many docs sharing a long identical shingle RUN) makes
+    those anchors hot; the self-join goes through AQE's skew split, and
+    the pairs such runs imply are largely true output anyway (see the
+    band-skew probe in BASELINE.md round 9).
+    """
+    k, cutoff = anchor_params(threshold)
+    anchor_expr = f"""
+      concat(
+        flatten(transform(sequence(1, size(__shs)), i ->
+          filter(
+            transform(sequence(i + 1, i + {k}), j ->
+              if(j <= size(__shs),
+                 struct(__shs[i-1] AS lo, __shs[j-1] AS hi),
+                 cast(null AS struct<lo:string,hi:string>))),
+            p -> p IS NOT NULL))),
+        CASE WHEN size(__shs) <= {cutoff}
+             THEN transform(__shs, s -> struct(s AS lo, s AS hi))
+             ELSE cast(array() AS array<struct<lo:string,hi:string>>) END
+      )
+    """
+    anch = (
+        shingled.filter(F.col("n_sh") >= 1)
+        .withColumn("__shs", F.array_sort("sh"))
+        .select("doc_id", F.explode(F.expr(anchor_expr)).alias("__a"))
+        .select("doc_id", F.col("__a.lo").alias("lo"), F.col("__a.hi").alias("hi"))
+    )
+    cand = (
+        anch.select(F.col("doc_id").alias("doc_id_a"), "lo", "hi")
+        .join(anch.select(F.col("doc_id").alias("doc_id_b"), "lo", "hi"), ["lo", "hi"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+    )
+    arr_a = shingled.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("sh").alias("__sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    arr_b = shingled.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("sh").alias("__sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    shared = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    return (
+        cand.join(arr_a, "doc_id_a")
+        .join(arr_b, "doc_id_b")
+        .withColumn("shared", shared)
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # q_dedup_exact
 # ---------------------------------------------------------------------------
@@ -270,8 +381,16 @@ _SQL_FUZZY_JACCARD = "CAST(shared AS DOUBLE) / (n_a + n_b - shared)"
     """,
 )
 def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-shingle Jaccard ≥ 0.5 near-duplicate pairs, EXACT (the
+    oracle is the exhaustive per-shingle join). Round 9 moved the plan
+    from the per-shingle inverted index to the adjacency-anchor
+    filter-verify join (_anchor_jaccard_pairs, coverage proof there):
+    the sf3 scaling decade showed the postings core superlinear on a
+    saturating vocabulary (exponent 1.38, 1.07e9 candidates at sf3),
+    while anchors keep candidate volume 165× lower with the same exact
+    output."""
     docs = load_table(spark, sf_dir, "documents")
-    return _jaccard_pairs(_doc_shingles(docs), _JACCARD_THRESHOLD)
+    return _anchor_jaccard_pairs(_doc_shingles(docs), _JACCARD_THRESHOLD)
 
 
 # ---------------------------------------------------------------------------
@@ -872,11 +991,12 @@ def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-shingle Jaccard basis as q_dedup_fuzzy) counted per unordered source
     pair — the diagnostic that finds mirror sites and re-crawled feeds
     before they skew the training mix (the per-source face of
-    q_duplicate_stats' corpus totals). Same capped inverted-index plan as
-    the fuzzy op plus one broadcast-scale join back to (doc_id, source)
-    and a 20x20-cell aggregate; the matrix is tiny at any corpus size."""
+    q_duplicate_stats' corpus totals). Same adjacency-anchor plan as the
+    fuzzy op (round 9) plus one broadcast-scale join back to
+    (doc_id, source) and a 20x20-cell aggregate; the matrix is tiny at
+    any corpus size."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = _jaccard_pairs(_doc_shingles(docs), _JACCARD_THRESHOLD)
+    pairs = _anchor_jaccard_pairs(_doc_shingles(docs), _JACCARD_THRESHOLD)
     src = docs.select("doc_id", "source")
     a = src.select(F.col("doc_id").alias("doc_id_a"), F.col("source").alias("src_a"))
     b = src.select(F.col("doc_id").alias("doc_id_b"), F.col("source").alias("src_b"))
