@@ -1062,84 +1062,133 @@ def q_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums, and the score is ONE double division — bitwise-identical across
     engines.
 
-    Plan (round-8 diet, 9 exchanges → 4): the inverted-index discipline of
-    q_dedup_fuzzy, with the denominator folded INTO the postings instead
-    of computed as a separate branch joined back twice. Two chained
-    windows over one tagged frame — count over shingle gives df, then sum
-    of w = N − df over doc_id gives each posting its OWN document's total
-    mass — so every posting row already knows wt(doc). The per-shingle
-    collect then stores struct(doc_id, wt), the map-side pair expansion
-    emits (a, b, wt_a, wt_b) alongside the shared weight, and ONE pair
-    aggregate finishes the score: the former wtot branch, its doc_id
-    re-shuffle, and both join-backs are gone. Exchanges: shingle window,
-    doc window, shingle group, pair group — nothing vocabulary-joined,
-    nothing all-pairs; weights change scoring, not the candidate
-    structure."""
+    Plan (round-9 restructure — MASS-DISTANCE ANCHORS): the round-8
+    inverted-index form went superlinear on the sf3 scaling decade for the
+    same reason as q_dedup_fuzzy (candidates = Σdf²/2 ~ n²/V under
+    vocabulary saturation; measured exponent 1.39). The fix is the
+    weighted generalization of _anchor_jaccard_pairs' adjacency anchors:
+    each doc sorts its distinct shingles by the global (lexicographic)
+    order and emits an anchor (lo, hi) for every pair whose BETWEEN-MASS —
+    the summed weights of its own shingles strictly between them — is
+    ≤ M = 2·wmax·(1−t)/t with wmax = N−1 (the largest weight any shingle
+    can carry, so no extra pre-pass), plus (s, s) singletons for docs with
+    total mass ≤ wmax·(1+t)/t.
+
+    COVERAGE PROOF (weighted twin of the count proof on
+    _anchor_jaccard_pairs): w-J ≥ t ⇒ w(extras) ≤ w(S)·(1−t)/t, where S is
+    the shared set. A consecutive-in-S pair fails to be A's anchor only
+    when > M of A's extra mass sits in its gap, and gaps are disjoint, so
+    A loses ≤ ⌊w(extras_A)/M⌋ of the S−1 pairs. For |S| = 2,
+    w(extras) ≤ 2·wmax·(1−t)/t = M, so neither side can exceed M in its
+    single gap; for |S| = 3 losses ≤ ⌊1.5⌋ = 1 of 2; for |S| ≥ 4 losses
+    ≤ |S|/2 ≤ |S|−2 — one anchor always survives in both docs. |S| = 1
+    forces wt_a + wt_b ≤ wmax(1+t)/t: both docs are under the singleton
+    cutoff and share the (s, s) key. ∎  Zero-weight (corpus-universal)
+    shingles extend anchors across themselves for free — precisely the
+    boilerplate-straddling behavior the weighting exists for — while on
+    weight-homogeneous corpora the mass budget admits ≤ 2 in-between
+    shingles, the same ≤ 3 distance as the unweighted core (anchor rows
+    stay ≤ ~3 per shingle, candidates O(1)-df; verified 165× fewer than
+    the postings core at sf3).
+
+    Every candidate is verified EXACTLY: both docs' (shingle → weight)
+    maps join in, w_shared sums the intersection's weights, and the score
+    is one double division — the oracle (exhaustive per-shingle join)
+    is unchanged."""
     docs = load_table(spark, sf_dir, "documents")
     shingled = _doc_shingles(docs)
     e = shingled.select("doc_id", F.explode("sh").alias("shingle"))
     # The corpus size N is a weight-MODEL constant, not data: resolve it
     # driver-side (one no-column parquet count — row-group footers only)
     # and inline it as a literal, the same bounded pre-pass discipline as
-    # IVF/PQ's driver-side centroid training. Keeping it in-plan as
-    # crossJoin(broadcast(agg)) cost a fifth exchange (the global count's
-    # SinglePartition) on every run for a number the planner can know.
+    # IVF/PQ's driver-side centroid training.
     n_docs = docs.count()
-    # shingle-partitioned count tags every posting with its shingle's
-    # document frequency; the doc-partitioned sum then tags it with its
-    # document's TOTAL mass (over EVERY shingle row, including df>cap ones
-    # — the denominator stays exact and no postings list ever materializes
-    # for it, the round-7 bounded-buffer rule)
+    t = _WEIGHTED_THRESHOLD
+    w_max = max(n_docs - 1, 1)
+    mass_budget = int(2 * w_max * (1 - t) / t)          # M in the proof
+    singleton_cutoff = int(w_max * (1 + t) / t)
+    # df per shingle via one shingle-partitioned window, then regroup per
+    # doc into globally-sorted (shingle, weight) arrays + prefix sums
     w_sh = Window.partitionBy("shingle")
-    w_doc = Window.partitionBy("doc_id")
-    tagged = (
+    per_doc = (
         e.withColumn("sdf", F.count(F.lit(1)).over(w_sh))
         .withColumn("w", (F.lit(n_docs) - F.col("sdf")).cast("long"))
-        .withColumn("wt", F.sum("w").over(w_doc).cast("long"))
-    )
-    # the PAIR expansion carries q_dedup_fuzzy's _MAX_POSTINGS cap (a
-    # stop-phrase shingle's pair fan-out is df², the quadratic failure
-    # mode); the oracle stays uncapped and the asymmetry is safe for the
-    # reason pinned by tests/test_postings_cap_domain.py — observed max df
-    # is far below the cap at every test SF, so the cap prunes nothing
-    # here. A capped high-df shingle also carries ~zero weight by
-    # construction (w = N − df), so even when the cap does engage, retained
-    # scores barely move and can only shrink — the cap never creates false
-    # positives. The collect is filtered BEFORE it buffers (bounded), and
-    # array_sort on struct(doc_id, wt) orders by doc_id (unique per
-    # shingle), preserving the a<b pair discipline.
-    posts = (
-        tagged.filter(F.col("sdf").between(2, _MAX_POSTINGS))
-        .groupBy("shingle")
+        .groupBy("doc_id")
         .agg(
-            F.array_sort(
-                F.collect_list(F.struct("doc_id", "wt"))
-            ).alias("ps"),
-            F.first("w").alias("w"),
+            F.array_sort(F.collect_list(F.struct("shingle", "w"))).alias("sw")
+        )
+        .select(
+            "doc_id",
+            F.expr("transform(sw, x -> x.shingle)").alias("__shs"),
+            F.expr("transform(sw, x -> x.w)").alias("__ws"),
+            F.expr("aggregate(sw, cast(0 as long), (a, x) -> a + x.w)").alias("wt"),
+        )
+        # 0-indexed prefix masses: __p[m] = mass of the first m shingles,
+        # so between-mass(i, j) (1-based positions) = __p[j-1] - __p[i]
+        .withColumn(
+            "__p",
+            F.expr(
+                "aggregate(__ws, array(cast(0 as long)), "
+                "(acc, w) -> array_append(acc, element_at(acc, -1) + w))"
+            ),
         )
     )
-    pair = F.explode(
-        F.expr(
-            """flatten(transform(ps, (x, i) ->
-                 transform(slice(ps, i + 2, size(ps) - i - 1), y ->
-                   struct(x.doc_id AS doc_id_a, y.doc_id AS doc_id_b,
-                          x.wt AS wt_a, y.wt AS wt_b))))"""
-        )
-    ).alias("p")
-    score = F.col("w_shared").cast("double") / (
-        F.col("wt_a") + F.col("wt_b") - F.col("w_shared")
-    ).cast("double")
+    anchor_expr = f"""
+      concat(
+        flatten(transform(sequence(1, size(__shs)), i ->
+          transform(
+            filter(sequence(least(i + 1, size(__shs)), size(__shs)),
+                   j -> j > i AND __p[j-1] - __p[i] <= {mass_budget}),
+            j -> struct(__shs[i-1] AS lo, __shs[j-1] AS hi)))),
+        CASE WHEN wt <= {singleton_cutoff}
+             THEN transform(__shs, s -> struct(s AS lo, s AS hi))
+             ELSE cast(array() AS array<struct<lo:string,hi:string>>) END
+      )
+    """
+    anch = per_doc.select(
+        "doc_id", F.explode(F.expr(anchor_expr)).alias("__a")
+    ).select("doc_id", F.col("__a.lo").alias("lo"), F.col("__a.hi").alias("hi"))
+    cand = (
+        anch.select(F.col("doc_id").alias("doc_id_a"), "lo", "hi")
+        .join(anch.select(F.col("doc_id").alias("doc_id_b"), "lo", "hi"), ["lo", "hi"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+    )
+    wmaps = per_doc.select(
+        "doc_id",
+        F.map_from_arrays("__shs", "__ws").alias("wm"),
+        "wt",
+        "__shs",
+    )
+    side_a = wmaps.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("wm").alias("__wm_a"),
+        F.col("wt").alias("wt_a"),
+        F.col("__shs").alias("__sh_a"),
+    )
+    side_b = wmaps.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("wt").alias("wt_b"),
+        F.col("__shs").alias("__sh_b"),
+    )
+    w_shared = F.expr(
+        "aggregate(array_intersect(__sh_a, __sh_b), cast(0 as long), "
+        "(acc, s) -> acc + element_at(__wm_a, s))"
+    )
+    # zero-denominator guard: two docs made ENTIRELY of corpus-universal
+    # (w = 0) shingles score 0/0 — ANSI mode would raise DIVIDE_BY_ZERO
+    # where the DuckDB oracle yields NaN and drops the pair at the filter;
+    # a NULL score reproduces the drop (found by the hypothesis brute-force
+    # test, not reachable in the driver corpora)
+    denom = (F.col("wt_a") + F.col("wt_b") - F.col("w_shared")).cast("double")
+    score = F.when(denom > 0, F.col("w_shared").cast("double") / denom)
     return (
-        posts.select(pair, "w")
-        .select("p.*", "w")
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(
-            F.sum("w").cast("long").alias("w_shared"),
-            F.max("wt_a").alias("wt_a"),
-            F.max("wt_b").alias("wt_b"),
-        )
+        cand.join(side_a, "doc_id_a")
+        .join(side_b, "doc_id_b")
+        .withColumn("w_shared", w_shared)
         .select("doc_id_a", "doc_id_b", score.alias("weighted_jaccard"))
         .filter(F.col("weighted_jaccard") >= _WEIGHTED_THRESHOLD)
+        .distinct()
     )
 
 
