@@ -1297,19 +1297,22 @@ def q_lsh_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-miss band — the two numbers that pick b and r (more bands =
     higher recall AND more false candidates to verify).
 
-    Scale shape: ONE shared capped-postings pair expansion (the
-    q_dedup_fuzzy plan) feeding ONE scalar aggregate that carries every
-    config's probability-mass sums side by side (a union of per-config
-    aggregates would rescan the pair expansion once per config —
-    measured 4.2 s vs 1.3 s at sf0.1), exploded to the 4-row design
-    table at the end. Determinism: the S-curve
+    Scale shape (round-9 restructure): the pair set comes from the
+    adjacency-anchor join (_anchor_jaccard_pairs — at this op's s ≥ 0.1
+    floor the anchor reach is k = 19, still linear anchor rows and O(1)
+    per-anchor postings where the sf3 decade showed the capped-postings
+    expansion going ~n²/V on the saturating vocabulary), feeding ONE
+    scalar aggregate that carries every config's probability-mass sums
+    side by side (a union of per-config aggregates would rescan the pair
+    stage once per config — measured 4.2 s vs 1.3 s at sf0.1), exploded
+    to the 4-row design table at the end. Determinism: the S-curve
     power is an explicit SQUARING CHAIN (identical association order in
     both engines — library pow() is not bitwise-portable), and per-pair
     probabilities enter the cross-pair sums as exact floor-milli INTEGERS,
     so the aggregate is order-free — the discipline that keeps a
     corpus-sized float sum hash-exact without a bounded-array fold."""
     docs = load_table(spark, sf_dir, "documents")
-    scored = _jaccard_pairs(_doc_shingles(docs), _LSH_PLAN_MIN_S).select(
+    scored = _anchor_jaccard_pairs(_doc_shingles(docs), _LSH_PLAN_MIN_S).select(
         F.col("jaccard").alias("s")
     )
     dup = F.col("s") >= _JACCARD_THRESHOLD
