@@ -118,3 +118,61 @@ def test_fingerprint_matches_corpus_ingest_identity(spark):
     b = [r[0] for r in df.select(_fingerprint(F.col("text"))).collect()]
     assert a == b
     assert a[0] == a[1] != a[2]
+
+
+def test_stop_mid_stream_then_restart_is_exactly_once(spark, tmp_path):
+    """Round-9 VERDICT #5: restart exactness for the ST-DEDUP sink. The
+    stream is killed after its FIRST micro-batch commits (AvailableNow +
+    maxFilesPerTrigger=1 over 4 files); a fresh query on the same
+    checkpoint finishes the rest. The parquet sink's transaction log +
+    the dedup state in the checkpoint must give the single-run output
+    exactly: one row per fingerprint, no replay duplicates, no gaps."""
+    src = str(tmp_path / "src2")
+    out = str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ckpt2")
+    os.makedirs(src, exist_ok=True)
+    batches = [
+        [dict(ts=_ts(1), doc_id="a", text="alpha beta gamma delta"),
+         dict(ts=_ts(2), doc_id="b", text="epsilon zeta eta theta")],
+        [dict(ts=_ts(3), doc_id="c", text="alpha  beta gamma delta")],  # dup of a
+        [dict(ts=_ts(4), doc_id="d", text="iota kappa lambda mu")],
+        [dict(ts=_ts(5), doc_id="e", text="epsilon zeta  eta theta")],  # dup of b
+    ]
+    for rows in batches:
+        spark.createDataFrame([Row(**r) for r in rows], SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def _start():
+        stream = spark.readStream.schema(SCHEMA).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        return (
+            dedup_stream_within_watermark(stream, delay="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = _start()
+    # kill after the first committed micro-batch
+    import time
+
+    deadline = time.time() + 120
+    while not q.recentProgress and time.time() < deadline:
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(120)
+    n_before = len(spark.read.parquet(out).collect())
+    if n_before >= 3:  # full output is 3 rows (a, b, d)
+        import pytest
+
+        pytest.skip("stream finished before stop(); interruption not exercised")
+
+    q2 = _start()
+    q2.awaitTermination(120)
+    got = spark.read.parquet(out).collect()
+    assert sorted(r["doc_id"] for r in got) == ["a", "b", "d"]
+    assert len({r["fingerprint"] for r in got}) == 3

@@ -38,6 +38,8 @@ import time
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO_ROOT)
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from cdmx_airquality_etl_spark.session import get_spark  # noqa: E402
 from cdmx_airquality_etl_spark.sources.parquet import load_table  # noqa: E402
 from cdmx_airquality_etl_spark.streaming.ingest import ingest_stream  # noqa: E402
@@ -46,7 +48,10 @@ from cdmx_airquality_etl_spark.streaming.stateful import (  # noqa: E402
 )
 
 
-def _split_table(spark, sf_dir: str, table: str, out_dir: str, n: int, cols=None):
+def _split_table(
+    spark, sf_dir: str, table: str, out_dir: str, n: int, cols=None,
+    transform=None,
+):
     """Materialize the table as n single-FILE snapshots in a landing dir.
 
     Plain files, not parquet directories: a ``*.parquet`` glob over
@@ -56,6 +61,8 @@ def _split_table(spark, sf_dir: str, table: str, out_dir: str, n: int, cols=None
     df = load_table(spark, sf_dir, table)
     if cols:
         df = df.select(*cols)
+    if transform is not None:
+        df = transform(df)
     total = df.count()
     os.makedirs(out_dir, exist_ok=True)
     for i in range(n):
@@ -148,6 +155,118 @@ def bench_st_ingest(spark, sf_dir: str, work: str, batches: int) -> dict:
     return stats
 
 
+def bench_st_dedup(spark, sf_dir: str, work: str, batches: int) -> dict:
+    """ST-DEDUP (round-9 VERDICT #5): the documents table streamed through
+    the watermarked fingerprint dedup (streaming/dedup.py →
+    dropDuplicatesWithinWatermark) into an append file sink. Event time is
+    synthesized from doc_id (1 ms apart) and the watermark delay covers
+    the whole span, so the expected output is EXACTLY the distinct
+    fingerprint count — integrity is asserted, not assumed."""
+    from pyspark.sql import functions as F
+
+    from cdmx_airquality_etl_spark.streaming.dedup import (
+        content_fingerprint,
+        dedup_stream_within_watermark,
+    )
+
+    land = os.path.join(work, "dedup_land")
+    schema, total = _split_table(
+        spark, sf_dir, "documents", land, batches,
+        cols=["doc_id", "text"],
+        # offset well past the epoch: an initial watermark clamps at
+        # 1970-01-01, and a row whose event time EQUALS the watermark is
+        # dropped as late (measured: doc_id=0 vanished)
+        transform=lambda df: df.withColumn(
+            "ts",
+            F.timestamp_micros(F.lit(1_704_067_200_000_000) + F.col("doc_id") * 1000),
+        ),
+    )
+    expected = (
+        load_table(spark, sf_dir, "documents")
+        .select(content_fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .count()
+    )
+    out = os.path.join(work, "dedup_out")
+    ckpt = os.path.join(work, "dedup_ckpt")
+    t0 = time.time()
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(land, "*.parquet"))
+    )
+    q = (
+        dedup_stream_within_watermark(stream, ts_col="ts", delay="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.time() - t0
+    stats = _progress_stats(q, total)
+    stats["wall_sec"] = round(wall, 3)
+    stats["rows_per_sec"] = round(stats["rows"] / wall) if wall else None
+    got = spark.read.parquet(out).count()
+    stats["output_rows"] = got
+    stats["expected_distinct"] = expected
+    if got != expected:
+        raise AssertionError(
+            f"ST-DEDUP integrity: {got} output rows != {expected} distinct "
+            "fingerprints"
+        )
+    return stats
+
+
+def bench_st_cms(spark, sf_dir: str, work: str, batches: int) -> dict:
+    """ST-CMS (round-9 VERDICT #5): the count-min index-maintenance stream
+    (streaming/cms_maintenance.py) over events keyed on event_type —
+    versioned _SUCCESS-protocol sketch state, one version per micro-batch.
+    Integrity: the final sketch equals the one-shot batch sketch."""
+    from cdmx_airquality_etl_spark.streaming.cms_maintenance import (
+        batch_increments,
+        cms_stream,
+        merge_sketch,
+        read_sketch,
+    )
+
+    land = os.path.join(work, "cms_land")
+    schema, total = _split_table(
+        spark, sf_dir, "events", land, batches, cols=["event_id", "event_type"]
+    )
+    state = os.path.join(work, "cms_state")
+    ckpt = os.path.join(work, "cms_ckpt")
+    t0 = time.time()
+    q = cms_stream(
+        spark, os.path.join(land, "*.parquet"), schema, state, ckpt,
+        key_col="event_type",
+    )
+    q.awaitTermination()
+    wall = time.time() - t0
+    stats = _progress_stats(q, total)
+    stats["wall_sec"] = round(wall, 3)
+    stats["rows_per_sec"] = round(stats["rows"] / wall) if wall else None
+    oneshot = merge_sketch(
+        read_sketch(spark, os.path.join(work, "__empty_cms")),
+        batch_increments(
+            load_table(spark, sf_dir, "events").select("event_id", "event_type"),
+            "event_type",
+        ),
+    ).withColumnRenamed("cnt", "cnt_one")
+    streamed = read_sketch(spark, state)
+    diff = (
+        streamed.join(oneshot, ["r", "bucket"], "full_outer")
+        .filter(~F.col("cnt").eqNullSafe(F.col("cnt_one")))
+        .count()
+    )
+    stats["sketch_matches_oneshot"] = diff == 0
+    if diff:
+        raise AssertionError("ST-CMS integrity: streamed sketch != one-shot")
+    return stats
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get(
@@ -155,19 +274,26 @@ def main() -> int:
     ap.add_argument("--batches", type=int, default=8)
     ap.add_argument("--out", default=os.path.join(
         REPO_ROOT, "STREAMING_BENCH.json"))
+    ap.add_argument(
+        "--workloads", nargs="+",
+        default=["st_count", "st_ingest", "st_dedup", "st_cms"],
+    )
     args = ap.parse_args()
 
     spark = get_spark("streaming-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    benches = {
+        "st_count": bench_st_count,
+        "st_ingest": bench_st_ingest,
+        "st_dedup": bench_st_dedup,
+        "st_cms": bench_st_cms,
+    }
     work = tempfile.mkdtemp(prefix="streaming_bench_")
     try:
-        result = {
-            "sf_dir": args.sf_dir,
-            "batches_requested": args.batches,
-            "st_count": bench_st_count(spark, args.sf_dir, work, args.batches),
-            "st_ingest": bench_st_ingest(spark, args.sf_dir, work, args.batches),
-        }
+        result = {"sf_dir": args.sf_dir, "batches_requested": args.batches}
+        for name in args.workloads:
+            result[name] = benches[name](spark, args.sf_dir, work, args.batches)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
