@@ -175,7 +175,11 @@ def anchor_params(threshold: float) -> tuple[int, int]:
     return k, cutoff
 
 
-def _anchor_jaccard_pairs(shingled: DataFrame, threshold: float) -> DataFrame:
+def _anchor_jaccard_pairs(
+    shingled: DataFrame,
+    threshold: float,
+    max_anchor_postings: int | None = None,
+) -> DataFrame:
     """Exact Jaccard-≥-t pairs via ADJACENCY ANCHORS — the round-9
     restructure of the fuzzy-dedup core after the sf3 scaling decade showed
     the per-shingle inverted index going superlinear (exponent 1.38 over
@@ -212,14 +216,23 @@ def _anchor_jaccard_pairs(shingled: DataFrame, threshold: float) -> DataFrame:
     ≤ k apart, which stays O(1) even when every single shingle is corpus-hot
     (measured on the saturated sf3 twin: 23M anchor rows, 6.5M candidates —
     165× below the inverted index — and the n² coefficient shrinks from
-    ~1/V to ~1/V²-ish). Verification is two narrow id-joins against the
-    shingle arrays plus one map-side array_intersect per candidate; the
-    final distinct dedupes the ≈1.6 % multi-anchor multiplicity on the
-    OUTPUT (a few hundred rows), never on the candidate set. Adversarial
-    boilerplate (many docs sharing a long identical shingle RUN) makes
-    those anchors hot; the self-join goes through AQE's skew split, and
-    the pairs such runs imply are largely true output anyway (see the
-    band-skew probe in BASELINE.md round 9).
+    ~1/V to ~1/V²-ish). Candidates are DISTINCT'd on bare ids BEFORE the
+    verify joins: on homogeneous corpora multiplicity is ≈1.016 (the
+    distinct is nearly free), but a shared boilerplate shingle RUN gives
+    every cluster pair ~dozens of common anchors, and verifying each copy
+    multiplied the band-skew probe's hot-cluster work ~60× (BASELINE.md
+    round 9 "band skew"). Verification is then two narrow id-joins against
+    the shingle arrays plus one map-side array_intersect per candidate.
+
+    ``max_anchor_postings`` is the probe-pinned HOT-ANCHOR GUARD, off by
+    default because it trades exactness: anchors shared by more than the
+    cap drop before the self-join (count window on the anchor key, the
+    _MAX_POSTINGS discipline), bounding any one key's pair fan-out at
+    cap²/2. A qualifying pair is lost only when EVERY one of its surviving
+    anchors is hotter than the cap — i.e. inside a near-duplicate cluster
+    larger than the cap, where the pairs are the quadratic OUTPUT itself.
+    The sub-threshold boilerplate regime the probe measures (hot anchors,
+    zero qualifying pairs among them) loses nothing.
     """
     k, cutoff = anchor_params(threshold)
     anchor_expr = f"""
@@ -242,11 +255,19 @@ def _anchor_jaccard_pairs(shingled: DataFrame, threshold: float) -> DataFrame:
         .select("doc_id", F.explode(F.expr(anchor_expr)).alias("__a"))
         .select("doc_id", F.col("__a.lo").alias("lo"), F.col("__a.hi").alias("hi"))
     )
+    if max_anchor_postings is not None:
+        w_key = Window.partitionBy("lo", "hi")
+        anch = (
+            anch.withColumn("__adf", F.count(F.lit(1)).over(w_key))
+            .filter(F.col("__adf").between(2, max_anchor_postings))
+            .drop("__adf")
+        )
     cand = (
         anch.select(F.col("doc_id").alias("doc_id_a"), "lo", "hi")
         .join(anch.select(F.col("doc_id").alias("doc_id_b"), "lo", "hi"), ["lo", "hi"])
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))
         .select("doc_id_a", "doc_id_b")
+        .distinct()
     )
     arr_a = shingled.select(
         F.col("doc_id").alias("doc_id_a"),
@@ -269,7 +290,6 @@ def _anchor_jaccard_pairs(shingled: DataFrame, threshold: float) -> DataFrame:
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_id_a", "doc_id_b", "jaccard")
-        .distinct()
     )
 
 
@@ -1153,6 +1173,9 @@ def q_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(anch.select(F.col("doc_id").alias("doc_id_b"), "lo", "hi"), ["lo", "hi"])
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))
         .select("doc_id_a", "doc_id_b")
+        # distinct on bare ids BEFORE the verify joins — boilerplate-run
+        # multiplicity discipline, see _anchor_jaccard_pairs
+        .distinct()
     )
     wmaps = per_doc.select(
         "doc_id",
@@ -1188,7 +1211,6 @@ def q_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("w_shared", w_shared)
         .select("doc_id_a", "doc_id_b", score.alias("weighted_jaccard"))
         .filter(F.col("weighted_jaccard") >= _WEIGHTED_THRESHOLD)
-        .distinct()
     )
 
 

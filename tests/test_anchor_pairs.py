@@ -101,3 +101,76 @@ def test_matches_brute_force_on_random_corpora(spark, data, t):
     collision pressure on the anchor scheme, every threshold regime."""
     sets = dict(enumerate(data))
     assert _spark_pairs(spark, sets, t) == pytest.approx(_brute(sets, t))
+
+
+def test_hot_anchor_guard_bounds_candidates_without_changing_output(spark):
+    """The band-skew probe's pinned guard (round-9 VERDICT #3): a
+    boilerplate cluster — many docs sharing one shingle run, pairwise
+    Jaccard BELOW threshold — makes its anchors hot. With
+    max_anchor_postings set, those anchors drop before the self-join, so
+    no key can fan out past cap²/2; the output must be IDENTICAL to the
+    exact uncapped run because every qualifying pair still has a
+    sub-cap anchor (here: the boiler pairs never qualified at all)."""
+    from pyspark.sql import functions as F
+
+    boiler = " ".join(f"mm{i:02d}" for i in range(10))
+    rows = []
+    # 40-doc boilerplate cluster with unique tails (J ~ 8/(8+2*16) < 0.5)
+    for i in range(40):
+        tail = " ".join(f"t{i:02d}x{j:02d}" for j in range(18))
+        rows.append((i, f"{boiler} {tail}"))
+    # one true near-dup pair outside the cluster
+    rows.append((100, "aa bb cc dd ee ff gg hh"))
+    rows.append((101, "aa bb cc dd ee ff gg zz"))
+    from cdmx_airquality_etl_spark.operators.dedup import (
+        _JACCARD_THRESHOLD,
+        _anchor_jaccard_pairs,
+    )
+
+    shingled = (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(size(split(lower(text), ' ')) - 2, 1)),"
+                    " i -> concat_ws(' ', slice(split(lower(text), ' '), i, 3)))"
+                )
+            ).alias("sh"),
+        )
+        .withColumn("n_sh", F.size("sh"))
+    )
+    exact = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in _anchor_jaccard_pairs(shingled, _JACCARD_THRESHOLD).collect()
+    }
+    capped = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in _anchor_jaccard_pairs(
+            shingled, _JACCARD_THRESHOLD, max_anchor_postings=10
+        ).collect()
+    }
+    assert (100, 101) in exact
+    assert capped == exact  # guard engaged, output unchanged
+    # and the guard really engaged: boiler anchors exceed the cap
+    from cdmx_airquality_etl_spark.operators.dedup import anchor_params
+
+    k, cutoff = anchor_params(_JACCARD_THRESHOLD)
+    anch = (
+        shingled.withColumn("__shs", F.array_sort("sh"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"""flatten(transform(sequence(1, size(__shs)), i ->
+                      filter(transform(sequence(i + 1, i + {k}), j ->
+                        if(j <= size(__shs), struct(__shs[i-1] AS lo, __shs[j-1] AS hi),
+                           cast(null AS struct<lo:string,hi:string>))),
+                        p -> p IS NOT NULL)))"""
+                )
+            ).alias("a"),
+        )
+        .groupBy("a.lo", "a.hi")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    assert anch.filter(F.col("c") > 10).count() > 0

@@ -1,0 +1,232 @@
+"""Band-key skew probe for the set-similarity dedup family (round-9
+VERDICT #3).
+
+The round-7/8 skew evidence covered equi-join key skew (the celebrity
+order key). The dedup family's distinct scale risk is a HOT BAND/ANCHOR:
+one boilerplate block shared by a large fraction of documents makes its
+minhash band buckets and its shingle-adjacency anchors hot, and a hot key
+in a candidate SELF-join expands quadratically in the cluster size even
+when every resulting pair fails exact verification (sub-threshold
+boilerplate — the wasted-work regime; pairs ABOVE threshold are the
+operator's own output and irreducible).
+
+This probe builds a boilerplate-heavy twin of the documents table —
+a fraction ``f`` of docs share one fixed word block, each wrapped in a
+unique random tail sized so the pairwise Jaccard sits just BELOW the 0.5
+threshold (all collision work is wasted by construction) — and measures,
+for q_dedup_fuzzy (adjacency anchors) and q_dedup_minhash (banded LSH):
+
+- candidate-pair count (the quadratic term),
+- output rows,
+- warm wall time (min of --runs noop-sink executions),
+
+against the standard corpus at the same scale. One JSON line on stdout;
+BASELINE.md "band skew" quotes it.
+
+Usage: python tools/band_skew_probe.py [--sf 1] [--boiler-frac 0.3]
+           [--boiler-words 24] [--runs 2] [--out BAND_SKEW.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+sys.path.insert(0, os.path.join(REPO_ROOT, "tools"))
+
+from gen_scale_data import VOCAB, _rng, gen_documents  # noqa: E402
+
+from cdmx_airquality_etl_spark.session import get_spark  # noqa: E402
+
+
+def gen_boiler_documents(sf: float, frac: float, boiler_words: int) -> pa.Table:
+    """The standard documents twin with a boilerplate cluster injected:
+    round(frac*n) docs = one FIXED boiler block + a unique random tail of
+    ~2x the boiler length, so cluster pairs share the block's shingles but
+    land just below the 0.5 Jaccard threshold (J ≈ b/(b+2t) with t ≈ b)."""
+    base = gen_documents(sf)
+    n = base.num_rows
+    rng = _rng("boiler", sf)
+    k = int(round(n * frac))
+    boiler = " ".join(VOCAB[rng.integers(0, len(VOCAB), boiler_words)])
+    texts = base.column("text").to_pylist()
+    idx = rng.choice(n, size=k, replace=False)
+    for i in idx:
+        tail = " ".join(VOCAB[rng.integers(0, len(VOCAB), 2 * boiler_words)])
+        texts[i] = f"{boiler} {tail}"
+    return pa.table(
+        {
+            "doc_id": base.column("doc_id"),
+            "text": pa.array(texts, pa.string()),
+            "lang": base.column("lang"),
+            "source": base.column("source"),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+def _anchors(spark, sf_dir: str):
+    """The anchor-key frame of q_dedup_fuzzy's candidate stage (the same
+    expression the operator runs), for counting pair fan-out per key
+    WITHOUT expanding it."""
+    from pyspark.sql import functions as F
+
+    import cdmx_airquality_etl_spark.operators.dedup as dd
+    from cdmx_airquality_etl_spark.sources.parquet import load_table
+
+    shingled = dd._doc_shingles(load_table(spark, sf_dir, "documents"))
+    k, cutoff = dd.anchor_params(dd._JACCARD_THRESHOLD)
+    anchor_expr = f"""
+      concat(
+        flatten(transform(sequence(1, size(__shs)), i ->
+          filter(
+            transform(sequence(i + 1, i + {k}), j ->
+              if(j <= size(__shs),
+                 struct(__shs[i-1] AS lo, __shs[j-1] AS hi),
+                 cast(null AS struct<lo:string,hi:string>))),
+            p -> p IS NOT NULL))),
+        CASE WHEN size(__shs) <= {cutoff}
+             THEN transform(__shs, s -> struct(s AS lo, s AS hi))
+             ELSE cast(array() AS array<struct<lo:string,hi:string>>) END
+      )
+    """
+    return (
+        shingled.filter(F.col("n_sh") >= 1)
+        .withColumn("__shs", F.array_sort("sh"))
+        .select("doc_id", F.explode(F.expr(anchor_expr)).alias("__a"))
+        .select("doc_id", F.col("__a.lo").alias("lo"), F.col("__a.hi").alias("hi"))
+    )
+
+
+def _candidates_fuzzy(spark, sf_dir: str, cap: int | None = None):
+    from pyspark.sql import functions as F
+
+    anch = _anchors(spark, sf_dir)
+    per_key = anch.groupBy("lo", "hi").agg(F.count(F.lit(1)).alias("c"))
+    if cap is not None:
+        per_key = per_key.filter(F.col("c") <= cap)
+    return per_key.agg(
+        F.sum(F.expr("c * (c - 1) / 2")).cast("long").alias("cands"),
+        F.max("c").alias("hottest_key"),
+    ).first()
+
+
+def _candidates_minhash(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    import cdmx_airquality_etl_spark.operators.dedup as dd
+    from cdmx_airquality_etl_spark.sources.parquet import load_table
+
+    bands = dd._mh_bands(dd._mh_sigs(dd._doc_shingles(
+        load_table(spark, sf_dir, "documents"))))
+    return (
+        bands.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.expr("c * (c - 1) / 2")).cast("long").alias("cands"),
+            F.max("c").alias("hottest_key"),
+        )
+        .first()
+    )
+
+
+def _time_df(spark, mk, runs: int) -> dict:
+    mk().write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
+    best = math.inf
+    for _ in range(runs):
+        t0 = time.time()
+        mk().write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+        spark.catalog.clearCache()
+    rows = mk().count()
+    spark.catalog.clearCache()
+    return {"warm_sec": round(best, 3), "output_rows": rows}
+
+
+def _time_query(spark, name: str, sf_dir: str, runs: int) -> dict:
+    from cdmx_airquality_etl_spark.registry import QUERIES
+
+    return _time_df(spark, lambda: QUERIES[name](spark, sf_dir), runs)
+
+
+def _time_fuzzy_capped(spark, sf_dir: str, cap: int, runs: int) -> dict:
+    import cdmx_airquality_etl_spark.operators.dedup as dd
+    from cdmx_airquality_etl_spark.sources.parquet import load_table
+
+    def mk():
+        return dd._anchor_jaccard_pairs(
+            dd._doc_shingles(load_table(spark, sf_dir, "documents")),
+            dd._JACCARD_THRESHOLD,
+            max_anchor_postings=cap,
+        )
+
+    return _time_df(spark, mk, runs)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", type=float, default=1.0)
+    ap.add_argument("--boiler-frac", type=float, default=0.3)
+    ap.add_argument("--boiler-words", type=int, default=24)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--out", default=os.path.join(REPO_ROOT, "BAND_SKEW.json"))
+    args = ap.parse_args()
+
+    spark = get_spark("band-skew-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base_dir = os.path.join(REPO_ROOT, ".scaledata", f"sf{args.sf:g}")
+    boiler_dir = os.path.join(
+        REPO_ROOT, ".scaledata", f"sf{args.sf:g}-boiler{args.boiler_frac:g}"
+    )
+    os.makedirs(boiler_dir, exist_ok=True)
+    tbl = gen_boiler_documents(args.sf, args.boiler_frac, args.boiler_words)
+    pq.write_table(tbl, os.path.join(boiler_dir, "documents.parquet"))
+
+    result = {
+        "sf": args.sf,
+        "boiler_frac": args.boiler_frac,
+        "boiler_words": args.boiler_words,
+        "corpora": {},
+    }
+    cap = 1000
+    result["cap"] = cap
+    for label, d in (("standard", base_dir), ("boiler", boiler_dir)):
+        cf = _candidates_fuzzy(spark, d)
+        cf_cap = _candidates_fuzzy(spark, d, cap=cap)
+        cm = _candidates_minhash(spark, d)
+        entry = {
+            "anchor_candidates": cf["cands"],
+            "anchor_hottest_key": cf["hottest_key"],
+            "anchor_candidates_capped": cf_cap["cands"],
+            "band_candidates": cm["cands"],
+            "band_hottest_key": cm["hottest_key"],
+            "q_dedup_fuzzy_capped": _time_fuzzy_capped(spark, d, cap, args.runs),
+            "q_dedup_fuzzy": _time_query(spark, "q_dedup_fuzzy", d, args.runs),
+            "q_dedup_minhash": _time_query(
+                spark, "q_dedup_minhash", d, args.runs
+            ),
+        }
+        result["corpora"][label] = entry
+        print(label, json.dumps(entry), flush=True)
+
+    line = json.dumps(result, separators=(",", ":"))
+    with open(args.out, "w") as f:
+        f.write(line + "\n")
+    print(line)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
