@@ -13,9 +13,16 @@ version drift moves counts by ±1; a genuine regression re-derives a whole
 subtree and jumps far more). Measured 2026-08-15 on sf0.001, AQE on:
 q_fdr_screen 4, q_funnel_windowed 4, q_changelog_apply 3,
 q_forecast_backtest 4, q_triangle_count 19, q_shortest_path ≤6 (final
-plan: frontier checkpoints + union tree); round-8 additions:
+plan: frontier checkpoints + union tree); round-8 addition:
 q_dedup_weighted 4 (was 9 — wt folded into the postings via a chained
 doc window, N resolved driver-side).
+
+Round-9 DELIBERATE rebase: q_dedup_weighted measures 8 exchanges after
+the mass-anchor restructure (per-doc regroup, anchor self-join,
+pre-verify distinct, two verify joins). The round-8 4-exchange plan was
+dieted but SUPERLINEAR — its postings expansion measured exponent 1.39
+over the sf0.1→3 decade (BASELINE.md round 9) — and four more bounded
+exchanges are the price of the ~n-scaling candidate stage. Budget = 8+2.
 """
 
 from __future__ import annotations
@@ -35,7 +42,7 @@ BUDGETS = {
     "q_forecast_backtest": 6,
     "q_triangle_count": 21,
     "q_shortest_path": 8,
-    "q_dedup_weighted": 6,
+    "q_dedup_weighted": 10,
 }
 
 

@@ -62,16 +62,26 @@ def test_group_agg_partial_final(spark, sf_dir):
     assert "Exchange" in plan
 
 
-def test_fuzzy_dedup_self_join_is_shuffle_not_broadcast(spark, sf_dir):
-    # inverted-index formulation: postings grouped per shingle (one
-    # exchange), pairs expanded MAP-SIDE from the capped lists, pair counts
-    # aggregated (second exchange) — no join operator anywhere, so no task
-    # can see a skew-driven quadratic join (the cap bounds per-group state
-    # and fan-out instead)
+def test_fuzzy_dedup_anchor_join_shape(spark, sf_dir):
+    # round-9 adjacency-anchor formulation: anchors exploded map-side
+    # (Generate), candidates from an EQUI self-join on the anchor key —
+    # never a cartesian/NL join — then a distinct on bare ids BEFORE the
+    # verify joins (the band-skew multiplicity guard), then exact
+    # verification. All joins are key-equi; a cartesian anywhere means the
+    # anchor key was lost from a join condition.
     plan = _plan(spark, sf_dir, "q_dedup_fuzzy", mode="simple")
-    assert "Join" not in plan
-    assert plan.count("Exchange hashpartitioning") == 2
-    assert "Generate explode" in plan  # map-side pair expansion
+    assert "Generate explode" in plan  # map-side anchor expansion
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "lo" in plan and "hi" in plan  # anchor-key equi join columns
+    # the pre-verify distinct exists: an aggregate keyed on exactly the
+    # bare candidate ids with no aggregate functions
+    import re as _re
+
+    assert _re.search(
+        r"HashAggregate\(keys=\[doc_id_a#\d+L?, doc_id_b#\d+L?\], functions=\[\]",
+        plan,
+    ), "pre-verify candidate distinct missing from the fuzzy plan"
 
 
 @pytest.mark.parametrize("name", ["q_join_semi", "q_join_anti"])
