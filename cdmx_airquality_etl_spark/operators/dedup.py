@@ -262,9 +262,21 @@ def _anchor_jaccard_pairs(
             .filter(F.col("__adf").between(2, max_anchor_postings))
             .drop("__adf")
         )
+    # shuffle_hash hints throughout: every frame here derives from the
+    # shingled scan, whose logical size estimate is the COMPRESSED parquet
+    # bytes — the shingle arrays expand ~10-40× on materialization, so the
+    # static broadcast decision undershoots catastrophically (measured at
+    # sf3: a "64 MB" side serialized 1.9 GB and broke
+    # spark.driver.maxResultSize mid-sweep). These are data-sized joins by
+    # construction; at any real scale broadcast is the wrong plan anyway.
     cand = (
         anch.select(F.col("doc_id").alias("doc_id_a"), "lo", "hi")
-        .join(anch.select(F.col("doc_id").alias("doc_id_b"), "lo", "hi"), ["lo", "hi"])
+        .join(
+            anch.select(F.col("doc_id").alias("doc_id_b"), "lo", "hi").hint(
+                "shuffle_hash"
+            ),
+            ["lo", "hi"],
+        )
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))
         .select("doc_id_a", "doc_id_b")
         .distinct()
@@ -281,8 +293,8 @@ def _anchor_jaccard_pairs(
     )
     shared = F.size(F.array_intersect("__sh_a", "__sh_b"))
     return (
-        cand.join(arr_a, "doc_id_a")
-        .join(arr_b, "doc_id_b")
+        cand.join(arr_a.hint("shuffle_hash"), "doc_id_a")
+        .join(arr_b.hint("shuffle_hash"), "doc_id_b")
         .withColumn("shared", shared)
         .withColumn(
             "jaccard",
@@ -1168,9 +1180,17 @@ def q_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     anch = per_doc.select(
         "doc_id", F.explode(F.expr(anchor_expr)).alias("__a")
     ).select("doc_id", F.col("__a.lo").alias("lo"), F.col("__a.hi").alias("hi"))
+    # shuffle_hash hints: same broadcast-misestimate discipline as
+    # _anchor_jaccard_pairs (the per_doc frames expand far past their
+    # parquet-derived size estimate)
     cand = (
         anch.select(F.col("doc_id").alias("doc_id_a"), "lo", "hi")
-        .join(anch.select(F.col("doc_id").alias("doc_id_b"), "lo", "hi"), ["lo", "hi"])
+        .join(
+            anch.select(F.col("doc_id").alias("doc_id_b"), "lo", "hi").hint(
+                "shuffle_hash"
+            ),
+            ["lo", "hi"],
+        )
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))
         .select("doc_id_a", "doc_id_b")
         # distinct on bare ids BEFORE the verify joins — boilerplate-run
@@ -1206,8 +1226,8 @@ def q_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     denom = (F.col("wt_a") + F.col("wt_b") - F.col("w_shared")).cast("double")
     score = F.when(denom > 0, F.col("w_shared").cast("double") / denom)
     return (
-        cand.join(side_a, "doc_id_a")
-        .join(side_b, "doc_id_b")
+        cand.join(side_a.hint("shuffle_hash"), "doc_id_a")
+        .join(side_b.hint("shuffle_hash"), "doc_id_b")
         .withColumn("w_shared", w_shared)
         .select("doc_id_a", "doc_id_b", score.alias("weighted_jaccard"))
         .filter(F.col("weighted_jaccard") >= _WEIGHTED_THRESHOLD)

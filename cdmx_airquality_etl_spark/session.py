@@ -49,6 +49,17 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Broadcast sides whose logical size derives from COMPRESSED
+        # parquet bytes can serialize far past their estimate (shingle
+        # arrays expand 10-40×; a "64 MB" side measured 1.9 GB at sf3).
+        # The data-sized joins carry shuffle_hash hints; this raises the
+        # hard driver cap so a borderline legitimate broadcast degrades
+        # gracefully instead of killing the job. Cluster deployments size
+        # this with driver memory.
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", "4g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

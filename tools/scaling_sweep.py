@@ -98,7 +98,37 @@ def main() -> int:
             for t in set(sweep.values())
         }
 
+    # MERGE semantics + incremental writes (round-9 lesson: a crash at op
+    # 6 of 23 used to lose the whole sweep — results now land after every
+    # operator, and sweeping a subset updates only those entries)
     results: dict[str, dict] = {}
+    prior_sfs: list[str] = []
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                prior = json.load(f)
+            results.update(prior.get("results", {}))
+            prior_sfs = prior.get("sfs", [])
+        except (json.JSONDecodeError, OSError):
+            pass
+
+    def write_out() -> None:
+        out = {
+            "protocol": (
+                f"min of {args.runs} warm noop-sink runs per (query, sf) "
+                "after an un-timed warm-up; exponent = least-squares slope "
+                "of log(sec) vs log(driving-table rows); entries merge "
+                "across sweep invocations — each result's per_sf keys are "
+                "the range IT was fitted on"
+            ),
+            "sfs": sorted(
+                set(prior_sfs) | {f"{sf:g}" for sf in args.sfs}, key=float
+            ),
+            "results": results,
+        }
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+
     for q, table in sweep.items():
         per_sf: dict[str, dict] = {}
         for sf in args.sfs:
@@ -131,18 +161,8 @@ def main() -> int:
             "exponent": round(exp, 3),
         }
         print(f"{q}: exponent {exp:.3f}", flush=True)
+        write_out()
 
-    out = {
-        "protocol": (
-            f"min of {args.runs} warm noop-sink runs per (query, sf) after "
-            "an un-timed warm-up; exponent = least-squares slope of "
-            "log(sec) vs log(driving-table rows)"
-        ),
-        "sfs": [f"{sf:g}" for sf in args.sfs],
-        "results": results,
-    }
-    with open(args.out, "w") as f:
-        json.dump(out, f, indent=1, sort_keys=True)
     print(json.dumps({q: r["exponent"] for q, r in results.items()}))
     return 0
 
