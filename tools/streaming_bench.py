@@ -220,6 +220,113 @@ def bench_st_dedup(spark, sf_dir: str, work: str, batches: int) -> dict:
     return stats
 
 
+def bench_st_kmv(spark, sf_dir: str, work: str, batches: int) -> dict:
+    """ST-KMV: the K-minimum-values distinct-count sketch maintenance
+    stream (streaming/kmv_maintenance.py) over events — distinct users
+    per event_type kept incrementally under the versioned _SUCCESS
+    protocol. Integrity: the final sketch is row-identical to the
+    one-shot merge of the whole table (the KMV merge is associative/
+    commutative/idempotent, so ANY batch split must converge)."""
+    from cdmx_airquality_etl_spark.streaming.kmv_maintenance import (
+        batch_hashes,
+        kmv_stream,
+        merge_sketch,
+        read_sketch,
+    )
+
+    land = os.path.join(work, "kmv_land")
+    schema, total = _split_table(
+        spark, sf_dir, "events", land, batches,
+        cols=["event_id", "event_type", "user_id"],
+    )
+    state = os.path.join(work, "kmv_state")
+    ckpt = os.path.join(work, "kmv_ckpt")
+    t0 = time.time()
+    q = kmv_stream(
+        spark, os.path.join(land, "*.parquet"), schema, state, ckpt,
+        key_col="event_type", value_col="user_id",
+    )
+    q.awaitTermination()
+    wall = time.time() - t0
+    stats = _progress_stats(q, total)
+    stats["wall_sec"] = round(wall, 3)
+    stats["rows_per_sec"] = round(stats["rows"] / wall) if wall else None
+    oneshot = merge_sketch(
+        read_sketch(spark, os.path.join(work, "__empty_kmv")),
+        batch_hashes(
+            load_table(spark, sf_dir, "events").select("event_type", "user_id"),
+            "event_type",
+            "user_id",
+        ),
+    ).withColumnRenamed("hv", "hv_one")
+    streamed = read_sketch(spark, state)
+    diff = (
+        streamed.join(
+            oneshot,
+            (streamed.key == oneshot.key) & (streamed.hv == oneshot.hv_one),
+            "full_outer",
+        )
+        .filter(F.col("hv").isNull() | F.col("hv_one").isNull())
+        .count()
+    )
+    stats["sketch_matches_oneshot"] = diff == 0
+    if diff:
+        raise AssertionError("ST-KMV integrity: streamed sketch != one-shot")
+    return stats
+
+
+def bench_st_block(spark, sf_dir: str, work: str, batches: int) -> dict:
+    """ST-BLOCK: the sub-document block-index maintenance stream
+    (streaming/block_index.py) over documents — per-block (n_docs,
+    n_occurrences) counts accumulated as append-only per-batch partials
+    under the _SUCCESS protocol. Integrity: the collapsed index equals
+    the one-shot batch aggregate over the full corpus (counting is NOT
+    idempotent, so this is the sink whose replay guard carries the most
+    weight)."""
+    from cdmx_airquality_etl_spark.streaming.block_index import (
+        _batch_blocks,
+        block_index_stream,
+        read_block_index,
+    )
+
+    land = os.path.join(work, "block_land")
+    schema, total = _split_table(
+        spark, sf_dir, "documents", land, batches, cols=["doc_id", "text"]
+    )
+    index = os.path.join(work, "block_index")
+    ckpt = os.path.join(work, "block_ckpt")
+    t0 = time.time()
+    q = block_index_stream(
+        spark, os.path.join(land, "*.parquet"), schema, index, ckpt
+    )
+    q.awaitTermination()
+    wall = time.time() - t0
+    stats = _progress_stats(q, total)
+    stats["wall_sec"] = round(wall, 3)
+    stats["rows_per_sec"] = round(stats["rows"] / wall) if wall else None
+    oneshot = (
+        _batch_blocks(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+        .groupBy("block_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("nd_one"),
+            F.count(F.lit(1)).alias("no_one"),
+        )
+    )
+    merged = read_block_index(spark, index)
+    diff = (
+        merged.join(oneshot, "block_hash", "full_outer")
+        .filter(
+            ~F.col("n_docs").eqNullSafe(F.col("nd_one"))
+            | ~F.col("n_occurrences").eqNullSafe(F.col("no_one"))
+        )
+        .count()
+    )
+    stats["index_matches_oneshot"] = diff == 0
+    if diff:
+        raise AssertionError("ST-BLOCK integrity: streamed index != one-shot")
+    return stats
+
+
 def bench_st_cms(spark, sf_dir: str, work: str, batches: int) -> dict:
     """ST-CMS (round-9 VERDICT #5): the count-min index-maintenance stream
     (streaming/cms_maintenance.py) over events keyed on event_type —
@@ -276,7 +383,8 @@ def main() -> int:
         REPO_ROOT, "STREAMING_BENCH.json"))
     ap.add_argument(
         "--workloads", nargs="+",
-        default=["st_count", "st_ingest", "st_dedup", "st_cms"],
+        default=["st_count", "st_ingest", "st_dedup", "st_cms", "st_kmv",
+                 "st_block"],
     )
     args = ap.parse_args()
 
@@ -288,6 +396,8 @@ def main() -> int:
         "st_ingest": bench_st_ingest,
         "st_dedup": bench_st_dedup,
         "st_cms": bench_st_cms,
+        "st_kmv": bench_st_kmv,
+        "st_block": bench_st_block,
     }
     work = tempfile.mkdtemp(prefix="streaming_bench_")
     try:
