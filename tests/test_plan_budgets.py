@@ -22,7 +22,17 @@ the mass-anchor restructure (per-doc regroup, anchor self-join,
 pre-verify distinct, two verify joins). The round-8 4-exchange plan was
 dieted but SUPERLINEAR — its postings expansion measured exponent 1.39
 over the sf0.1→3 decade (BASELINE.md round 9) — and four more bounded
-exchanges are the price of the ~n-scaling candidate stage. Budget = 8+2.
+exchanges are the price of the ~n-scaling candidate stage.
+
+Second round-9 rebase: the no-broadcast (shuffle_hash) hints on the
+anchor/verify joins — added after a "64 MB" shingled side serialized
+1.9 GB at sf3 and broke spark.driver.maxResultSize (the parquet-bytes
+size estimate undershoots the ~10-40× array expansion) — convert
+BroadcastExchanges (not counted by the \bExchange\b regex) into counted
+shuffle Exchanges: 8 → 13 measured. That is the same data moving through
+hash-partitioned shuffles instead of driver-collected broadcasts — the
+RIGHT plan at any real scale, and the sf0.1→3 exponent (0.90,
+SCALING.json) confirms the work is linear. Budget = 13+2.
 """
 
 from __future__ import annotations
@@ -42,7 +52,7 @@ BUDGETS = {
     "q_forecast_backtest": 6,
     "q_triangle_count": 21,
     "q_shortest_path": 8,
-    "q_dedup_weighted": 10,
+    "q_dedup_weighted": 15,
 }
 
 

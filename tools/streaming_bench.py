@@ -2,18 +2,25 @@
 numbers behind the streaming half of the 100 TB story, the way bench.py
 does for batch.
 
-Two workloads, both file-source micro-batch streams under
+Six workloads, all file-source micro-batch streams under
 Trigger.AvailableNow with ``maxFilesPerTrigger=1`` (so each landing file
 is one micro-batch — the reference's one-launcher-run-per-snapshot
 cadence, scrapper.py:329-331 + launcher.bat):
 
-- **ST-INGEST**: N snapshot files of the sf0.1 orders table keyed by
+- **ST-INGEST**: N snapshot files of the orders table keyed by
   o_orderkey drive the foreachBatch keyed merge (streaming/ingest.py →
   plans/merge.py). This measures the full upsert path including the
   partition-bounded target rewrite per batch.
-- **ST-COUNT**: N files of the sf0.1 events table drive the watermarked
+- **ST-COUNT**: N files of the events table drive the watermarked
   windowed count (streaming/stateful.py) with a foreachBatch overwrite
   sink.
+- **ST-DEDUP**: documents through the watermarked fingerprint dedup
+  (streaming/dedup.py) into an append sink; output must equal the
+  distinct fingerprint count.
+- **ST-CMS / ST-KMV / ST-BLOCK**: the _SUCCESS-protocol index
+  maintenance sinks (count-min sketch, K-minimum-values sketch,
+  sub-document block index); each final state must be row-identical to
+  its one-shot batch computation.
 
 Metrics come from the query's own progress stream (numInputRows +
 durationMs.triggerExecution per micro-batch): rows/s overall plus
