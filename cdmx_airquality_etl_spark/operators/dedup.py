@@ -292,9 +292,14 @@ def _anchor_jaccard_pairs(
         F.col("n_sh").alias("n_b"),
     )
     shared = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    # merge (not shuffle_hash) for the VERIFY joins: their payload is the
+    # wide shingle arrays, and a shuffled-hash join's build side cannot
+    # spill — one hot partition of array rows is an executor OOM (observed
+    # at sf3 under the 8g default heap). Sort-merge spills both sides;
+    # same no-broadcast discipline, robust at any partition size.
     return (
-        cand.join(arr_a.hint("shuffle_hash"), "doc_id_a")
-        .join(arr_b.hint("shuffle_hash"), "doc_id_b")
+        cand.join(arr_a.hint("merge"), "doc_id_a")
+        .join(arr_b.hint("merge"), "doc_id_b")
         .withColumn("shared", shared)
         .withColumn(
             "jaccard",
@@ -1225,9 +1230,11 @@ def q_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # test, not reachable in the driver corpora)
     denom = (F.col("wt_a") + F.col("wt_b") - F.col("w_shared")).cast("double")
     score = F.when(denom > 0, F.col("w_shared").cast("double") / denom)
+    # merge for the verify joins — spillable with the wide map/array
+    # payload, see _anchor_jaccard_pairs
     return (
-        cand.join(side_a.hint("shuffle_hash"), "doc_id_a")
-        .join(side_b.hint("shuffle_hash"), "doc_id_b")
+        cand.join(side_a.hint("merge"), "doc_id_a")
+        .join(side_b.hint("merge"), "doc_id_b")
         .withColumn("w_shared", w_shared)
         .select("doc_id_a", "doc_id_b", score.alias("weighted_jaccard"))
         .filter(F.col("weighted_jaccard") >= _WEIGHTED_THRESHOLD)
