@@ -119,18 +119,21 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
             continue
+        t_spark = time.time() - t0
         if name not in oracles:
             print(f"ok?   {name}: rows-only ({len(s_pdf)} rows, no oracle) "
                   f"[{time.time()-t0:.1f}s]")
             if len(s_pdf) == 0:
                 print("      WARNING: 0 rows")
             continue
+        t1 = time.time()
         try:
             d_pdf = con.sql(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
             continue
+        t_duck = time.time() - t1
 
         problems = []
         if sorted(s_pdf.columns) != sorted(d_pdf.columns):
@@ -170,7 +173,10 @@ def main() -> int:
             print(f"FAIL  {name}: " + "; ".join(problems))
             failures.append(name)
         else:
-            print(f"OK    {name} ({len(s_pdf)} rows) [{time.time()-t0:.1f}s]")
+            print(
+                f"OK    {name} ({len(s_pdf)} rows) "
+                f"[{time.time()-t0:.1f}s spark={t_spark:.1f} duck={t_duck:.1f}]"
+            )
 
     print()
     if failures:
