@@ -262,18 +262,23 @@ def _anchor_jaccard_pairs(
             .filter(F.col("__adf").between(2, max_anchor_postings))
             .drop("__adf")
         )
-    # shuffle_hash hints throughout: every frame here derives from the
-    # shingled scan, whose logical size estimate is the COMPRESSED parquet
-    # bytes — the shingle arrays expand ~10-40× on materialization, so the
-    # static broadcast decision undershoots catastrophically (measured at
-    # sf3: a "64 MB" side serialized 1.9 GB and broke
-    # spark.driver.maxResultSize mid-sweep). These are data-sized joins by
-    # construction; at any real scale broadcast is the wrong plan anyway.
+    # merge hints throughout: every frame here derives from the shingled
+    # scan, whose logical size estimate is the COMPRESSED parquet bytes —
+    # the shingle arrays expand ~10-40× on materialization, so the static
+    # broadcast decision undershoots catastrophically (measured at sf3: a
+    # "64 MB" side serialized 1.9 GB and broke spark.driver.maxResultSize
+    # mid-sweep). shuffle_hash is no safer: a shuffled-hash join's build
+    # side cannot spill, and at this op's k = 19 reach (q_lsh_planner's
+    # 0.1 floor) one partition of anchor rows overflows the per-task
+    # budget outright (SparkOutOfMemoryError in buildHashedRelation,
+    # observed at sf3 under the default 8g heap). Sort-merge spills both
+    # sides — the only strategy that survives arbitrarily large
+    # partitions, which is the contract a 100 TB corpus needs.
     cand = (
         anch.select(F.col("doc_id").alias("doc_id_a"), "lo", "hi")
         .join(
             anch.select(F.col("doc_id").alias("doc_id_b"), "lo", "hi").hint(
-                "shuffle_hash"
+                "merge"
             ),
             ["lo", "hi"],
         )
@@ -1185,14 +1190,14 @@ def q_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     anch = per_doc.select(
         "doc_id", F.explode(F.expr(anchor_expr)).alias("__a")
     ).select("doc_id", F.col("__a.lo").alias("lo"), F.col("__a.hi").alias("hi"))
-    # shuffle_hash hints: same broadcast-misestimate discipline as
-    # _anchor_jaccard_pairs (the per_doc frames expand far past their
-    # parquet-derived size estimate)
+    # merge hints: same broadcast-misestimate + unspillable-hash-build
+    # discipline as _anchor_jaccard_pairs (the per_doc frames expand far
+    # past their parquet-derived size estimate)
     cand = (
         anch.select(F.col("doc_id").alias("doc_id_a"), "lo", "hi")
         .join(
             anch.select(F.col("doc_id").alias("doc_id_b"), "lo", "hi").hint(
-                "shuffle_hash"
+                "merge"
             ),
             ["lo", "hi"],
         )
