@@ -101,6 +101,14 @@ def main() -> int:
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
+    # Bound the oracle side: DuckDB's default memory_limit is 80% of RAM,
+    # and its buffer pool grows monotonically across a long sweep — at sf3
+    # the quadratic dedup oracles pushed the process past what the host
+    # could give it ALONGSIDE the Spark JVM and the kernel OOM-killed the
+    # sweep mid-query. A fixed limit + temp spill directory keeps the
+    # checker a well-behaved co-tenant at any sf.
+    con.sql("SET memory_limit='48GB'")
+    con.sql("SET temp_directory='/tmp/duckdb_oracle_spill'")
     for t in TESTDATA_TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
