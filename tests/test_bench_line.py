@@ -84,3 +84,36 @@ def test_cross_round_gate_flags_unexplained_regression(tmp_path, monkeypatch, ca
     assert bench_gate.main() == 0
     out = capsys.readouterr().out
     assert "allowlisted" in out and "stub became real" in out
+
+    # VERDICT r9 #1: a violation whose standalone re-time clears the
+    # threshold is noise-adjudicated automatically and recorded in the
+    # pinned closing artifact; the gate passes without an allowlist entry.
+    root = seed({"r09": {}})
+    monkeypatch.setattr(bench_gate, "REPO_ROOT", str(root))
+    monkeypatch.setattr(
+        bench_gate,
+        "retime_verdicts",
+        lambda names, sf: {
+            "q_a": {"runs": [4.9, 1.1, 1.0, 1.0, 1.0],
+                    "min": 1.0, "warm_min": 1.0}
+        },
+    )
+    assert bench_gate.main() == 0
+    out = capsys.readouterr().out
+    assert "retime-adjudicated" in out
+    pinned = json.loads((root / "BENCH_CLOSING_r09.json").read_text())
+    assert pinned["retimed"]["q_a"]["verdict"] == "noise"
+    assert pinned["retimed"]["q_a"]["prior"] == 1.0
+
+    # ...and a re-time that CONFIRMS the regression still fails the gate
+    monkeypatch.setattr(
+        bench_gate,
+        "retime_verdicts",
+        lambda names, sf: {
+            "q_a": {"runs": [4.9, 2.1, 2.0, 2.0, 2.0],
+                    "min": 2.0, "warm_min": 2.0}
+        },
+    )
+    monkeypatch.setattr(bench_gate, "REPO_ROOT", str(seed({"r09": {}})))
+    assert bench_gate.main() == 1
+    assert "re-time" in capsys.readouterr().out

@@ -27,7 +27,19 @@ implementation, an algorithm was deliberately traded) are declared in
 the allowlist is per-round and explicit, so every regression is either
 explained in a committed artifact or fails the ritual.
 
-Usage: python tools/bench_gate.py <round-tag>   (after bench.py)
+Round 10 automates the re-time itself (VERDICT r9 #1): BASELINE.md's rule
+says a violating timing "is not believable without a standalone re-time",
+and round 9 shipped with an unadjudicated violation precisely because that
+step was manual.  Now the gate shells out to ``tools/retime.py`` for every
+violating query (fresh session, tables warmed, 5 runs, clearCache between,
+min of the post-JIT runs) and compares THAT number against the prior
+baseline: if the re-time clears the threshold the violation was
+sweep-ordering/JVM noise — the verdict and the raw run list are recorded
+in the pinned closing artifact under ``"retimed"`` — and only violations
+the re-time CONFIRMS fail the ritual.  ``--no-retime`` restores the old
+fail-fast behaviour (used by the gate's own tests).
+
+Usage: python tools/bench_gate.py <round-tag> [--no-retime]   (after bench.py)
 """
 
 from __future__ import annotations
@@ -66,6 +78,39 @@ def previous_closing(tag: str) -> tuple[str, dict] | None:
         return f"r{best[0]:02d}", json.load(f)
 
 
+def retime_verdicts(
+    names: list[str], sf: float | None
+) -> dict[str, dict]:
+    """Standalone re-time for violating queries (tools/retime.py): one
+    subprocess, fresh Spark session, tables warmed, 5 runs each with
+    clearCache between.  Returns {} on any failure — callers treat a
+    missing verdict as an unadjudicated (i.e. still failing) violation."""
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_SF_DIR", f"/root/testdata/sf{sf}" if sf else None
+    )
+    if not names or sf_dir is None:
+        return {}
+    try:
+        out = subprocess.check_output(
+            [
+                sys.executable,
+                os.path.join(REPO_ROOT, "tools", "retime.py"),
+                *names,
+                "--sf-dir",
+                sf_dir,
+                "--json",
+            ],
+            cwd=REPO_ROOT,
+            text=True,
+            stderr=subprocess.DEVNULL,
+            timeout=1800,
+        )
+        return json.loads(out.strip().splitlines()[-1])
+    except Exception as e:  # noqa: BLE001
+        print(f"retime subprocess failed ({e}) — violations stand")
+        return {}
+
+
 def load_allowlist(tag: str) -> dict[str, str]:
     p = os.path.join(REPO_ROOT, "tools", "bench_allowlist.json")
     if not os.path.exists(p):
@@ -75,7 +120,9 @@ def load_allowlist(tag: str) -> dict[str, str]:
 
 
 def main() -> int:
-    tag = sys.argv[1] if len(sys.argv) > 1 else "rXX"
+    argv = [a for a in sys.argv[1:] if a != "--no-retime"]
+    do_retime = "--no-retime" not in sys.argv[1:]
+    tag = argv[0] if argv else "rXX"
     detail_path = os.path.join(REPO_ROOT, "BENCH_DETAIL.json")
     with open(detail_path) as f:
         fresh = json.load(f)
@@ -121,49 +168,102 @@ def main() -> int:
         if new >= MIN_ABS_SEC and new > OUTLIER_FACTOR * old:
             outliers.append((name, old, new))
 
-    if outliers:
-        print(f"BENCH GATE FAILED — {len(outliers)} queries >"
-              f"{OUTLIER_FACTOR}× their last committed time:")
-        for name, old, new in sorted(outliers, key=lambda x: -x[2]):
+    # -------- cross-round ledger (VERDICT r8 #8) --------
+    prev = previous_closing(tag)
+    prev_tag, prev_bench = prev if prev else (None, None)
+    allow = load_allowlist(tag)
+    regressions, allowed = [], []
+    if prev:
+        for name in fresh.get("queries", {}):
+            new = pick(fresh, name, "warm_queries")
+            old = pick(prev_bench, name, "warm_queries")
+            tier = "warm"
+            if new is None or old is None:
+                new = pick(fresh, name, "queries")
+                old = pick(prev_bench, name, "queries")
+                tier = "cold"
+            if new is None or old is None:
+                continue  # new query this round — no prior baseline
+            if new >= MIN_ABS_SEC and new >= CROSS_ROUND_FACTOR * old:
+                if name in allow:
+                    allowed.append((name, old, new, tier, allow[name]))
+                else:
+                    regressions.append((name, old, new, tier))
+        for name, old, new, tier, why in allowed:
+            print(f"  allowlisted ({tag}): {name} {old:.2f}s -> {new:.2f}s "
+                  f"({tier}) — {why}")
+
+    # -------- standalone re-time adjudication (VERDICT r9 #1) --------
+    # One retime pass over the union of violators; a violation whose
+    # post-JIT min clears its threshold was sweep-ordering/JVM noise — the
+    # raw evidence is recorded INSIDE the pinned closing artifact so the
+    # adjudication is a committed fact, not a narrative claim.
+    verdicts: dict[str, dict] = {}
+    if do_retime and (outliers or regressions):
+        names = sorted({n for n, *_ in outliers}
+                       | {n for n, *_ in regressions})
+        print(f"re-timing {len(names)} violating queries standalone: "
+              f"{', '.join(names)}")
+        verdicts = retime_verdicts(names, fresh.get("sf"))
+
+    def adjudicate(name: str, old: float, factor: float) -> dict | None:
+        v = verdicts.get(name)
+        if not v or "warm_min" not in v:
+            return None
+        # cleared when the standalone number no longer violates: either
+        # under the ≥1 s floor or under the factor vs the prior baseline
+        cleared = (
+            v["warm_min"] < MIN_ABS_SEC or v["warm_min"] < factor * old
+        )
+        return {**v, "prior": old, "threshold": factor,
+                "verdict": "noise" if cleared else "confirmed"}
+
+    retimed: dict[str, dict] = {}
+    still_out = []
+    for name, old, new in outliers:
+        adj = adjudicate(name, old, OUTLIER_FACTOR)
+        if adj and adj["verdict"] == "noise":
+            retimed[name] = adj
+            print(f"  retime-adjudicated (within-round): {name} "
+                  f"{old:.2f}s -> {new:.2f}s sweep, {adj['warm_min']:.2f}s "
+                  f"standalone — noise")
+        else:
+            still_out.append((name, old, new))
+    still_reg = []
+    for name, old, new, tier in regressions:
+        adj = adjudicate(name, old, CROSS_ROUND_FACTOR)
+        if adj and adj["verdict"] == "noise":
+            retimed[name] = adj
+            print(f"  retime-adjudicated (cross-round): {name} "
+                  f"{old:.2f}s -> {new:.2f}s sweep, {adj['warm_min']:.2f}s "
+                  f"standalone — noise")
+        else:
+            still_reg.append((name, old, new, tier))
+
+    if retimed:
+        fresh["retimed"] = retimed
+        with open(closing_path, "w") as f:
+            json.dump(fresh, f, indent=1, sort_keys=True)
+
+    if still_out:
+        print(f"BENCH GATE FAILED — {len(still_out)} queries >"
+              f"{OUTLIER_FACTOR}× their last committed time (re-time "
+              "confirmed or unavailable):")
+        for name, old, new in sorted(still_out, key=lambda x: -x[2]):
             print(f"  {name}: {old:.2f}s -> {new:.2f}s")
-        print("per BASELINE.md's rule: standalone re-time each one (4 runs, "
-              "clearCache between) before believing or committing this sweep")
         return 1
     print("bench gate: no >3× outliers vs last committed BENCH_DETAIL.json")
 
-    # -------- cross-round ledger (VERDICT r8 #8) --------
-    prev = previous_closing(tag)
     if prev is None:
         print("no previous BENCH_CLOSING_r*.json — skipping cross-round gate")
         return 0
-    prev_tag, prev_bench = prev
-    allow = load_allowlist(tag)
-    regressions, allowed = [], []
-    for name in fresh.get("queries", {}):
-        new = pick(fresh, name, "warm_queries")
-        old = pick(prev_bench, name, "warm_queries")
-        tier = "warm"
-        if new is None or old is None:
-            new = pick(fresh, name, "queries")
-            old = pick(prev_bench, name, "queries")
-            tier = "cold"
-        if new is None or old is None:
-            continue  # new query this round — no prior baseline
-        if new >= MIN_ABS_SEC and new >= CROSS_ROUND_FACTOR * old:
-            if name in allow:
-                allowed.append((name, old, new, tier, allow[name]))
-            else:
-                regressions.append((name, old, new, tier))
-    for name, old, new, tier, why in allowed:
-        print(f"  allowlisted ({tag}): {name} {old:.2f}s -> {new:.2f}s "
-              f"({tier}) — {why}")
-    if regressions:
-        print(f"BENCH GATE FAILED — {len(regressions)} unexplained "
-              f"≥{CROSS_ROUND_FACTOR}× regressions vs {prev_tag}:")
-        for name, old, new, tier in sorted(regressions, key=lambda x: -x[2]):
+    if still_reg:
+        print(f"BENCH GATE FAILED — {len(still_reg)} unexplained "
+              f"≥{CROSS_ROUND_FACTOR}× regressions vs {prev_tag} (re-time "
+              "confirmed or unavailable):")
+        for name, old, new, tier in sorted(still_reg, key=lambda x: -x[2]):
             print(f"  {name}: {old:.2f}s -> {new:.2f}s ({tier})")
-        print("standalone re-time each (4 runs, clearCache between); if the "
-              "new baseline is adjudicated real, declare it in "
+        print("if the new baseline is adjudicated real, declare it in "
               f"tools/bench_allowlist.json under {tag!r} with the reason")
         return 1
     print(f"bench gate: no unexplained ≥{CROSS_ROUND_FACTOR}× regressions "

@@ -34,8 +34,11 @@ from decimal import Decimal
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO_ROOT)
+sys.path.insert(0, os.path.join(REPO_ROOT, "tools"))
 
 import duckdb  # noqa: E402
+
+from _ducklimits import apply_duck_limits  # noqa: E402
 
 import __spark_entry__ as entry_mod  # noqa: E402
 from cdmx_airquality_etl_spark.schemas import TESTDATA_TABLES  # noqa: E402
@@ -105,10 +108,10 @@ def main() -> int:
     # and its buffer pool grows monotonically across a long sweep — at sf3
     # the quadratic dedup oracles pushed the process past what the host
     # could give it ALONGSIDE the Spark JVM and the kernel OOM-killed the
-    # sweep mid-query. A fixed limit + temp spill directory keeps the
-    # checker a well-behaved co-tenant at any sf.
-    con.sql("SET memory_limit='48GB'")
-    con.sql("SET temp_directory='/tmp/duckdb_oracle_spill'")
+    # sweep mid-query. A RAM-aware limit (min(48GB, RAM/2) — a FIXED 48GB
+    # would *raise* the cap on small hosts, round-9 ADVICE) + temp spill
+    # directory keeps the checker a well-behaved co-tenant at any sf.
+    apply_duck_limits(con)
     for t in TESTDATA_TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 

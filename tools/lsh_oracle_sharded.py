@@ -7,14 +7,22 @@ per-shingle join. At sf3 that join groups ~1.07e9 candidate rows and the
 four UNION'd SELECTs re-scan it: DuckDB's spill exceeded the sandbox disk
 (the pinned SWEEP_r09_sf3_dedup.log FAIL). Every aggregate the oracle
 needs, though, is an INTEGER sum/count over pairs — and the pair relation
-partitions disjointly by (doc_id_a % G, doc_id_b % G) — so this tool runs
-the SAME oracle semantics as G*G shard-pair pieces, accumulates the exact
-integer partials in Python, applies the oracle's final float divisions
-once, and compares against the Spark result row-for-row with the
-check_oracle canonicalization. No approximation anywhere: the per-piece
-SQL is the oracle's CTE chain with two added modulo predicates, and
-integer addition is associative/commutative, so the decomposition is
-mathematically identical to the one-shot query.
+partitions disjointly by (pmod(doc_id_a, G), pmod(doc_id_b, G)) — so this
+tool runs the SAME oracle semantics as G*G shard-pair pieces, accumulates
+the exact integer partials in Python, applies the oracle's final float
+divisions once, and compares against the Spark result by EXACT sorted
+tuple equality (stricter than check_oracle's float-tolerant
+canonicalization — every value here is either a BIGINT partial or one
+float division applied identically on both sides, so exactness is
+attainable and demanded). No approximation anywhere: the per-piece SQL is
+built from the SAME ``_SQL_SHINGLE_PAIR_CTES`` constant the committed
+oracles use (injected, not copied — round-9 ADVICE: an inline copy could
+silently validate stale shingle semantics) with two added shard
+predicates, and integer addition is associative/commutative, so the
+decomposition is mathematically identical to the one-shot query.  The
+shard predicate uses the non-negative ``((doc_id % G) + G) % G`` form:
+DuckDB's bare ``%`` keeps the dividend's sign, and a negative doc_id
+would otherwise vanish from every piece — a silent undercount.
 
 Usage: python tools/lsh_oracle_sharded.py [sf_dir] [--shards 4]
 """
@@ -31,20 +39,49 @@ sys.path.insert(0, REPO_ROOT)
 
 import duckdb  # noqa: E402
 
+sys.path.insert(0, os.path.join(REPO_ROOT, "tools"))
+
+from _ducklimits import apply_duck_limits  # noqa: E402
+
 from cdmx_airquality_etl_spark.operators.dedup import (  # noqa: E402
     _JACCARD_THRESHOLD,
     _LSH_PLAN_CONFIGS,
     _LSH_PLAN_MIN_S,
     _SQL_FUZZY_JACCARD,
+    _SQL_SHINGLE_PAIR_CTES,
     _pow2_chain_sql,
 )
 from cdmx_airquality_etl_spark.session import get_spark  # noqa: E402
 
+# The injection point inside the shared CTE constant: the pairs CTE's
+# GROUP BY, immediately after the self-join. If dedup.py's constant is
+# ever restructured so this anchor text disappears, sharded_ctes() raises
+# instead of silently validating divergent semantics.
+_PAIRS_GROUP_BY = "GROUP BY 1, 2, 3, 4"
+
+
+def sharded_ctes(i: int, j: int, g: int) -> str:
+    """The committed oracle's own CTE chain with the two shard predicates
+    injected into the pairs join — derived, never copied."""
+    if _SQL_SHINGLE_PAIR_CTES.count(_PAIRS_GROUP_BY) != 1:
+        raise RuntimeError(
+            "dedup._SQL_SHINGLE_PAIR_CTES no longer contains the expected "
+            f"pairs GROUP BY anchor ({_PAIRS_GROUP_BY!r}) exactly once — "
+            "update lsh_oracle_sharded's injection point to match"
+        )
+    shard_where = (
+        f"WHERE ((a.doc_id % {g}) + {g}) % {g} = {i} "
+        f"AND ((b.doc_id % {g}) + {g}) % {g} = {j}\n      "
+    )
+    return _SQL_SHINGLE_PAIR_CTES.replace(
+        _PAIRS_GROUP_BY, shard_where + _PAIRS_GROUP_BY
+    )
+
 
 def piece_sql(i: int, j: int, g: int) -> str:
     """One shard-pair piece: the oracle's CTE chain restricted to pairs
-    with doc_id_a % g = i and doc_id_b % g = j, emitting the exact
-    integer partials every config needs."""
+    with pmod(doc_id_a, g) = i and pmod(doc_id_b, g) = j, emitting the
+    exact integer partials every config needs."""
     selects = []
     for b, r in _LSH_PLAN_CONFIGS:
         inner = _pow2_chain_sql("s", r.bit_length() - 1)
@@ -63,26 +100,7 @@ def piece_sql(i: int, j: int, g: int) -> str:
         )
     body = "\n    UNION ALL\n".join(selects)
     return rf"""
-    WITH tok AS (
-      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
-      FROM documents
-    ),
-    sh AS (
-      SELECT doc_id,
-             list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
-                                          i -> array_to_string(w[i:i+2], ' '))) AS shs
-      FROM tok
-    ),
-    e AS (
-      SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS shingle FROM sh
-    ),
-    pairs AS (
-      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-             a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS shared
-      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      WHERE a.doc_id % {g} = {i} AND b.doc_id % {g} = {j}
-      GROUP BY 1, 2, 3, 4
-    ),
+    WITH {sharded_ctes(i, j, g)},
     scored AS (
       SELECT {_SQL_FUZZY_JACCARD} AS s
       FROM pairs WHERE {_SQL_FUZZY_JACCARD} >= {_LSH_PLAN_MIN_S}
@@ -99,8 +117,7 @@ def main() -> int:
     g = args.shards
 
     con = duckdb.connect()
-    con.sql("SET memory_limit='48GB'")
-    con.sql("SET temp_directory='/tmp/duckdb_oracle_spill'")
+    apply_duck_limits(con)
     con.sql(
         "CREATE VIEW documents AS SELECT * FROM "
         f"'{args.sf_dir}/documents.parquet'"
