@@ -35,6 +35,8 @@ sql_config.yaml:18,34,50) and normalize-then-compare pipeline
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -175,10 +177,206 @@ def anchor_params(threshold: float) -> tuple[int, int]:
     return k, cutoff
 
 
+def _reach_table(threshold: float) -> tuple[list[int], int]:
+    """Size-adaptive anchor reach (the round-10 diet of q_lsh_planner's
+    k = 19 constant): ``(ks, s_stable)`` where ``ks[S_lb - 2]`` is the
+    anchor distance a doc may use once its intersection lower bound is
+    S_lb, for S_lb = 2 .. s_stable (constant beyond).
+
+    Derivation. For a qualifying pair, J ≥ t ⇒ S ≥ t(|A|+|B|)/(1+t) ≥
+    t·n/(1+t) for EACH doc's own size n — so a doc knows, from its size
+    alone, a lower bound S_lb on the intersection of any pair it can be
+    part of. The coverage argument (see :func:`_anchor_jaccard_pairs`)
+    needs ⌊extras_A/k_A⌋ + ⌊extras_B/k_B⌋ ≤ S − 2 with extras ≤
+    E(S) = ⌊S(1−t)/t⌋; worst case piles all extras on the smaller-k side,
+    so it suffices that min(k_A, k_B) ≥ g(S) = ⌈(E(S)+1)/(S−1)⌉ — and
+    since each doc's k is chosen as max_{S ≥ its own S_lb} g(S) and the
+    pair's true S exceeds BOTH docs' S_lb, both k's (hence the min)
+    satisfy g at the true S. ∎
+
+    g(S) ≈ (1−t)/t + ((1−t)/t + 1)/(S−1) decreases toward the asymptote
+    (1−t)/t, so k stabilizes at a finite S (t = 0.1: ks =
+    [19, 14, 13, 12, 11×5, 10], stable at S_lb = 11; t = 0.5: [3, 2]).
+    At t = 0.1 a median 52-shingle doc uses k = 12 instead of the fixed
+    worst-case 19 — ~1.5× fewer anchor rows with the same exact output,
+    because k = 19 is forced only by S = 2 pairs, which only tiny docs
+    can be part of.
+
+    Rounding discipline: every float crossing is biased CONSERVATIVE
+    (E(S) floors with +1e-9 so an exact-integer bound never rounds down;
+    the k division is exact integer ceil-div), so FP error can only ever
+    ADD anchors, never lose coverage."""
+    a = (1.0 - threshold) / threshold
+
+    def g(s: int) -> int:
+        e = int(math.floor(s * a + 1e-9))
+        return -(-(e + 1) // (s - 1))
+
+    horizon = 4096
+    ks = [g(s) for s in range(2, horizon + 1)]
+    for i in range(len(ks) - 2, -1, -1):  # suffix max: k valid ∀ S ≥ S_lb
+        ks[i] = max(ks[i], ks[i + 1])
+    k_floor = ks[-1]
+    # the asymptote really is reached inside the horizon
+    assert g(10**7) == k_floor, "reach horizon too small for this threshold"
+    s_stable = 2 + ks.index(k_floor)
+    return ks[: s_stable - 1], s_stable
+
+
+def _anchor_keys(shingled: DataFrame, threshold: float) -> DataFrame:
+    """(doc_id, akey) — the hashed, size-adaptive-reach adjacency anchor
+    keys of :func:`_anchor_jaccard_pairs` (coverage proof there; reach
+    algebra in :func:`_reach_table`). Factored out so the band-skew probe
+    measures the REAL operator anchors, not a reconstruction."""
+    _, cutoff = anchor_params(threshold)
+    ks, s_stable = _reach_table(threshold)
+    # Anchor keys are HASHED to 64-bit (xxhash64(lo, hi)): the self-join
+    # sorts 8-byte longs instead of ~40-byte shingle-string pairs, and a
+    # hash collision can only ADD a candidate — which the exact verify
+    # stage then scores and drops — never lose one, so the output is
+    # untouched. Reach is per-doc via _reach_table: S ≥ t·n/(1+t) for any
+    # pair this doc is in, so bigger docs use the smaller k their S_lb
+    # licenses (the ceil is biased DOWN by 1e-9 — an S_lb overestimate
+    # would shrink k unsoundly, an underestimate only adds anchors).
+    tratio = threshold / (1.0 + threshold)
+    k_expr = (
+        f"element_at(array({', '.join(map(str, ks))}), "
+        f"least(greatest(2, cast(ceil(size(__shs) * {tratio!r} - 1e-9) "
+        f"as int)), {s_stable}) - 1)"
+    )
+    anchor_expr = f"""
+      concat(
+        flatten(transform(sequence(1, size(__shs)), i ->
+          transform(slice(__shs, i + 1, __k),
+                    x -> xxhash64(__shs[i-1], x)))),
+        CASE WHEN size(__shs) <= {cutoff}
+             THEN transform(__shs, s -> xxhash64(s, s))
+             ELSE cast(array() AS array<bigint>) END
+      )
+    """
+    anch = (
+        shingled.filter(F.col("n_sh") >= 1)
+        .withColumn("__shs", F.array_sort("sh"))
+        .withColumn("__k", F.expr(k_expr))
+        .select("doc_id", F.explode(F.expr(anchor_expr)).alias("akey"))
+    )
+    return anch
+
+
+def _salted_anchor_candidates(
+    anch: DataFrame,
+    max_anchor_postings: int | None = None,
+    hot_anchor_split: int | None = 256,
+) -> DataFrame:
+    """Distinct (doc_id_a < doc_id_b) candidate pairs from a
+    (doc_id, akey) anchor frame — the shared candidate stage of the
+    anchor family (_anchor_jaccard_pairs and q_dedup_weighted's
+    mass-distance anchors). Carries the df window (df = 1 drop + opt-in
+    exactness-trading cap) and the round-10 exactness-preserving salted
+    split for hot anchor keys; the coverage argument for the salt is on
+    the salted branch below, the guard semantics on
+    :func:`_anchor_jaccard_pairs`."""
+    if max_anchor_postings is not None or hot_anchor_split is not None:
+        # One count window keyed on the anchor tags every posting with its
+        # key's document frequency. Three uses, all exactness-preserving:
+        # df = 1 anchors drop (they can produce no pair), the opt-in
+        # max_anchor_postings cap applies, and the df feeds the salted
+        # split below. Measured overhead of the window on the homogeneous
+        # sf0.1 corpus: ~5% of the candidate stage.
+        anch = anch.withColumn(
+            "__adf", F.count(F.lit(1)).over(Window.partitionBy("akey"))
+        ).filter(
+            F.col("__adf").between(2, max_anchor_postings)
+            if max_anchor_postings is not None
+            else F.col("__adf") >= 2
+        )
+    # merge hints throughout: every frame here derives from the shingled
+    # scan, whose logical size estimate is the COMPRESSED parquet bytes —
+    # the shingle arrays expand ~10-40× on materialization, so the static
+    # broadcast decision undershoots catastrophically (measured at sf3: a
+    # "64 MB" side serialized 1.9 GB and broke spark.driver.maxResultSize
+    # mid-sweep). shuffle_hash is no safer: a shuffled-hash join's build
+    # side cannot spill, and at this op's k = 19 reach (q_lsh_planner's
+    # 0.1 floor) one partition of anchor rows overflows the per-task
+    # budget outright (SparkOutOfMemoryError in buildHashedRelation,
+    # observed at sf3 under the default 8g heap). Sort-merge spills both
+    # sides — the only strategy that survives arbitrarily large
+    # partitions, which is the contract a 100 TB corpus needs.
+    if hot_anchor_split is not None:
+        # EXACTNESS-PRESERVING hot-anchor treatment (round-10 VERDICT #4,
+        # replacing the exactness-trading max_anchor_postings cap as the
+        # default): a boilerplate cluster makes one anchor key hot, and a
+        # hot key in a self-join is ONE quadratic task AQE cannot split
+        # (the join INPUT partition is kilobytes; the blow-up is in the
+        # OUTPUT — BAND_SKEW.json measures a 1500-df key = 1.1M pairs in
+        # a single task). Salt: each posting hashes to one of
+        # s = ⌈df/H⌉ buckets, the A side replicates to bucket-pair tasks
+        # (b, j ≥ b) and the B side to (i ≤ b, b), and the join key grows
+        # to (akey, i, j) — the hot key's pair work lands in s² bounded
+        # tasks of ≤ H²/2 pairs each, data expansion ≤ (s+1)× on the hot
+        # key's rows only (cool keys have s = 1: one task, no
+        # replication, byte-identical work to the unsalted join).
+        # Coverage: pair {x, y} with buckets bx ≤ by is emitted by
+        # exactly task (bx, by) — x replicates A-side to (bx, j ≥ bx) ∋
+        # (bx, by), y replicates B-side to (i ≤ by, by) ∋ (bx, by); for
+        # bx = by the doc_id_a < doc_id_b filter keeps one orientation,
+        # for bx < by the pair arrives in one orientation and is
+        # canonicalized by least/greatest. Exact — no pair can be lost,
+        # and the downstream distinct absorbs nothing new.
+        h = int(hot_anchor_split)
+        salted = anch.withColumn(
+            "__s",
+            F.when(
+                F.col("__adf") > h, F.ceil(F.col("__adf") / h).cast("int")
+            ).otherwise(F.lit(1)),
+        ).withColumn(
+            "__b", F.pmod(F.xxhash64("doc_id", "akey"), F.col("__s")).cast("int")
+        )
+        side_a = salted.select(
+            F.col("doc_id").alias("doc_id_a"),
+            "akey",
+            F.col("__b").alias("ti"),
+            F.explode(F.expr("sequence(__b, __s - 1)")).alias("tj"),
+        )
+        side_b = salted.select(
+            F.col("doc_id").alias("doc_id_b"),
+            "akey",
+            F.explode(F.expr("sequence(0, __b)")).alias("ti"),
+            F.col("__b").alias("tj"),
+        )
+        cand = (
+            side_a.join(side_b.hint("merge"), ["akey", "ti", "tj"])
+            .filter(
+                (F.col("ti") < F.col("tj"))
+                | (F.col("doc_id_a") < F.col("doc_id_b"))
+            )
+            .select(
+                F.least("doc_id_a", "doc_id_b").alias("doc_id_a"),
+                F.greatest("doc_id_a", "doc_id_b").alias("doc_id_b"),
+            )
+            .distinct()
+        )
+    else:
+        cand = (
+            anch.select(F.col("doc_id").alias("doc_id_a"), "akey")
+            .join(
+                anch.select(F.col("doc_id").alias("doc_id_b"), "akey").hint(
+                    "merge"
+                ),
+                ["akey"],
+            )
+            .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+            .select("doc_id_a", "doc_id_b")
+            .distinct()
+        )
+    return cand
+
+
 def _anchor_jaccard_pairs(
     shingled: DataFrame,
     threshold: float,
     max_anchor_postings: int | None = None,
+    hot_anchor_split: int | None = 256,
 ) -> DataFrame:
     """Exact Jaccard-≥-t pairs via ADJACENCY ANCHORS — the round-9
     restructure of the fuzzy-dedup core after the sf3 scaling decade showed
@@ -190,11 +388,17 @@ def _anchor_jaccard_pairs(
     Scheme (an exact filter-verify join in the AllPairs/PPJoin family, but
     keyed on token ADJACENCY instead of prefixes, which saturation defeats):
 
-    1. Each doc sorts its distinct shingle set and emits an anchor
-       (lo, hi) for every pair of shingles at distance ≤ k in ITS OWN
-       sorted list (k from :func:`anchor_params`; k = 3 at t = 0.5), plus
-       degenerate (s, s) anchors when the doc has ≤ cutoff shingles.
-    2. Candidates = anchor-key self-join (a.doc_id < b.doc_id).
+    1. Each doc sorts its distinct shingle set and emits an anchor key
+       xxhash64(lo, hi) for every pair of shingles at distance ≤ k in
+       ITS OWN sorted list — k is per-doc SIZE-ADAPTIVE from
+       :func:`_reach_table` (round 10: k = 19 at t = 0.1 is forced only
+       by S = 2 pairs, which only tiny docs can be in; a median
+       52-shingle doc uses k = 12) — plus degenerate xxhash64(s, s)
+       anchors when the doc has ≤ cutoff shingles.
+    2. Candidates = anchor-key self-join (a.doc_id < b.doc_id) on the
+       8-byte hashed key (sorts ~5× narrower rows than the shingle-string
+       pair it replaces; a collision only ADDS a candidate, which step 3
+       kills — never loses one).
     3. Every candidate is verified EXACTLY: join both docs' shingle
        arrays, shared = size(array_intersect), jaccard ≥ t, distinct.
 
@@ -202,14 +406,16 @@ def _anchor_jaccard_pairs(
     extras = (|A|−S) + (|B|−S). J ≥ t ⇒ (1+t)S ≥ t(|A|+|B|) ⇒
     extras ≤ S(1−t)/t. Walk A's sorted list: the S shared shingles form
     S−1 consecutive-in-intersection pairs; such a pair fails to be an
-    anchor of A only when ≥ k of A's extras sit inside its gap, and gaps
-    are disjoint, so A loses ≤ ⌊extras_A/k⌋ of them (same for B). With
-    k = ⌊2(1−t)/t⌋+1: for S = 2, extras ≤ ⌊2(1−t)/t⌋ = k−1 < k, so neither
-    side can lose the single pair; for S = 3, extras/k ≤ 3(1−t)/(tk) ≤ 1.5
-    loses ≤ 1 of 2; for S ≥ 4, losses ≤ S/2 ≤ S−2 — in every case ≥ 1
-    anchor survives in BOTH docs. S = 1 qualifying pairs force
-    |A|+|B| ≤ (1+t)/t, i.e. both docs ≤ cutoff, and the (s, s) singleton
-    anchors cover them. S = 0 pairs don't qualify. ∎
+    anchor of A only when ≥ k_A of A's extras sit inside its gap, and
+    gaps are disjoint, so A loses ≤ ⌊extras_A/k_A⌋ of them (same for B).
+    A common pair survives in BOTH docs whenever
+    ⌊extras_A/k_A⌋ + ⌊extras_B/k_B⌋ ≤ S − 2, and piling every extra on
+    the smaller-k side shows min(k_A, k_B) ≥ ⌈(⌊S(1−t)/t⌋+1)/(S−1)⌉
+    suffices — which _reach_table guarantees for every S each doc's own
+    size bound licenses (its docstring carries that step). S = 1
+    qualifying pairs force |A|+|B| ≤ (1+t)/t, i.e. both docs ≤ cutoff,
+    and the (s, s) singleton anchors cover them. S = 0 pairs don't
+    qualify. ∎
 
     Scale shape (100 TB): anchor rows are ≤ (k + 1)·|shingles| — LINEAR —
     and an anchor's postings df counts docs where the same two shingles are
@@ -233,58 +439,20 @@ def _anchor_jaccard_pairs(
     larger than the cap, where the pairs are the quadratic OUTPUT itself.
     The sub-threshold boilerplate regime the probe measures (hot anchors,
     zero qualifying pairs among them) loses nothing.
+
+    ``hot_anchor_split`` (round 10, ON by default at H = 256) is the
+    EXACTNESS-PRESERVING hot-anchor treatment: postings of an anchor key
+    with df > H are salted into ⌈df/H⌉ buckets and the self-join key
+    widens to (akey, bucket_i, bucket_j), turning the one quadratic task
+    AQE cannot split into s² tasks of ≤ H²/2 pairs — the full coverage
+    argument is on the salted branch below. The same window also drops
+    df = 1 anchors (no pair can come from them) for every configuration
+    that pays it. Pass None for the raw unsalted join (no window, no df
+    filter) — the probe's A/B baseline.
     """
-    k, cutoff = anchor_params(threshold)
-    anchor_expr = f"""
-      concat(
-        flatten(transform(sequence(1, size(__shs)), i ->
-          filter(
-            transform(sequence(i + 1, i + {k}), j ->
-              if(j <= size(__shs),
-                 struct(__shs[i-1] AS lo, __shs[j-1] AS hi),
-                 cast(null AS struct<lo:string,hi:string>))),
-            p -> p IS NOT NULL))),
-        CASE WHEN size(__shs) <= {cutoff}
-             THEN transform(__shs, s -> struct(s AS lo, s AS hi))
-             ELSE cast(array() AS array<struct<lo:string,hi:string>>) END
-      )
-    """
-    anch = (
-        shingled.filter(F.col("n_sh") >= 1)
-        .withColumn("__shs", F.array_sort("sh"))
-        .select("doc_id", F.explode(F.expr(anchor_expr)).alias("__a"))
-        .select("doc_id", F.col("__a.lo").alias("lo"), F.col("__a.hi").alias("hi"))
-    )
-    if max_anchor_postings is not None:
-        w_key = Window.partitionBy("lo", "hi")
-        anch = (
-            anch.withColumn("__adf", F.count(F.lit(1)).over(w_key))
-            .filter(F.col("__adf").between(2, max_anchor_postings))
-            .drop("__adf")
-        )
-    # merge hints throughout: every frame here derives from the shingled
-    # scan, whose logical size estimate is the COMPRESSED parquet bytes —
-    # the shingle arrays expand ~10-40× on materialization, so the static
-    # broadcast decision undershoots catastrophically (measured at sf3: a
-    # "64 MB" side serialized 1.9 GB and broke spark.driver.maxResultSize
-    # mid-sweep). shuffle_hash is no safer: a shuffled-hash join's build
-    # side cannot spill, and at this op's k = 19 reach (q_lsh_planner's
-    # 0.1 floor) one partition of anchor rows overflows the per-task
-    # budget outright (SparkOutOfMemoryError in buildHashedRelation,
-    # observed at sf3 under the default 8g heap). Sort-merge spills both
-    # sides — the only strategy that survives arbitrarily large
-    # partitions, which is the contract a 100 TB corpus needs.
-    cand = (
-        anch.select(F.col("doc_id").alias("doc_id_a"), "lo", "hi")
-        .join(
-            anch.select(F.col("doc_id").alias("doc_id_b"), "lo", "hi").hint(
-                "merge"
-            ),
-            ["lo", "hi"],
-        )
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .select("doc_id_a", "doc_id_b")
-        .distinct()
+    anch = _anchor_keys(shingled, threshold)
+    cand = _salted_anchor_candidates(
+        anch, max_anchor_postings, hot_anchor_split
     )
     arr_a = shingled.select(
         F.col("doc_id").alias("doc_id_a"),
@@ -1175,38 +1343,26 @@ def q_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # anchors as hashed 8-byte keys + the shared salted candidate stage:
+    # same exactness argument as _anchor_keys (a hash collision only adds
+    # a candidate the exact verify below drops; a hot anchor key salts
+    # into bounded bucket-pair tasks)
     anchor_expr = f"""
       concat(
         flatten(transform(sequence(1, size(__shs)), i ->
           transform(
             filter(sequence(least(i + 1, size(__shs)), size(__shs)),
                    j -> j > i AND __p[j-1] - __p[i] <= {mass_budget}),
-            j -> struct(__shs[i-1] AS lo, __shs[j-1] AS hi)))),
+            j -> xxhash64(__shs[i-1], __shs[j-1])))),
         CASE WHEN wt <= {singleton_cutoff}
-             THEN transform(__shs, s -> struct(s AS lo, s AS hi))
-             ELSE cast(array() AS array<struct<lo:string,hi:string>>) END
+             THEN transform(__shs, s -> xxhash64(s, s))
+             ELSE cast(array() AS array<bigint>) END
       )
     """
     anch = per_doc.select(
-        "doc_id", F.explode(F.expr(anchor_expr)).alias("__a")
-    ).select("doc_id", F.col("__a.lo").alias("lo"), F.col("__a.hi").alias("hi"))
-    # merge hints: same broadcast-misestimate + unspillable-hash-build
-    # discipline as _anchor_jaccard_pairs (the per_doc frames expand far
-    # past their parquet-derived size estimate)
-    cand = (
-        anch.select(F.col("doc_id").alias("doc_id_a"), "lo", "hi")
-        .join(
-            anch.select(F.col("doc_id").alias("doc_id_b"), "lo", "hi").hint(
-                "merge"
-            ),
-            ["lo", "hi"],
-        )
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .select("doc_id_a", "doc_id_b")
-        # distinct on bare ids BEFORE the verify joins — boilerplate-run
-        # multiplicity discipline, see _anchor_jaccard_pairs
-        .distinct()
+        "doc_id", F.explode(F.expr(anchor_expr)).alias("akey")
     )
+    cand = _salted_anchor_candidates(anch)
     wmaps = per_doc.select(
         "doc_id",
         F.map_from_arrays("__shs", "__ws").alias("wm"),

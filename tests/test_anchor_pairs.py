@@ -54,6 +54,56 @@ def test_anchor_params_algebra():
     assert k >= 5 and cutoff >= 3
 
 
+def test_reach_table_algebra():
+    """The size-adaptive reach (round-10 diet): ks[S_lb-2] must satisfy
+    ⌈(⌊S(1−t)/t⌋+1)/(S−1)⌉ for every S ≥ S_lb — checked directly against
+    the exact-arithmetic requirement over a wide S range — and its first
+    entry must agree with the fixed worst-case anchor_params k."""
+    import math
+
+    from cdmx_airquality_etl_spark.operators.dedup import _reach_table
+
+    for t in (0.1, 0.2, 1.0 / 3.0, 0.5, 0.6, 0.8):
+        ks, s_stable = _reach_table(t)
+        assert len(ks) == s_stable - 1
+        assert ks[0] == anchor_params(t)[0]  # S_lb=2 tier = old fixed k
+        assert ks == sorted(ks, reverse=True)  # bigger S_lb never needs more
+        for s_lb in range(2, s_stable + 40):
+            k = ks[min(s_lb, s_stable) - 2]
+            for s in range(s_lb, s_lb + 200):
+                e = int(math.floor(s * (1.0 - t) / t + 1e-9))
+                assert k >= -(-(e + 1) // (s - 1)), (t, s_lb, s)
+    assert _reach_table(0.1) == ([19, 14, 13, 12, 11, 11, 11, 11, 11, 10], 11)
+    assert _reach_table(0.5) == ([3, 2], 3)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    data=st.lists(
+        st.frozensets(
+            st.sampled_from([f"v{i:02d}" for i in range(60)]),
+            min_size=1,
+            max_size=44,
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    t=st.sampled_from([0.1, 0.15, 0.25, 0.4]),
+)
+def test_matches_brute_force_low_threshold_big_docs(spark, data, t):
+    """The adaptive-reach tiers only engage when n·t/(1+t) > 2 — docs big
+    enough that their size bound licenses k below the fixed worst case.
+    Low thresholds + up-to-44-shingle docs drive S_lb through several
+    tiers; brute force is the oracle, so any tier mis-sizing (k too small
+    for some S its docs can meet) surfaces as a missing pair."""
+    sets = dict(enumerate(data))
+    assert _spark_pairs(spark, sets, t) == pytest.approx(_brute(sets, t))
+
+
 def test_adversarial_gap_and_threshold_shapes(spark):
     t = _JACCARD_THRESHOLD  # 0.5
     sets = {
@@ -101,6 +151,83 @@ def test_matches_brute_force_on_random_corpora(spark, data, t):
     collision pressure on the anchor scheme, every threshold regime."""
     sets = dict(enumerate(data))
     assert _spark_pairs(spark, sets, t) == pytest.approx(_brute(sets, t))
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    data=st.lists(
+        st.frozensets(
+            st.sampled_from([f"w{i}" for i in range(12)]),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=14,
+    ),
+    t=st.sampled_from([0.3, 0.5]),
+    h=st.sampled_from([1, 2, 3]),
+)
+def test_salted_split_is_exact_at_tiny_h(spark, data, t, h):
+    """The round-10 salted hot-anchor split must be output-identical to
+    the unsalted join. H = 1..3 forces the salt to engage on virtually
+    every shared anchor (df ≥ 2 > 1), driving pairs through the
+    cross-bucket (ti < tj) task path and its least/greatest
+    canonicalization — the code path a hot production key would take."""
+    sets = dict(enumerate(data))
+    rows = [(i, sorted(s)) for i, s in sets.items()]
+    shingled = spark.createDataFrame(
+        rows, "doc_id long, sh array<string>"
+    ).withColumn("n_sh", F.size("sh"))
+    salted = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in _anchor_jaccard_pairs(
+            shingled, t, hot_anchor_split=h
+        ).collect()
+    }
+    assert salted == pytest.approx(_brute(sets, t))
+
+
+def test_salted_split_engages_and_matches_unsalted(spark):
+    """A 30-doc boilerplate cluster makes its run anchors df = 30; with
+    H = 4 the salt must actually bucket them (s = ⌈30/4⌉ = 8) and the
+    output must equal the unsalted exact join — including the true
+    near-dup pair that lives OUTSIDE the cluster."""
+    boiler = " ".join(f"mm{i:02d}" for i in range(10))
+    rows = []
+    for i in range(30):
+        tail = " ".join(f"t{i:02d}x{j:02d}" for j in range(18))
+        rows.append((i, f"{boiler} {tail}"))
+    rows.append((100, "aa bb cc dd ee ff gg hh"))
+    rows.append((101, "aa bb cc dd ee ff gg zz"))
+    shingled = (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(size(split(lower(text), ' ')) - 2, 1)),"
+                    " i -> concat_ws(' ', slice(split(lower(text), ' '), i, 3)))"
+                )
+            ).alias("sh"),
+        )
+        .withColumn("n_sh", F.size("sh"))
+    )
+
+    def pairs(**kw):
+        return {
+            (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+            for r in _anchor_jaccard_pairs(
+                shingled, _JACCARD_THRESHOLD, **kw
+            ).collect()
+        }
+
+    unsalted = pairs(hot_anchor_split=None)
+    assert (100, 101) in unsalted
+    assert pairs(hot_anchor_split=4) == pytest.approx(unsalted)
 
 
 def test_hot_anchor_guard_bounds_candidates_without_changing_output(spark):

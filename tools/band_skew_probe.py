@@ -76,43 +76,21 @@ def gen_boiler_documents(sf: float, frac: float, boiler_words: int) -> pa.Table:
 
 
 def _anchors(spark, sf_dir: str):
-    """The anchor-key frame of q_dedup_fuzzy's candidate stage (the same
-    expression the operator runs), for counting pair fan-out per key
-    WITHOUT expanding it."""
-    from pyspark.sql import functions as F
-
+    """The anchor-key frame of q_dedup_fuzzy's candidate stage — the
+    operator's OWN dd._anchor_keys (round 10: hashed keys, size-adaptive
+    reach), not a reconstruction that could drift."""
     import cdmx_airquality_etl_spark.operators.dedup as dd
     from cdmx_airquality_etl_spark.sources.parquet import load_table
 
     shingled = dd._doc_shingles(load_table(spark, sf_dir, "documents"))
-    k, cutoff = dd.anchor_params(dd._JACCARD_THRESHOLD)
-    anchor_expr = f"""
-      concat(
-        flatten(transform(sequence(1, size(__shs)), i ->
-          filter(
-            transform(sequence(i + 1, i + {k}), j ->
-              if(j <= size(__shs),
-                 struct(__shs[i-1] AS lo, __shs[j-1] AS hi),
-                 cast(null AS struct<lo:string,hi:string>))),
-            p -> p IS NOT NULL))),
-        CASE WHEN size(__shs) <= {cutoff}
-             THEN transform(__shs, s -> struct(s AS lo, s AS hi))
-             ELSE cast(array() AS array<struct<lo:string,hi:string>>) END
-      )
-    """
-    return (
-        shingled.filter(F.col("n_sh") >= 1)
-        .withColumn("__shs", F.array_sort("sh"))
-        .select("doc_id", F.explode(F.expr(anchor_expr)).alias("__a"))
-        .select("doc_id", F.col("__a.lo").alias("lo"), F.col("__a.hi").alias("hi"))
-    )
+    return dd._anchor_keys(shingled, dd._JACCARD_THRESHOLD)
 
 
 def _candidates_fuzzy(spark, sf_dir: str, cap: int | None = None):
     from pyspark.sql import functions as F
 
     anch = _anchors(spark, sf_dir)
-    per_key = anch.groupBy("lo", "hi").agg(F.count(F.lit(1)).alias("c"))
+    per_key = anch.groupBy("akey").agg(F.count(F.lit(1)).alias("c"))
     if cap is not None:
         per_key = per_key.filter(F.col("c") <= cap)
     return per_key.agg(
@@ -160,7 +138,12 @@ def _time_query(spark, name: str, sf_dir: str, runs: int) -> dict:
     return _time_df(spark, lambda: QUERIES[name](spark, sf_dir), runs)
 
 
-def _time_fuzzy_capped(spark, sf_dir: str, cap: int, runs: int) -> dict:
+def _time_fuzzy_variant(spark, sf_dir: str, runs: int, **kw) -> dict:
+    """Time dd._anchor_jaccard_pairs under an explicit guard config:
+    max_anchor_postings=cap (legacy exactness-trading cap),
+    hot_anchor_split=None (raw unsalted join), or the default salted
+    split — the A/B/C the round-10 exactness-preserving treatment is
+    judged on."""
     import cdmx_airquality_etl_spark.operators.dedup as dd
     from cdmx_airquality_etl_spark.sources.parquet import load_table
 
@@ -168,7 +151,7 @@ def _time_fuzzy_capped(spark, sf_dir: str, cap: int, runs: int) -> dict:
         return dd._anchor_jaccard_pairs(
             dd._doc_shingles(load_table(spark, sf_dir, "documents")),
             dd._JACCARD_THRESHOLD,
-            max_anchor_postings=cap,
+            **kw,
         )
 
     return _time_df(spark, mk, runs)
@@ -212,7 +195,13 @@ def main() -> int:
             "anchor_candidates_capped": cf_cap["cands"],
             "band_candidates": cm["cands"],
             "band_hottest_key": cm["hottest_key"],
-            "q_dedup_fuzzy_capped": _time_fuzzy_capped(spark, d, cap, args.runs),
+            "q_dedup_fuzzy_capped": _time_fuzzy_variant(
+                spark, d, args.runs, max_anchor_postings=cap
+            ),
+            "q_dedup_fuzzy_unsalted": _time_fuzzy_variant(
+                spark, d, args.runs, hot_anchor_split=None
+            ),
+            # the registered query = the default SALTED split
             "q_dedup_fuzzy": _time_query(spark, "q_dedup_fuzzy", d, args.runs),
             "q_dedup_minhash": _time_query(
                 spark, "q_dedup_minhash", d, args.runs
