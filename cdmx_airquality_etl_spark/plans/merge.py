@@ -387,7 +387,13 @@ def _merge_into_parquet_locked(
 # ---------------------------------------------------------------------------
 # Formats whose Spark integration implements the SQL MERGE INTO command
 # with ACID commit semantics.
-ACID_PROVIDERS = {"delta", "iceberg", "hudi"}
+# Providers whose tables accept MERGE INTO (SupportsRowLevelOperations):
+# the three production ACID formats plus 'graftmem', the in-repo
+# MERGE-capable catalog double (acid_double/) that lets the MERGE INTO
+# branch execute for real on hosts where none of the formats can be
+# installed — same dispatch, same generated SQL, snapshot-atomic
+# in-memory commit instead of a file-format commit.
+ACID_PROVIDERS = {"delta", "iceberg", "hudi", "graftmem"}
 
 
 def _q(ident: str) -> str:

@@ -1,4 +1,6 @@
 import os
+import shutil
+import subprocess
 import sys
 
 import pytest
@@ -8,6 +10,32 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from cdmx_airquality_etl_spark.session import get_spark
 
 SF_DIR = "/root/testdata/sf0.001"
+
+# Build the MERGE-capable catalog double BEFORE any SparkSession exists:
+# extraClassPath is a JVM-launch setting, so the jar must be on disk when
+# the session fixture first runs (session.py picks it up when present).
+# Skipped silently when javac is unavailable — the graftmem merge test
+# then skips on the missing catalog, mirroring the delta gating.
+_ACID_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "acid_double"
+)
+_ACID_JAR = os.path.join(_ACID_DIR, "graft-acid-double.jar")
+_ACID_SRC = os.path.join(
+    _ACID_DIR, "src", "sparkgraft", "acid", "MemoryRowLevelCatalog.java"
+)
+if shutil.which("javac") and (
+    not os.path.exists(_ACID_JAR)
+    or os.path.getmtime(_ACID_JAR) < os.path.getmtime(_ACID_SRC)
+):
+    try:
+        subprocess.run(
+            [os.path.join(_ACID_DIR, "build.sh")],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except Exception:  # noqa: BLE001 — the dependent test will skip loudly
+        pass
 
 
 @pytest.fixture(scope="session")
