@@ -177,7 +177,9 @@ def anchor_params(threshold: float) -> tuple[int, int]:
     return k, cutoff
 
 
-def _reach_table(threshold: float) -> tuple[list[int], int]:
+def _reach_table(
+    threshold: float, survivors: int = 1
+) -> tuple[list[int], int]:
     """Size-adaptive anchor reach (the round-10 diet of q_lsh_planner's
     k = 19 constant): ``(ks, s_stable)`` where ``ks[S_lb - 2]`` is the
     anchor distance a doc may use once its intersection lower bound is
@@ -205,45 +207,82 @@ def _reach_table(threshold: float) -> tuple[list[int], int]:
     Rounding discipline: every float crossing is biased CONSERVATIVE
     (E(S) floors with +1e-9 so an exact-integer bound never rounds down;
     the k division is exact integer ceil-div), so FP error can only ever
-    ADD anchors, never lose coverage."""
+    ADD anchors, never lose coverage.
+
+    ``survivors`` generalizes the guarantee (round-10 dual-anchor rule,
+    see :func:`_anchor_jaccard_pairs`): the returned reach leaves at
+    least that many COMMON surviving anchors per qualifying pair —
+    condition lost_A + lost_B ≤ S − 1 − survivors, i.e.
+    g(S) = ⌈(E(S)+1)/(S − survivors)⌉, defined for S ≥ survivors + 1.
+    The table is indexed from S_lb = survivors + 1; callers clamp their
+    lookup index into [survivors + 1, s_stable]."""
     a = (1.0 - threshold) / threshold
+    smin = survivors + 1
 
     def g(s: int) -> int:
         e = int(math.floor(s * a + 1e-9))
-        return -(-(e + 1) // (s - 1))
+        return -(-(e + 1) // (s - survivors))
 
     horizon = 4096
-    ks = [g(s) for s in range(2, horizon + 1)]
+    ks = [g(s) for s in range(smin, horizon + 1)]
     for i in range(len(ks) - 2, -1, -1):  # suffix max: k valid ∀ S ≥ S_lb
         ks[i] = max(ks[i], ks[i + 1])
     k_floor = ks[-1]
     # the asymptote really is reached inside the horizon
     assert g(10**7) == k_floor, "reach horizon too small for this threshold"
-    s_stable = 2 + ks.index(k_floor)
-    return ks[: s_stable - 1], s_stable
+    s_stable = smin + ks.index(k_floor)
+    return ks[: s_stable - smin + 1], s_stable
 
 
-def _anchor_keys(shingled: DataFrame, threshold: float) -> DataFrame:
-    """(doc_id, akey) — the hashed, size-adaptive-reach adjacency anchor
-    keys of :func:`_anchor_jaccard_pairs` (coverage proof there; reach
-    algebra in :func:`_reach_table`). Factored out so the band-skew probe
-    measures the REAL operator anchors, not a reconstruction."""
+def _anchor_keys(
+    shingled: DataFrame, threshold: float, min_shared: int = 1
+) -> DataFrame:
+    """(doc_id, akey, __small) — the hashed, size-adaptive-reach adjacency
+    anchor keys of :func:`_anchor_jaccard_pairs` (coverage proof there;
+    reach algebra in :func:`_reach_table`). Factored out so the band-skew
+    probe measures the REAL operator anchors, not a reconstruction.
+
+    Anchor keys are HASHED to 64-bit (xxhash64(lo, hi)): the self-join
+    sorts 8-byte longs instead of ~40-byte shingle-string pairs, and a
+    hash collision can only ADD a candidate — which the exact verify
+    stage then scores and drops — never lose one, so the output is
+    untouched. Reach is per-doc via _reach_table: S ≥ t·n/(1+t) for any
+    pair this doc is in, so bigger docs use the smaller k their S_lb
+    licenses (the ceil is biased DOWN by 1e-9 — an S_lb overestimate
+    would shrink k unsoundly, an underestimate only adds anchors).
+
+    With ``min_shared = 2`` (the dual-anchor regime,
+    :func:`_anchor_jaccard_pairs`) the reach also satisfies the
+    ≥2-surviving-anchors table (survivors = 2, clamped at S_lb = 4
+    because S ∈ {2, 3} pairs are instead covered by the ``__small``
+    OR-branch: J ≥ t with S ≤ 3 forces |A|+|B| ≤ 3(1+t)/t, so both docs
+    sit under the small cutoff the flag records)."""
     _, cutoff = anchor_params(threshold)
     ks, s_stable = _reach_table(threshold)
-    # Anchor keys are HASHED to 64-bit (xxhash64(lo, hi)): the self-join
-    # sorts 8-byte longs instead of ~40-byte shingle-string pairs, and a
-    # hash collision can only ADD a candidate — which the exact verify
-    # stage then scores and drops — never lose one, so the output is
-    # untouched. Reach is per-doc via _reach_table: S ≥ t·n/(1+t) for any
-    # pair this doc is in, so bigger docs use the smaller k their S_lb
-    # licenses (the ceil is biased DOWN by 1e-9 — an S_lb overestimate
-    # would shrink k unsoundly, an underestimate only adds anchors).
     tratio = threshold / (1.0 + threshold)
+    slb = (
+        f"least(greatest(2, cast(ceil(size(__shs) * {tratio!r} - 1e-9) "
+        f"as int)), {{cap}})"
+    )
     k_expr = (
         f"element_at(array({', '.join(map(str, ks))}), "
-        f"least(greatest(2, cast(ceil(size(__shs) * {tratio!r} - 1e-9) "
-        f"as int)), {s_stable}) - 1)"
+        + slb.format(cap=s_stable)
+        + " - 1)"
     )
+    n_small = int(3.0 * (1.0 + threshold) / threshold + 1e-9)
+    if min_shared >= 2:
+        ks2, s_stable2 = _reach_table(threshold, survivors=2)
+        # dual guarantee: k = max(k₁(S_lb), k₂(max(S_lb, 4))) — entries of
+        # the survivors=2 table are indexed from S_lb = 3
+        k2_expr = (
+            f"element_at(array({', '.join(map(str, ks2))}), "
+            f"least(greatest("
+            + slb.format(cap=s_stable2)
+            + ", 4), "
+            + str(s_stable2)
+            + ") - 2)"
+        )
+        k_expr = f"greatest({k_expr}, {k2_expr})"
     anchor_expr = f"""
       concat(
         flatten(transform(sequence(1, size(__shs)), i ->
@@ -254,28 +293,45 @@ def _anchor_keys(shingled: DataFrame, threshold: float) -> DataFrame:
              ELSE cast(array() AS array<bigint>) END
       )
     """
-    anch = (
+    return (
         shingled.filter(F.col("n_sh") >= 1)
         .withColumn("__shs", F.array_sort("sh"))
         .withColumn("__k", F.expr(k_expr))
-        .select("doc_id", F.explode(F.expr(anchor_expr)).alias("akey"))
+        .withColumn(
+            "__small",
+            (F.size("__shs") <= n_small) if min_shared >= 2 else F.lit(False),
+        )
+        .select(
+            "doc_id", F.explode(F.expr(anchor_expr)).alias("akey"), "__small"
+        )
     )
-    return anch
 
 
 def _salted_anchor_candidates(
     anch: DataFrame,
     max_anchor_postings: int | None = None,
     hot_anchor_split: int | None = 256,
+    min_shared: int = 1,
 ) -> DataFrame:
     """Distinct (doc_id_a < doc_id_b) candidate pairs from a
-    (doc_id, akey) anchor frame — the shared candidate stage of the
-    anchor family (_anchor_jaccard_pairs and q_dedup_weighted's
+    (doc_id, akey, __small) anchor frame — the shared candidate stage of
+    the anchor family (_anchor_jaccard_pairs and q_dedup_weighted's
     mass-distance anchors). Carries the df window (df = 1 drop + opt-in
     exactness-trading cap) and the round-10 exactness-preserving salted
     split for hot anchor keys; the coverage argument for the salt is on
     the salted branch below, the guard semantics on
-    :func:`_anchor_jaccard_pairs`."""
+    :func:`_anchor_jaccard_pairs`.
+
+    ``min_shared = 2`` is the DUAL-ANCHOR rule (the sf10 decade's fix):
+    a pair qualifies as a candidate only when it shares ≥ 2 distinct
+    anchor keys OR both docs carry the __small flag. Implemented as a
+    count aggregate over the (already salted) join output instead of the
+    bare distinct — the aggregate is map-side combinable, so the join's
+    multiplicity collapses before the shuffle the same way the distinct
+    collapsed it. Exactness leans on _anchor_keys' survivors=2 reach; one
+    documented caveat: two DISTINCT surviving anchors whose 64-bit hashes
+    collide would merge in the count (probability < 2⁻⁴⁰ per corpus —
+    the per-round oracle differential would surface it)."""
     if max_anchor_postings is not None or hot_anchor_split is not None:
         # One count window keyed on the anchor tags every posting with its
         # key's document frequency. Three uses, all exactness-preserving:
@@ -334,17 +390,19 @@ def _salted_anchor_candidates(
         )
         side_a = salted.select(
             F.col("doc_id").alias("doc_id_a"),
+            F.col("__small").alias("__sm_a"),
             "akey",
             F.col("__b").alias("ti"),
             F.explode(F.expr("sequence(__b, __s - 1)")).alias("tj"),
         )
         side_b = salted.select(
             F.col("doc_id").alias("doc_id_b"),
+            F.col("__small").alias("__sm_b"),
             "akey",
             F.explode(F.expr("sequence(0, __b)")).alias("ti"),
             F.col("__b").alias("tj"),
         )
-        cand = (
+        raw = (
             side_a.join(side_b.hint("merge"), ["akey", "ti", "tj"])
             .filter(
                 (F.col("ti") < F.col("tj"))
@@ -353,23 +411,44 @@ def _salted_anchor_candidates(
             .select(
                 F.least("doc_id_a", "doc_id_b").alias("doc_id_a"),
                 F.greatest("doc_id_a", "doc_id_b").alias("doc_id_b"),
+                (F.col("__sm_a") & F.col("__sm_b")).alias("__both_small"),
             )
-            .distinct()
         )
     else:
-        cand = (
-            anch.select(F.col("doc_id").alias("doc_id_a"), "akey")
+        raw = (
+            anch.select(
+                F.col("doc_id").alias("doc_id_a"),
+                F.col("__small").alias("__sm_a"),
+                "akey",
+            )
             .join(
-                anch.select(F.col("doc_id").alias("doc_id_b"), "akey").hint(
-                    "merge"
-                ),
+                anch.select(
+                    F.col("doc_id").alias("doc_id_b"),
+                    F.col("__small").alias("__sm_b"),
+                    "akey",
+                ).hint("merge"),
                 ["akey"],
             )
             .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-            .select("doc_id_a", "doc_id_b")
-            .distinct()
+            .select(
+                "doc_id_a",
+                "doc_id_b",
+                (F.col("__sm_a") & F.col("__sm_b")).alias("__both_small"),
+            )
         )
-    return cand
+    if min_shared <= 1:
+        return raw.select("doc_id_a", "doc_id_b").distinct()
+    return (
+        raw.groupBy("doc_id_a", "doc_id_b")
+        .agg(
+            F.count(F.lit(1)).alias("__nk"),
+            F.max("__both_small").alias("__both_small"),
+        )
+        .filter(
+            (F.col("__nk") >= min_shared) | F.col("__both_small")
+        )
+        .select("doc_id_a", "doc_id_b")
+    )
 
 
 def _anchor_jaccard_pairs(
@@ -377,6 +456,7 @@ def _anchor_jaccard_pairs(
     threshold: float,
     max_anchor_postings: int | None = None,
     hot_anchor_split: int | None = 256,
+    min_shared: int | str = "auto",
 ) -> DataFrame:
     """Exact Jaccard-≥-t pairs via ADJACENCY ANCHORS — the round-9
     restructure of the fuzzy-dedup core after the sf3 scaling decade showed
@@ -417,6 +497,28 @@ def _anchor_jaccard_pairs(
     and the (s, s) singleton anchors cover them. S = 0 pairs don't
     qualify. ∎
 
+    DUAL-ANCHOR RULE (``min_shared``, default "auto" = 2 when t < 0.25).
+    The sf10 decade exposed the single-anchor candidate set saturating at
+    low thresholds: 500k docs over the fixed generator vocabulary gave
+    267M anchors whose keys saturate in turn (72% share their key) and
+    282M DISTINCT candidates for ~50k true pairs — 95% of candidates
+    share exactly ONE key (mean multiplicity 1.05), i.e. one recurring
+    phrase pair, while a true t = 0.1 pair of median-size docs needs
+    S ≥ 10 shared shingles. The fix demands TWO shared anchors: reach
+    comes from the survivors = 2 table (condition lost_A + lost_B ≤ S−3,
+    leaving ≥ 2 common surviving anchors — same gap argument as above),
+    clamped at S_lb = 4, so every pair with S ≥ 4 shares ≥ 2 keys; pairs
+    with S ≤ 3 force |A|+|B| ≤ 3(1+t)/t, i.e. BOTH docs under the small
+    cutoff, and keep the ≥ 1-key rule via the __small flag OR-branch
+    (S = 2 can never guarantee two survivors: it has only one
+    consecutive-intersection pair). Candidates drop from the count
+    aggregate replacing the bare distinct. Cost of the bigger reach at
+    toy scale: q_lsh_planner sf0.1 4.9 → 6.0 s warm; benefit at sf10:
+    the candidate core collapses from the 282M that OOM'd the verify
+    stage to a volume the exact verify survives. Single-anchor stays the
+    rule at t ≥ 0.25, where the required intersection density keeps one
+    anchor selective.
+
     Scale shape (100 TB): anchor rows are ≤ (k + 1)·|shingles| — LINEAR —
     and an anchor's postings df counts docs where the same two shingles are
     ≤ k apart, which stays O(1) even when every single shingle is corpus-hot
@@ -450,9 +552,16 @@ def _anchor_jaccard_pairs(
     that pays it. Pass None for the raw unsalted join (no window, no df
     filter) — the probe's A/B baseline.
     """
-    anch = _anchor_keys(shingled, threshold)
+    if min_shared == "auto":
+        # the dual-anchor regime engages at low thresholds, where the
+        # single-anchor candidate set saturates (the sf10 finding: 282M
+        # candidates for ~50k true pairs at t = 0.1, 95% sharing exactly
+        # one key); at t ≥ 0.25 the required intersection is dense enough
+        # that single anchors stay selective and the smaller reach wins
+        min_shared = 2 if threshold < 0.25 else 1
+    anch = _anchor_keys(shingled, threshold, min_shared=min_shared)
     cand = _salted_anchor_candidates(
-        anch, max_anchor_postings, hot_anchor_split
+        anch, max_anchor_postings, hot_anchor_split, min_shared=min_shared
     )
     arr_a = shingled.select(
         F.col("doc_id").alias("doc_id_a"),
@@ -1360,7 +1469,9 @@ def q_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
     """
     anch = per_doc.select(
-        "doc_id", F.explode(F.expr(anchor_expr)).alias("akey")
+        "doc_id",
+        F.explode(F.expr(anchor_expr)).alias("akey"),
+        F.lit(False).alias("__small"),
     )
     cand = _salted_anchor_candidates(anch)
     wmaps = per_doc.select(

@@ -75,6 +75,17 @@ def test_reach_table_algebra():
                 assert k >= -(-(e + 1) // (s - 1)), (t, s_lb, s)
     assert _reach_table(0.1) == ([19, 14, 13, 12, 11, 11, 11, 11, 11, 10], 11)
     assert _reach_table(0.5) == ([3, 2], 3)
+    # survivors=2 (dual-anchor rule): condition lost ≤ S−3, indexed from
+    # S_lb = 3 — same exact-arithmetic check against the requirement
+    for t in (0.1, 0.25, 0.5):
+        ks2, st2 = _reach_table(t, survivors=2)
+        assert len(ks2) == st2 - 2
+        for s_lb in range(3, st2 + 40):
+            k = ks2[min(s_lb, st2) - 3]
+            for s in range(s_lb, s_lb + 200):
+                e = int(math.floor(s * (1.0 - t) / t + 1e-9))
+                assert k >= -(-(e + 1) // (s - 2)), (t, s_lb, s)
+    assert _reach_table(0.1, survivors=2)[0][:4] == [28, 19, 16, 14]
 
 
 @settings(
