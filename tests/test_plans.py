@@ -63,8 +63,10 @@ def test_group_agg_partial_final(spark, sf_dir):
 
 
 def test_fuzzy_dedup_anchor_join_shape(spark, sf_dir):
-    # round-9 adjacency-anchor formulation: anchors exploded map-side
-    # (Generate), candidates from an EQUI self-join on the anchor key —
+    # round-10 adjacency-anchor formulation: anchors exploded map-side
+    # (Generate) as HASHED 8-byte keys (round 10 — the (lo, hi) string
+    # pair became xxhash64(lo, hi), so the join key is `akey`), candidates
+    # from an EQUI self-join on (akey, bucket, bucket) — the salted split —
     # never a cartesian/NL join — then a distinct on bare ids BEFORE the
     # verify joins (the band-skew multiplicity guard), then exact
     # verification. All joins are key-equi; a cartesian anywhere means the
@@ -73,7 +75,7 @@ def test_fuzzy_dedup_anchor_join_shape(spark, sf_dir):
     assert "Generate explode" in plan  # map-side anchor expansion
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "lo" in plan and "hi" in plan  # anchor-key equi join columns
+    assert "akey" in plan and "xxhash64" in plan  # hashed anchor equi key
     # the pre-verify distinct exists: an aggregate keyed on exactly the
     # bare candidate ids with no aggregate functions
     import re as _re
