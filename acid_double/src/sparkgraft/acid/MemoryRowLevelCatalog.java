@@ -71,6 +71,7 @@ import org.apache.spark.sql.connector.write.PhysicalWriteInfo;
 import org.apache.spark.sql.connector.write.RowLevelOperation;
 import org.apache.spark.sql.connector.write.RowLevelOperationBuilder;
 import org.apache.spark.sql.connector.write.RowLevelOperationInfo;
+import org.apache.spark.sql.connector.write.SupportsTruncate;
 import org.apache.spark.sql.connector.write.Write;
 import org.apache.spark.sql.connector.write.WriteBuilder;
 import org.apache.spark.sql.connector.write.WriterCommitMessage;
@@ -425,13 +426,24 @@ public class MemoryRowLevelCatalog implements TableCatalog, SupportsNamespaces {
 
   // ======================= write path =======================
 
-  static class MemWriteBuilder implements WriteBuilder {
+  // implements SupportsTruncate so INSERT OVERWRITE / TRUNCATE TABLE,
+  // which the declared TRUNCATE capability lets past analysis, actually
+  // plan: truncate() maps to the replace=true commit (round-11 ADVICE
+  // closure — previously the capability was declared but the builder
+  // offered no truncation path, failing at write planning).
+  static class MemWriteBuilder implements WriteBuilder, SupportsTruncate {
     final MemTable table;
-    final boolean replace;
+    boolean replace;
 
     MemWriteBuilder(MemTable table, boolean replace) {
       this.table = table;
       this.replace = replace;
+    }
+
+    @Override
+    public WriteBuilder truncate() {
+      this.replace = true;
+      return this;
     }
 
     @Override

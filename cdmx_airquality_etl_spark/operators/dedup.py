@@ -3,18 +3,25 @@
 Four escalating strategies, all distributed set-logic — no driver loops:
 
 - q_dedup_exact     — hash-groupBy on a normalized-content fingerprint.
-- q_dedup_fuzzy     — word-3-shingle Jaccard via per-shingle postings lists
-                      (inverted index): group postings by shingle, cap list
-                      size at _MAX_POSTINGS (skew/stop-phrase guard), expand
-                      candidate pairs map-side with array HOFs, count shared
-                      shingles per pair. Oracle-checkable; no join operator,
-                      so skew cannot produce a quadratic join — per-group
-                      state and fan-out are bounded by the cap. At 100 TB
-                      you additionally hash shingles to int64 before the
-                      shuffle.
-- q_dedup_containment — overlap coefficient |A∩B|/min(|A|,|B|) over the same
-                      capped postings core: catches near-SUBSET duplication
-                      (doc embedded in a longer doc) that Jaccard misses.
+- q_dedup_fuzzy     — word-3-shingle Jaccard via ADJACENCY ANCHORS
+                      (_anchor_jaccard_pairs): each doc emits hashed
+                      anchor keys for nearby shingle pairs in its own
+                      sorted list, candidates come from an 8-byte-key
+                      self-join, and every candidate is verified exactly
+                      with array_intersect. EXACT (coverage proof on the
+                      function), and the sf0.1→10 decades measure it
+                      subquadratic where the old per-shingle inverted
+                      index went superlinear on a saturating vocabulary.
+- q_dedup_containment — overlap coefficient |A∩B|/min(|A|,|B|) ≥ 0.9 via
+                      the exact PREFIX FILTER (_prefix_containment_pairs,
+                      round 11): rarest-first ordering, contained-side
+                      prefix joined against a full df ≥ 2 index, exact
+                      verify. Catches near-SUBSET duplication (doc
+                      embedded in a longer doc) that Jaccard misses.
+                      (The capped-postings core _shared_shingle_pairs /
+                      _jaccard_pairs remains as a library baseline and
+                      for the cap-semantics tests; since round 11 NO
+                      registered query rides it.)
 - q_dedup_minhash   — MinHash signatures + LSH banding: candidate pairs come
                       from band-bucket equi-joins (|bands| shuffles of one
                       small row per doc), then exact Jaccard verification on
@@ -592,6 +599,255 @@ def _anchor_jaccard_pairs(
     )
 
 
+def _prefix_containment_pairs(
+    shingled: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact overlap-coefficient-≥-t pairs via PAIR-KEY PREFIX FILTERING
+    with size classes — the round-11 replacement for containment's capped
+    postings core (the last registered query on the plan the sf3 decade
+    proved superlinear: exponent 1.38, candidates ∝ n²/V on a saturating
+    vocabulary, and oracle-exactness that held only while the cap never
+    fired).
+
+    Why not the simpler forms. The adjacency-anchor scheme q_dedup_fuzzy
+    uses does NOT transfer: J ≥ t caps BOTH docs' unshared shingles,
+    while containment C = |A∩B|/min(|A|,|B|) ≥ t bounds only the SMALLER
+    doc's extras — the larger doc's extras are unbounded (that asymmetry
+    is the point of the metric), so a shared pair adjacent in A's list
+    can be arbitrarily separated in B's. And the classic single-shingle
+    prefix filter (contained-side prefix ⋈ full index) was built and
+    MEASURED first this round: it still pays Σ prefix_df·df per shingle,
+    which on the saturating scaledata corpus is the same n²/V term —
+    ~2×10⁸ candidate rows at sf3, a spill blow-up in practice. The fix is
+    the anchor family's actual lesson: key on PAIRS of shingles, whose
+    df under saturation is ∝ n/V² — selective exactly where single
+    shingles saturate.
+
+    Scheme (prefix filtering in the AllPairs/PPJoin lineage, with the
+    size-class replication that standard overlap joins use to bound the
+    un-bounded side):
+
+    1. Global rarest-first order: every shingle gets (df, xxhash64) as
+       its sort key (one count window on the 8-byte hash). df = 1
+       shingles drop for BOTH roles first — they cannot be shared, and
+       each drop provably came out of the owner's unshared budget, so
+       every prefix below shrinks by exactly the drops (the bounds use
+       m = |survivors|, not n).
+    2. Let S = A∩B for a qualifying pair with A the (n, doc_id)-
+       canonical smaller doc, and sort S by the global order:
+       s_1 < s_2 < …. |S| ≥ ⌈t·n_A⌉ =: need_A. POSITION LEMMA: in any
+       doc D ⊇ {s_1..s_j}, the elements of D's sorted list before s_j
+       are unshared-with-the-other-doc (≤ u_D of them) or s_1..s_{j-1},
+       so pos_D(s_j) ≤ u_D + j — and this survives adversarial ordering
+       ties (a tied unshared element still counts in u_D).
+    3. A-ROLE emission: u_A ≤ m_A − need_A, so (s_1, s_2) lies within
+       A's first P_A = m_A − need_A + 2 elements. A emits all pair keys
+       xxhash64(h_x, h_y) over its P_A-prefix, tagged with its size
+       class g_A = ⌊log2 n_A⌋ (exact via bin-length, not float log).
+       When need_A < 2 (possible only for tiny docs, n_A ≤ ⌊1/t⌋), S
+       may be a single shingle: A instead emits SINGLETON keys
+       xxhash64(h, h) over its first m_A − need_A + 1 elements. The
+       key FAMILY (pair vs singleton) is decided by the CLASS bound
+       bound_g = ⌈t·2^g⌉ — not by need_A — so both roles of one class
+       always speak the same family.
+    4. B-ROLE emission: B only knows n_A ≥ 2^{g_A}, so
+       u_B ≤ m_B − bound_{g_A}. For pair-family classes it emits every
+       pair (x at pos i, y at pos j > i) with j ≤ m_B − bound_g + 2 for
+       SOME present class g ≤ g_B — and because these prefixes are
+       nested (bound_g grows with g), each pair is emitted ONCE, tagged
+       gmax = the largest such g. Singleton-family classes likewise:
+       (x, x) for pos(x) ≤ m_B − bound_g + 1, tagged gmax over the
+       singleton classes. "Present" classes come from one bounded
+       driver-side distinct (≤ 64 values — class of a doc size).
+    5. Candidates: join A-role ⋈ B-role on the 8-byte key with
+       g_A ≤ gmax and struct(n_A, id_A) < struct(n_B, id_B); distinct;
+       then every candidate is verified EXACTLY (array_intersect on the
+       full arrays). Steps 1-4 only need to be a SUPERSET of the
+       qualifying pairs — hash collisions, ordering ties, and the
+       conservatively-biased ceils all err toward extra candidates,
+       never lost ones.
+
+    COVERAGE PROOF. Qualifying (A, B), A canonical-smaller, g = g_A,
+    bound_g ≤ ⌈t·n_A⌉ ≤ |S| (n_A ≥ 2^g). Pair-family class
+    (bound_g ≥ 2): |S| ≥ need_A ≥ bound_g ≥ 2, so s_1, s_2 exist; by
+    the position lemma pos_A(s_2) ≤ u_A + 2 ≤ m_A − need_A + 2 = P_A
+    (A emits the key) and pos_B(s_2) ≤ u_B + 2 ≤ m_B − bound_g + 2, so
+    B emitted the same key with gmax ≥ g (B's list contains s_1 < s_2
+    in the same global order — same hkeys, same xxhash64 key).
+    Singleton-family class (bound_g < 2): |S| ≥ 1 = need_A ≥ ...,
+    pos_A(s_1) ≤ m_A − need_A + 1 and pos_B(s_1) ≤ m_B − bound_g + 1 —
+    both emit xxhash64(h_1, h_1). The join's g ≤ gmax and canonical
+    filters hold by construction. ∎
+
+    Scale shape (100 TB): A-role rows ≈ C((1−t)m+2, 2) per doc — ~21 at
+    t = 0.9 for the median doc; B-role rows ≈ C(m − bound_{g_min} + 2, 2)
+    once per doc (nested-prefix dedup), linear in corpus size with a
+    per-doc constant set by the SMALLEST present class — the honest cost
+    of the metric's asymmetry. Both are map-side emissions feeding ONE
+    sort-merge join on 8-byte keys (merge hints: the logical size
+    estimate under the exploded arrays undershoots broadcast/shuffled-
+    hash safety, the anchor family's measured sf3 lesson). Under
+    vocabulary saturation pair-key df is ∝ n/V² — the join output stays
+    ~(true pairs + noise) where the single-shingle join's grew ∝ n²/V.
+    Residual hot singleton keys (tiny docs × stop shingle) are split by
+    AQE skew-join, which works on this two-sided join. Measured:
+    SCALING.json q_dedup_containment, sf0.1→3.
+    """
+    import math
+
+    t = threshold
+    exploded = shingled.select(
+        "doc_id", "n_sh", F.explode("sh").alias("shingle")
+    ).withColumn("hkey", F.xxhash64("shingle"))
+    # rarest-first needs each shingle's document frequency: one count
+    # window keyed on the hash (docs' shingle arrays are distinct, so
+    # rows-per-key = docs-per-shingle). df = 1 rows drop for BOTH roles
+    # here — no cross-doc match is possible for them.
+    entries = exploded.withColumn(
+        "sdf", F.count(F.lit(1)).over(Window.partitionBy("hkey"))
+    ).filter(F.col("sdf") >= 2)
+    # per-doc globally-ordered survivor list; per-group state is bounded
+    # by the doc's own shingle count — the array shingled already holds
+    docs = (
+        entries.groupBy("doc_id", "n_sh")
+        .agg(F.array_sort(F.collect_list(F.struct("sdf", "hkey"))).alias("lst"))
+        .withColumn("m", F.size("lst"))
+        # exact integer size class: ⌊log2 n⌋ via binary-string length
+        # (float log2 could misclass near powers of two; a class
+        # overestimate would be UNSOUND — bound_g > t·n_A)
+        .withColumn("gcls", (F.length(F.expr("bin(n_sh)")) - 1).cast("int"))
+        # conservative ceil: 1e-9 bias only ever rounds a float-noise
+        # near-integer DOWN, which grows every prefix — safe
+        .withColumn(
+            "need", F.ceil(F.col("n_sh") * t - 1e-9).cast("int")
+        )
+    )
+    # present size classes: one bounded driver-side distinct (≤ 64 rows —
+    # classes of a long doc size), the repo's bounded-collect discipline
+    present = sorted(
+        r["gcls"] for r in docs.select("gcls").distinct().collect()
+    )
+    bound = {g: max(1, math.ceil(t * (1 << g) - 1e-9)) for g in present}
+    pair_classes = [g for g in present if bound[g] >= 2]
+    single_classes = [g for g in present if bound[g] < 2]
+    if not present:  # no doc has a df ≥ 2 shingle — no pair can exist
+        return shingled.select(
+            F.col("doc_id").alias("doc_id_a"),
+            F.col("doc_id").alias("doc_id_b"),
+            F.lit(0.0).alias("containment"),
+        ).limit(0)
+
+    def pairs_sql(plen: str, tag: str) -> str:
+        """All (x at i, y at j>i) with j ≤ plen, as (key, tag) structs —
+        tag is an expression over the 1-based position j of y."""
+        return f"""filter(flatten(transform(
+            slice(lst, 1, greatest(least({plen}, m) - 1, 0)), (x, i) ->
+              transform(slice(lst, i + 2, greatest(least({plen}, m) - i - 1, 0)),
+                        (y, jj) ->
+                struct(xxhash64(x.hkey, y.hkey) AS key,
+                       CAST(({tag.replace('POS', '(i + 2 + jj)')}) AS INT)
+                         AS g)))), s -> s.g >= 0)"""
+
+    def singles_sql(plen: str, tag: str) -> str:
+        return f"""filter(transform(
+            slice(lst, 1, greatest(least({plen}, m), 0)), (x, i) ->
+              struct(xxhash64(x.hkey, x.hkey) AS key,
+                     CAST(({tag.replace('POS', '(i + 1)')}) AS INT)
+                       AS g)), s -> s.g >= 0)"""
+
+    def gmax_case(classes: list[int], slack: int) -> str:
+        """Largest present class g ≤ gcls whose bound admits position
+        POS: bound_g ≤ m − POS + slack; −1 when none (filtered out)."""
+        arms = " ".join(
+            f"WHEN gcls >= {g} AND m - POS + {slack} >= {bound[g]} THEN {g}"
+            for g in sorted(classes, reverse=True)
+        )
+        return f"CASE {arms} ELSE -1 END"
+
+    # A-role: key family decided by the OWN-class bound, prefix length by
+    # the own (tighter) need; tag = own class, constant per row
+    a_family_pair = F.col("gcls").isin(pair_classes) if pair_classes else F.lit(False)
+    a_keys = docs.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("n_sh").alias("n_a"),
+        F.explode(
+            F.when(
+                a_family_pair,
+                F.expr(pairs_sql("m - need + 2", "gcls")),
+            ).otherwise(F.expr(singles_sql("m - need + 1", "gcls")))
+        ).alias("ak"),
+    ).select(
+        "doc_id_a", "n_a", F.col("ak.key").alias("key"), F.col("ak.g").alias("g")
+    )
+    # B-role: nested class prefixes emit each key ONCE at its largest
+    # admissible class (gmax); pair and singleton families concatenated
+    b_parts = []
+    if pair_classes:
+        b_parts.append(
+            pairs_sql(
+                f"m - {min(bound[g] for g in pair_classes)} + 2",
+                gmax_case(pair_classes, 2),
+            )
+        )
+    if single_classes:
+        b_parts.append(
+            singles_sql(
+                f"m - {min(bound[g] for g in single_classes)} + 1",
+                gmax_case(single_classes, 1),
+            )
+        )
+    b_expr = (
+        "concat(" + ", ".join(b_parts) + ")" if len(b_parts) > 1 else b_parts[0]
+    )
+    b_keys = docs.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("n_sh").alias("n_b"),
+        F.explode(F.expr(b_expr)).alias("bk"),
+    ).select(
+        "doc_id_b",
+        "n_b",
+        F.col("bk.key").alias("key"),
+        F.col("bk.g").alias("gmax"),
+    )
+    cand = (
+        a_keys.join(b_keys.hint("merge"), "key")
+        .filter(
+            (F.col("g") <= F.col("gmax"))
+            & (
+                F.struct(F.col("n_a"), F.col("doc_id_a"))
+                < F.struct(F.col("n_b"), F.col("doc_id_b"))
+            )
+        )
+        .select(
+            F.least("doc_id_a", "doc_id_b").alias("doc_id_a"),
+            F.greatest("doc_id_a", "doc_id_b").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    arr_a = shingled.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("sh").alias("__sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    arr_b = shingled.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("sh").alias("__sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    # merge hints on the verify joins: wide array payloads, same
+    # no-broadcast/no-shuffled-hash spill discipline as the anchor verify
+    return (
+        cand.join(arr_a.hint("merge"), "doc_id_a")
+        .join(arr_b.hint("merge"), "doc_id_b")
+        .withColumn("shared", F.size(F.array_intersect("__sh_a", "__sh_b")))
+        .withColumn(
+            "containment", F.col("shared") / F.least(F.col("n_a"), F.col("n_b"))
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_id_a", "doc_id_b", "containment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # q_dedup_exact
 # ---------------------------------------------------------------------------
@@ -750,20 +1006,18 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-SUBSET duplicate pairs via the overlap coefficient
     |A∩B| / min(|A|,|B|) ≥ 0.9: flags a short document embedded in a
     longer one (quoted article, boilerplate-wrapped rehost), which Jaccard
-    structurally misses — a 200-shingle doc fully contained in a 2000-shingle
-    doc has Jaccard 0.1 but containment 1.0. Same capped inverted-index plan
-    as q_dedup_fuzzy (see _shared_shingle_pairs); only the final scalar
-    metric differs, and the double division of exact ints hashes identically
-    in both engines."""
+    structurally misses — a 200-shingle doc fully contained in a
+    2000-shingle doc has Jaccard 0.1 but containment 1.0. Round 11 moved
+    the plan off the capped inverted index (whose exactness held only
+    while the postings cap never fired) onto the exact PREFIX-FILTER
+    scheme — rarest-first ordering, contained-side prefix against a full
+    df ≥ 2 index, exact array_intersect verify; coverage proof and 100 TB
+    shape on :func:`_prefix_containment_pairs`. Oracle unchanged (the
+    exhaustive per-shingle join); the double division of exact ints
+    hashes identically in both engines."""
     docs = load_table(spark, sf_dir, "documents")
-    return (
-        _shared_shingle_pairs(_doc_shingles(docs))
-        .withColumn(
-            "containment",
-            F.col("shared") / F.least(F.col("n_a"), F.col("n_b")),
-        )
-        .filter(F.col("containment") >= _CONTAINMENT_THRESHOLD)
-        .select("doc_id_a", "doc_id_b", "containment")
+    return _prefix_containment_pairs(
+        _doc_shingles(docs), _CONTAINMENT_THRESHOLD
     )
 
 

@@ -1584,6 +1584,208 @@ def q_similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_similarity_ann_ivfpq_probe — the amortized-index ANN headline (round 11)
+# ---------------------------------------------------------------------------
+# Persisted-index cache root: one subdir per source corpus, keyed by the
+# sanitized sf_dir path, invalidated on the source parquet's (size, mtime).
+# Overridable for tests and sweeps; defaults inside the repo checkout.
+_ANN_INDEX_ENV = "SPARK_GRAFT_ANN_INDEX_DIR"
+
+
+def _ann_index_root() -> str:
+    import os
+
+    return os.environ.get(
+        _ANN_INDEX_ENV,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+            ".annindex",
+        ),
+    )
+
+
+def ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once/load-many IVF-PQ index for ``sf_dir``'s embeddings —
+    the maintained artifact q_similarity_ann_ivfpq_probe probes.
+
+    The index is a pure function of the corpus (deterministic stride
+    sample, strided k-means init, fixed iterations — the determinism
+    contract every ANN oracle here already leans on), so building it
+    lazily here yields byte-identical cells/codes to the one-shot
+    q_similarity_ann_ivfpq plan and the SAME DuckDB oracle stays exact.
+
+    Layout: ``<root>/<key>/data`` is the coded corpus
+    (vec_id, label, embedding, c0..c{M-1}) written ``partitionBy(cell)``
+    — so a probe's nprobe-cell filter becomes PARTITION PRUNING at the
+    scan, reading ~nprobe/k of the corpus and nothing else — and
+    ``<root>/<key>/meta.json`` carries n/k/centroids/codebooks plus the
+    source parquet's (size, mtime) for staleness detection. Writes land
+    in a tmp dir then one atomic rename; a concurrent builder losing the
+    race just reuses the winner's index."""
+    import json
+    import os
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = src.strip("/").replace("/", "__")
+    root = _ann_index_root()
+    idx_dir = os.path.join(root, key)
+    meta_path = os.path.join(idx_dir, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta["src_size"] == st.st_size and meta["src_mtime"] == st.st_mtime:
+            return idx_dir
+
+    emb = _nonzero(load_table(spark, sf_dir, "embeddings"))
+    n = emb.count()
+    k, stride = _ivf_plan(n, None)
+    sample = (
+        emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(stride)) == 0)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    C = _kmeans_unit(sample["embedding"], k, 8)
+    books = _pq_train(sample["embedding"])
+    dim = len(sample["embedding"].iloc[0])
+    sub = _pq_subdim(dim)
+    code_cols = [
+        F.expr(
+            "array_min(array("
+            + ",".join(
+                f"struct({_pq_spark_dist(m, sub, books[m][j].tolist())} "
+                f"AS d, {j} AS j)"
+                for j in range(len(books[m]))
+            )
+            + "))"
+        )
+        .getField("j")
+        .alias(f"c{m}")
+        for m in range(_PQ_M)
+    ]
+    coded = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        ivf_cell_col([C[j].tolist() for j in range(len(C))]).alias("cell"),
+        *code_cols,
+    )
+    os.makedirs(root, exist_ok=True)
+    tmp = f"{idx_dir}.tmp.{os.getpid()}"
+    coded.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(tmp, "data")
+    )
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump(
+            {
+                "src_size": st.st_size,
+                "src_mtime": st.st_mtime,
+                "n": n,
+                "k": int(len(C)),
+                "dim": dim,
+                "centroids": [list(map(float, c)) for c in C],
+                "books": [
+                    [list(map(float, cw)) for cw in books[m]]
+                    for m in range(_PQ_M)
+                ],
+            },
+            f,
+        )
+    try:
+        os.rename(tmp, idx_dir)
+    except OSError:
+        import shutil
+
+        # lost the build race (or a stale index sits there): if the winner's
+        # index is fresh, use it; otherwise replace it with ours
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if (
+                meta["src_size"] == st.st_size
+                and meta["src_mtime"] == st.st_mtime
+            ):
+                shutil.rmtree(tmp, ignore_errors=True)
+                return idx_dir
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        os.rename(tmp, idx_dir)
+    return idx_dir
+
+
+@register("q_similarity_ann_ivfpq_probe", oracle_factory=ivfpq_oracle_sql)
+def q_similarity_ann_ivfpq_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ANN query as a production vector store runs it (round-11
+    VERDICT #2): PROBE a maintained IVF-PQ index instead of paying the
+    one-shot build every execution. q_similarity_ann_ivfpq measures the
+    honest build+query composition — whose √n-centroid assignment term is
+    n^1.5 and was the repo's one perf-weak op (exponent 1.132 over four
+    decades) — while this query answers from the persisted artifact
+    (:func:`ensure_ivfpq_index`; first run builds it, every later run —
+    and every warm timed run in the sweeps — only probes).
+
+    Probe cost, and why the exponent collapses: the nprobe-cell filter is
+    PARTITION PRUNING on the index layout (cells are directories), so the
+    scan reads ~nprobe/k ≈ 2/√n of the corpus — O(√n) rows; ADC scoring
+    is 4 element_at lookups over the STORED codes (assignment was paid at
+    build time); the shortlist re-rank touches {_PQ_SHORTLIST} full
+    vectors. Driver-side work is k·dim numbers (probe-cell argsort + LUT
+    render). Identical output to the one-shot plan — same deterministic
+    centroids/codebooks/assignment expressions — so the SAME generated
+    DuckDB oracle value-checks it."""
+    import json
+    import os
+
+    import numpy as np
+
+    idx_dir = ensure_ivfpq_index(spark, sf_dir)
+    with open(os.path.join(idx_dir, "meta.json")) as f:
+        meta = json.load(f)
+    C = np.asarray(meta["centroids"])
+    books = meta["books"]
+
+    idx = spark.read.parquet(os.path.join(idx_dir, "data"))
+    # the query vector: one row-group-stat-skipping lookup by vec_id (at
+    # 100 TB the query vector arrives from the application, not a scan)
+    q_rows = idx.filter(F.col("vec_id") == 0).select("embedding").take(1)
+    if not q_rows:
+        raise ValueError(
+            "IVFPQ probe: vec_id=0 is absent from the index — no query "
+            "vector to probe with"
+        )
+    q_emb = list(q_rows[0][0])
+    probe_cells = _ivf_probe_cells(C, q_emb)
+    # json round-trips float64 exactly (repr-based), so these are the
+    # build's codebooks bit-for-bit and _pq_lut reproduces the one-shot
+    # plan's LUT literals exactly
+    lut = _pq_lut([np.asarray(b) for b in books], q_emb)
+
+    adc = F.expr(
+        " + ".join(
+            f"element_at({_lit_array_sql(lut[m])}, c{m} + 1)"
+            for m in range(_PQ_M)
+        )
+    )
+    shortlist = (
+        idx.filter(F.col("cell").isin(probe_cells) & (F.col("vec_id") != 0))
+        .select("vec_id", "label", "embedding", adc.alias("adc_dot"))
+        .orderBy(F.col("adc_dot").desc(), F.col("vec_id").asc())
+        .limit(_PQ_SHORTLIST)
+    )
+    q_lit = F.expr(_lit_array_sql(list(map(float, q_emb))))
+    cos = _dot("embedding", "__q") / (_norm("embedding") * _norm("__q"))
+    return (
+        shortlist.withColumn("__q", q_lit)
+        .select("vec_id", "label", "adc_dot", cos.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+        .limit(_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_hard_negatives — bucket-bounded highest-cosine cross-label neighbors
 # ---------------------------------------------------------------------------
 _HARD_NEG_K = 2  # hard negatives kept per anchor

@@ -23,7 +23,12 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from ..sources.parquet import load_table
-from .dedup import _JACCARD_THRESHOLD, _SQL_SHINGLE_PAIR_CTES, _doc_shingles, _jaccard_pairs
+from .dedup import (
+    _JACCARD_THRESHOLD,
+    _SQL_SHINGLE_PAIR_CTES,
+    _anchor_jaccard_pairs,
+    _doc_shingles,
+)
 from .textstats import _EN_STOP, _sql_toks, _toks
 
 _SENT_RE = "[.!?]+"
@@ -336,15 +341,17 @@ q_char_trigram_profile.__doc__ = q_char_trigram_profile.__doc__.format(k=_TRIGRA
 )
 def q_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-stage verification of fuzzy-dedup candidates: every pair
-    q_dedup_fuzzy's capped-postings plan surfaces gets an exact Levenshtein
+    q_dedup_fuzzy's exact anchor plan surfaces gets an exact Levenshtein
     distance over the first {p} characters. This is the
     candidate-then-verify composition at the heart of scalable dedup —
-    the O(n²·len²) edit-distance only ever runs on the candidate set the
-    inverted index bounded, and the prefix cap bounds the per-pair cost.
+    the O(n²·len²) edit-distance only ever runs on the exact pair set the
+    anchor filter-verify join bounded (round 11 moved this off the capped
+    postings core, the last non-test user), and the prefix cap bounds the
+    per-pair cost.
     Both engines implement Levenshtein as the same integer DP; joins back
     to the corpus are key lookups."""
     docs = load_table(spark, sf_dir, "documents")
-    cand = _jaccard_pairs(_doc_shingles(docs), _JACCARD_THRESHOLD).select(
+    cand = _anchor_jaccard_pairs(_doc_shingles(docs), _JACCARD_THRESHOLD).select(
         "doc_id_a", "doc_id_b", "jaccard"
     )
     da = docs.select(

@@ -123,14 +123,26 @@ def get_spark(
     # acid_double/build.sh (tests/conftest.py invokes it when javac is
     # available); inert when the jar is absent. extraClassPath only takes
     # effect at JVM launch, which is why this lives in the session factory.
+    # Round-11 ADVICE closures: (a) the double registers ONLY when
+    # SPARK_GRAFT_ACID_DOUBLE=1 opts in — it is a NON-DURABLE in-memory
+    # catalog, and auto-registering it whenever the jar existed made a
+    # non-durable commit path reachable from production dispatch via
+    # ACID_PROVIDERS; (b) the jar APPENDS to any pre-existing
+    # extraClassPath instead of clobbering it.
     acid_jar = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "acid_double",
         "graft-acid-double.jar",
     )
-    if os.path.exists(acid_jar):
+    if os.path.exists(acid_jar) and os.environ.get(
+        "SPARK_GRAFT_ACID_DOUBLE"
+    ) == "1":
+        prior_cp = (extra_conf or {}).get(
+            "spark.driver.extraClassPath"
+        ) or os.environ.get("SPARK_DRIVER_EXTRA_CLASSPATH", "")
+        cp = f"{acid_jar}{os.pathsep}{prior_cp}" if prior_cp else acid_jar
         builder = (
-            builder.config("spark.driver.extraClassPath", acid_jar)
+            builder.config("spark.driver.extraClassPath", cp)
             .config(
                 "spark.sql.catalog.graftmem",
                 "sparkgraft.acid.MemoryRowLevelCatalog",

@@ -13,9 +13,13 @@ SF_DIR = "/root/testdata/sf0.001"
 
 # Build the MERGE-capable catalog double BEFORE any SparkSession exists:
 # extraClassPath is a JVM-launch setting, so the jar must be on disk when
-# the session fixture first runs (session.py picks it up when present).
+# the session fixture first runs. Round 11: session.py additionally
+# requires the SPARK_GRAFT_ACID_DOUBLE=1 opt-in (ADVICE closure — the
+# non-durable in-memory catalog must never ride a production session
+# just because the jar exists on disk), which the test suite sets here.
 # Skipped silently when javac is unavailable — the graftmem merge test
 # then skips on the missing catalog, mirroring the delta gating.
+os.environ.setdefault("SPARK_GRAFT_ACID_DOUBLE", "1")
 _ACID_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "acid_double"
 )

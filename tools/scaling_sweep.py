@@ -37,6 +37,7 @@ from cdmx_airquality_etl_spark.sources.parquet import load_table  # noqa: E402
 # query -> the table whose row count drives its cost (the x-axis)
 DEFAULT_SWEEP = {
     "q_dedup_fuzzy": "documents",
+    "q_dedup_containment": "documents",
     "q_dedup_minhash": "documents",
     "q_dedup_weighted": "documents",
     "q_dedup_text_clusters": "documents",
