@@ -52,6 +52,7 @@ import org.apache.spark.sql.connector.catalog.Table;
 import org.apache.spark.sql.connector.catalog.TableCapability;
 import org.apache.spark.sql.connector.catalog.TableCatalog;
 import org.apache.spark.sql.connector.catalog.TableChange;
+import org.apache.spark.sql.connector.catalog.TruncatableTable;
 import org.apache.spark.sql.connector.catalog.NamespaceChange;
 import org.apache.spark.sql.connector.expressions.Expressions;
 import org.apache.spark.sql.connector.expressions.NamedReference;
@@ -209,7 +210,8 @@ public class MemoryRowLevelCatalog implements TableCatalog, SupportsNamespaces {
           SupportsRead,
           SupportsWrite,
           SupportsRowLevelOperations,
-          SupportsMetadataColumns {
+          SupportsMetadataColumns,
+          TruncatableTable {
     final String fullName;
     final String shortName;
     final StructType schema;
@@ -315,6 +317,15 @@ public class MemoryRowLevelCatalog implements TableCatalog, SupportsNamespaces {
       List<InternalRow> next = replace ? new ArrayList<>() : new ArrayList<>(rows);
       next.addAll(fresh);
       rows = next; // volatile store: snapshot-atomic swap
+    }
+
+    // TRUNCATE TABLE rides TruncatableTable (the WriteBuilder's
+    // SupportsTruncate only covers INSERT OVERWRITE's truncate-then-
+    // append write); same snapshot-atomic swap as every other commit.
+    @Override
+    public boolean truncateTable() {
+      commitRows(new ArrayList<>(), true);
+      return true;
     }
   }
 

@@ -335,10 +335,16 @@ def _salted_anchor_candidates(
     count aggregate over the (already salted) join output instead of the
     bare distinct — the aggregate is map-side combinable, so the join's
     multiplicity collapses before the shuffle the same way the distinct
-    collapsed it. Exactness leans on _anchor_keys' survivors=2 reach; one
-    documented caveat: two DISTINCT surviving anchors whose 64-bit hashes
-    collide would merge in the count (probability < 2⁻⁴⁰ per corpus —
-    the per-round oracle differential would surface it)."""
+    collapsed it. Exactness leans on _anchor_keys' survivors=2 reach and
+    is UNCONDITIONAL under hash collisions (round-11 ADVICE review —
+    r10 documented a collision caveat here that is wrong in direction):
+    the count is over raw join ROWS, each doc emits every anchor pair
+    once, and a common surviving anchor always contributes ≥ 1 matched
+    row — so rows ≥ #common surviving anchors whatever the hashes do.
+    Two distinct survivors colliding onto one key make each doc emit
+    that key twice and the join yield FOUR rows, not one: collisions are
+    count-monotone, only ever inflating counts (the inflated false
+    candidates die in the exact verify)."""
     if max_anchor_postings is not None or hot_anchor_split is not None:
         # One count window keyed on the anchor tags every posting with its
         # key's document frequency. Three uses, all exactness-preserving:

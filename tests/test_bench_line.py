@@ -117,3 +117,88 @@ def test_cross_round_gate_flags_unexplained_regression(tmp_path, monkeypatch, ca
     monkeypatch.setattr(bench_gate, "REPO_ROOT", str(seed({"r09": {}})))
     assert bench_gate.main() == 1
     assert "re-time" in capsys.readouterr().out
+
+
+def test_retime_cold_tier_uses_overall_min(tmp_path, monkeypatch, capsys):
+    """Round-11 ADVICE closure: a COLD-tier violation must be adjudicated
+    against the retime's overall 'min' (which includes the cold first
+    run), not the post-JIT 'warm_min' — otherwise a genuine first-run
+    regression is laundered as noise. And the pinned entry records the
+    compared tier + basis."""
+    import importlib
+    import json
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", "tools"))
+    import bench_gate
+
+    importlib.reload(bench_gate)
+
+    def seed():
+        # q_b regressed 2x COLD (no warm tier on either side)
+        prev = {"value": 10.0, "sf": 0.1, "n_queries": 1,
+                "queries": {"q_b": 2.0}, "warm_queries": {}}
+        fresh = {"value": 12.0, "sf": 0.1, "n_queries": 1,
+                 "queries": {"q_b": 4.5}, "warm_queries": {}}
+        root = tmp_path / "repo_cold"
+        (root / "tools").mkdir(parents=True, exist_ok=True)
+        (root / "BENCH_DETAIL.json").write_text(json.dumps(fresh))
+        (root / "BENCH_CLOSING_r08.json").write_text(json.dumps(prev))
+        (root / "tools" / "bench_allowlist.json").write_text("{}")
+        return root
+
+    # warm_min clears the bar but the cold 'min' does NOT → still fails
+    monkeypatch.setattr(bench_gate, "REPO_ROOT", str(seed()))
+    monkeypatch.setattr(bench_gate.sys, "argv", ["bench_gate.py", "r09"])
+    monkeypatch.setattr(
+        bench_gate, "retime_verdicts",
+        lambda names, sf: {"q_b": {"runs": [4.4, 1.0], "min": 4.4,
+                                   "warm_min": 1.0}},
+    )
+    assert bench_gate.main() == 1
+    capsys.readouterr()
+
+    # a retime whose overall min clears it → noise, tier recorded
+    root = seed()
+    monkeypatch.setattr(bench_gate, "REPO_ROOT", str(root))
+    monkeypatch.setattr(
+        bench_gate, "retime_verdicts",
+        lambda names, sf: {"q_b": {"runs": [2.1, 1.0], "min": 2.1,
+                                   "warm_min": 1.0}},
+    )
+    assert bench_gate.main() == 0
+    pinned = json.loads((root / "BENCH_CLOSING_r09.json").read_text())
+    assert pinned["retimed"]["q_b"]["tier"] == "cold"
+    assert pinned["retimed"]["q_b"]["basis"] == 2.1
+
+
+def test_retime_rejects_mismatched_sf_dir(monkeypatch, capsys):
+    """Round-11 ADVICE closure: SPARK_GRAFT_SF_DIR pointing at a different
+    scale factor than the flagged bench run must be discarded (a retime at
+    a smaller sf trivially clears every threshold)."""
+    import importlib
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", "tools"))
+    import bench_gate
+
+    importlib.reload(bench_gate)
+    seen = {}
+
+    def fake_check_output(cmd, **kw):
+        seen["sf_dir"] = cmd[cmd.index("--sf-dir") + 1]
+        return '{"q_x": {"runs": [1.0], "min": 1.0, "warm_min": 1.0}}'
+
+    monkeypatch.setattr(bench_gate.subprocess, "check_output", fake_check_output)
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    out = bench_gate.retime_verdicts(["q_x"], 0.1)
+    assert seen["sf_dir"] == "/root/testdata/sf0.1"
+    assert "does not match" in capsys.readouterr().out
+    assert out["q_x"]["min"] == 1.0
+
+    # a MATCHING env override is honored
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/elsewhere/sf0.1")
+    bench_gate.retime_verdicts(["q_x"], 0.1)
+    assert seen["sf_dir"] == "/elsewhere/sf0.1"

@@ -91,3 +91,28 @@ def test_duck_memory_limit_is_ram_aware(monkeypatch):
         assert gb <= max(1, total // (2 * 1024**3))
     monkeypatch.setenv("SPARK_GRAFT_DUCK_MEM", "3GB")
     assert _ducklimits.duck_memory_limit() == "3GB"
+
+
+def test_rotating_slice_covers_registry_and_is_deterministic():
+    """tools/sample_rotate.py (VERDICT r10 #6): the rotation must be a pure
+    function of the round number, and consecutive rounds must tile the
+    whole registry — every query sampled at least once per ⌈N/25⌉ rounds."""
+    import math
+    import sys as _sys
+    import os as _os
+
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", "tools"))
+    from sample_rotate import ANCHOR_ROUND, SLICE, slice_for_round
+
+    from cdmx_airquality_etl_spark.registry import QUERIES
+
+    names = sorted(QUERIES)
+    assert slice_for_round(names, 11) == slice_for_round(names, 11)
+    assert slice_for_round(names, ANCHOR_ROUND)[0] == names[0]
+    cycle = math.ceil(len(names) / SLICE)
+    seen = set()
+    for r in range(ANCHOR_ROUND, ANCHOR_ROUND + cycle):
+        seen.update(slice_for_round(names, r))
+    assert seen == set(names), (
+        f"{len(set(names) - seen)} queries never sampled in one cycle"
+    )

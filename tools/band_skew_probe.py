@@ -75,6 +75,36 @@ def gen_boiler_documents(sf: float, frac: float, boiler_words: int) -> pa.Table:
     )
 
 
+def gen_onehot_documents(sf: float, hot_docs: int, block_words: int = 4) -> pa.Table:
+    """The ONE-hot-key worst case the salted split exists for (round-10
+    narrative, pinned as an artifact since round 11): ``hot_docs`` docs
+    share a single short fixed block — its adjacency anchors collapse to
+    ~one key of df = hot_docs, i.e. ~df²/2 candidate pairs through ONE
+    self-join key, the single quadratic task AQE cannot split. Each doc's
+    unique tail keeps every cluster pair far below the 0.5 threshold, so
+    all of that work is sub-threshold (wasted by construction)."""
+    base = gen_documents(sf)
+    n = base.num_rows
+    if hot_docs > n:
+        raise SystemExit(f"--one-hot-docs {hot_docs} > corpus size {n}")
+    rng = _rng("onehot", sf)
+    block = " ".join(VOCAB[rng.integers(0, len(VOCAB), block_words)])
+    texts = base.column("text").to_pylist()
+    idx = rng.choice(n, size=hot_docs, replace=False)
+    for i in idx:
+        tail = " ".join(VOCAB[rng.integers(0, len(VOCAB), 8 * block_words)])
+        texts[i] = f"{block} {tail}"
+    return pa.table(
+        {
+            "doc_id": base.column("doc_id"),
+            "text": pa.array(texts, pa.string()),
+            "lang": base.column("lang"),
+            "source": base.column("source"),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
 def _anchors(spark, sf_dir: str):
     """The anchor-key frame of q_dedup_fuzzy's candidate stage — the
     operator's OWN dd._anchor_keys (round 10: hashed keys, size-adaptive
@@ -163,6 +193,14 @@ def main() -> int:
     ap.add_argument("--boiler-frac", type=float, default=0.3)
     ap.add_argument("--boiler-words", type=int, default=24)
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument(
+        "--one-hot-docs",
+        type=int,
+        default=0,
+        help="also probe the ONE-hot-key twin: this many docs share a "
+        "single 4-word block (df ≈ this value on ~one anchor key) — the "
+        "worst case the salted split exists for (VERDICT r10 #7)",
+    )
     ap.add_argument("--out", default=os.path.join(REPO_ROOT, "BAND_SKEW.json"))
     args = ap.parse_args()
 
@@ -177,15 +215,29 @@ def main() -> int:
     tbl = gen_boiler_documents(args.sf, args.boiler_frac, args.boiler_words)
     pq.write_table(tbl, os.path.join(boiler_dir, "documents.parquet"))
 
+    corpora = [("standard", base_dir), ("boiler", boiler_dir)]
+    if args.one_hot_docs:
+        onehot_dir = os.path.join(
+            REPO_ROOT, ".scaledata",
+            f"sf{args.sf:g}-onehot{args.one_hot_docs}",
+        )
+        os.makedirs(onehot_dir, exist_ok=True)
+        pq.write_table(
+            gen_onehot_documents(args.sf, args.one_hot_docs),
+            os.path.join(onehot_dir, "documents.parquet"),
+        )
+        corpora.append(("onehot", onehot_dir))
+
     result = {
         "sf": args.sf,
         "boiler_frac": args.boiler_frac,
         "boiler_words": args.boiler_words,
+        "one_hot_docs": args.one_hot_docs,
         "corpora": {},
     }
     cap = 1000
     result["cap"] = cap
-    for label, d in (("standard", base_dir), ("boiler", boiler_dir)):
+    for label, d in corpora:
         cf = _candidates_fuzzy(spark, d)
         cf_cap = _candidates_fuzzy(spark, d, cap=cap)
         cm = _candidates_minhash(spark, d)

@@ -84,10 +84,25 @@ def retime_verdicts(
     """Standalone re-time for violating queries (tools/retime.py): one
     subprocess, fresh Spark session, tables warmed, 5 runs each with
     clearCache between.  Returns {} on any failure — callers treat a
-    missing verdict as an unadjudicated (i.e. still failing) violation."""
-    sf_dir = os.environ.get(
-        "SPARK_GRAFT_SF_DIR", f"/root/testdata/sf{sf}" if sf else None
-    )
+    missing verdict as an unadjudicated (i.e. still failing) violation.
+
+    The sf_dir MUST match the scale factor of the flagged bench run
+    (round-11 ADVICE closure): a SPARK_GRAFT_SF_DIR pointing at a smaller
+    corpus would trivially clear every threshold, silently laundering a
+    real regression as noise — so an env override is honored only when
+    its directory name carries the same sf, and is otherwise discarded
+    with a warning."""
+    expected = f"/root/testdata/sf{sf:g}" if sf else None
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR") or expected
+    if sf_dir and expected and sf is not None:
+        base = os.path.basename(os.path.normpath(sf_dir))
+        if base != f"sf{sf:g}":
+            print(
+                f"retime: SPARK_GRAFT_SF_DIR={sf_dir} does not match the "
+                f"bench's sf{sf:g} — using {expected} (a mismatched retime "
+                "cannot adjudicate this run's violations)"
+            )
+            sf_dir = expected
     if not names or sf_dir is None:
         return {}
     try:
@@ -160,13 +175,15 @@ def main() -> int:
         # pure first-run JIT), else cold-vs-cold.
         new = pick(fresh, name, "warm_queries")
         old = pick(committed, name, "warm_queries")
+        tier = "warm"
         if new is None or old is None:
             new = pick(fresh, name, "queries")
             old = pick(committed, name, "queries")
+            tier = "cold"
         if new is None or old is None:
             continue
         if new >= MIN_ABS_SEC and new > OUTLIER_FACTOR * old:
-            outliers.append((name, old, new))
+            outliers.append((name, old, new, tier))
 
     # -------- cross-round ledger (VERDICT r8 #8) --------
     prev = previous_closing(tag)
@@ -206,36 +223,41 @@ def main() -> int:
               f"{', '.join(names)}")
         verdicts = retime_verdicts(names, fresh.get("sf"))
 
-    def adjudicate(name: str, old: float, factor: float) -> dict | None:
+    def adjudicate(
+        name: str, old: float, factor: float, tier: str
+    ) -> dict | None:
         v = verdicts.get(name)
-        if not v or "warm_min" not in v:
+        if not v or "warm_min" not in v or "min" not in v:
             return None
-        # cleared when the standalone number no longer violates: either
-        # under the ≥1 s floor or under the factor vs the prior baseline
-        cleared = (
-            v["warm_min"] < MIN_ABS_SEC or v["warm_min"] < factor * old
-        )
-        return {**v, "prior": old, "threshold": factor,
+        # like-for-like adjudication (round-11 ADVICE closure): a COLD-tier
+        # violation must be cleared by the retime's overall min (which
+        # includes the cold first run) — clearing a cold flag with the
+        # post-JIT warm_min would excuse genuine first-run regressions.
+        # The compared tier is recorded in the pinned entry.
+        basis = v["warm_min"] if tier == "warm" else v["min"]
+        cleared = basis < MIN_ABS_SEC or basis < factor * old
+        return {**v, "prior": old, "threshold": factor, "tier": tier,
+                "basis": basis,
                 "verdict": "noise" if cleared else "confirmed"}
 
     retimed: dict[str, dict] = {}
     still_out = []
-    for name, old, new in outliers:
-        adj = adjudicate(name, old, OUTLIER_FACTOR)
+    for name, old, new, tier in outliers:
+        adj = adjudicate(name, old, OUTLIER_FACTOR, tier)
         if adj and adj["verdict"] == "noise":
             retimed[name] = adj
-            print(f"  retime-adjudicated (within-round): {name} "
-                  f"{old:.2f}s -> {new:.2f}s sweep, {adj['warm_min']:.2f}s "
+            print(f"  retime-adjudicated (within-round, {tier}): {name} "
+                  f"{old:.2f}s -> {new:.2f}s sweep, {adj['basis']:.2f}s "
                   f"standalone — noise")
         else:
             still_out.append((name, old, new))
     still_reg = []
     for name, old, new, tier in regressions:
-        adj = adjudicate(name, old, CROSS_ROUND_FACTOR)
+        adj = adjudicate(name, old, CROSS_ROUND_FACTOR, tier)
         if adj and adj["verdict"] == "noise":
             retimed[name] = adj
-            print(f"  retime-adjudicated (cross-round): {name} "
-                  f"{old:.2f}s -> {new:.2f}s sweep, {adj['warm_min']:.2f}s "
+            print(f"  retime-adjudicated (cross-round, {tier}): {name} "
+                  f"{old:.2f}s -> {new:.2f}s sweep, {adj['basis']:.2f}s "
                   f"standalone — noise")
         else:
             still_reg.append((name, old, new, tier))

@@ -29,11 +29,19 @@ python tools/dump_plans.py
 python tools/dump_coverage.py
 python -m pytest tests/test_inventory_sync.py -q
 
-echo "== 4/4 bench + gate =="
+echo "== 4/6 bench + gate =="
 python bench.py
 python tools/bench_gate.py "${TAG}"
 
+echo "== 5/6 rotating fresh-process oracle slice (VERDICT r10 #6) =="
+python tools/sample_rotate.py "${TAG#r}"
+
+echo "== 6/6 band-skew probe re-pin incl. one-hot twin (VERDICT r10 #7) =="
+python tools/band_skew_probe.py --sf 0.3 --one-hot-docs 8000 \
+    --out BAND_SKEW_SF03.json
+
 echo "closing ritual complete — commit the SWEEP logs, PLANS.md,"
-echo "COVERAGE.md, BENCH_DETAIL.json and BENCH_CLOSING_${TAG}.json with the"
-echo "final snapshot. BASELINE.md's round narrative quotes ONLY the pinned"
-echo "BENCH_CLOSING number."
+echo "COVERAGE.md, BENCH_DETAIL.json, BENCH_CLOSING_${TAG}.json,"
+echo "ROTATE_${TAG}.json and BAND_SKEW_SF03.json with the final snapshot."
+echo "BASELINE.md's round narrative quotes ONLY the pinned BENCH_CLOSING"
+echo "number."

@@ -51,6 +51,7 @@ DEFAULT_SWEEP = {
     "q_knn_graph": "embeddings",
     "q_dedup_semantic": "embeddings",
     "q_similarity_ann_ivfpq": "embeddings",
+    "q_similarity_ann_ivfpq_probe": "embeddings",
     "q_join_skew_salted": "orders",
     "q_sessionize": "events",
     # round-8 additions (VERDICT r7 #3): the 10-12-exchange tier that was
