@@ -94,6 +94,16 @@ def fuzzy_piece_sql(i: int, j: int, g: int) -> str:
     )
 
 
+def containment_piece_sql(i: int, j: int, g: int) -> str:
+    # same pair-join shape as fuzzy (the containment oracle inlines the
+    # shared CTE text with its own threshold), so the same anchor applies
+    return _inject(
+        ORACLES["q_dedup_containment"],
+        "GROUP BY 1, 2, 3, 4",
+        _shard_where(i, j, g),
+    )
+
+
 def matrix_piece_sql(i: int, j: int, g: int) -> str:
     # NOTE the 6-column anchor: the matrix oracle's pair join carries the
     # two source columns. "GROUP BY 1, 2, 3, 4" is a PREFIX of it, so the
@@ -175,8 +185,8 @@ def main() -> int:
     ap.add_argument(
         "--queries",
         nargs="+",
-        default=["fuzzy", "clusters", "matrix", "weighted"],
-        choices=["fuzzy", "clusters", "matrix", "weighted"],
+        default=["fuzzy", "clusters", "matrix", "weighted", "containment"],
+        choices=["fuzzy", "clusters", "matrix", "weighted", "containment"],
     )
     args = ap.parse_args()
     g = args.shards
@@ -251,6 +261,16 @@ def main() -> int:
             "q_dedup_weighted",
             weighted,
             _spark_rows(spark, "q_dedup_weighted", args.sf_dir),
+        )
+
+    if "containment" in wanted:
+        cont = _run_sharded(
+            con, "q_dedup_containment", containment_piece_sql, g
+        )
+        ok &= _compare(
+            "q_dedup_containment",
+            cont,
+            _spark_rows(spark, "q_dedup_containment", args.sf_dir),
         )
 
     print("ALL MATCH" if ok else "SOME MISMATCH")
