@@ -83,6 +83,17 @@ def main() -> int:
     ap.add_argument("--sfs", nargs="+", type=float, default=[0.1, 0.3, 1.0])
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--out", default=os.path.join(REPO_ROOT, "SCALING.json"))
+    ap.add_argument(
+        "--merge-sf",
+        action="store_true",
+        help="merge the fresh per-sf points into a query's EXISTING entry "
+        "and refit the exponent on the union, instead of replacing the "
+        "entry. ONLY sound when the query's execution code is unchanged "
+        "since the prior points were measured (the caller asserts this — "
+        "mixing code versions inside one curve would fabricate a slope); "
+        "used to extend a committed curve by one decade without paying "
+        "the full re-measure.",
+    )
     args = ap.parse_args()
 
     sweep = {
@@ -154,8 +165,13 @@ def main() -> int:
                 f"{q} sf{sf:g}: {best:.2f}s ({rows[sf][table]} {table} rows)",
                 flush=True,
             )
-        ns = [per_sf[f"{sf:g}"]["rows"] for sf in args.sfs]
-        ts = [per_sf[f"{sf:g}"]["sec"] for sf in args.sfs]
+        if args.merge_sf and q in results:
+            merged = dict(results[q].get("per_sf", {}))
+            merged.update(per_sf)
+            per_sf = merged
+        keys = sorted(per_sf, key=float)
+        ns = [per_sf[k]["rows"] for k in keys]
+        ts = [per_sf[k]["sec"] for k in keys]
         exp = fit_exponent(ns, ts)
         results[q] = {
             "driving_table": table,
