@@ -188,6 +188,14 @@ def main() -> int:
         default=["fuzzy", "clusters", "matrix", "weighted", "containment"],
         choices=["fuzzy", "clusters", "matrix", "weighted", "containment"],
     )
+    ap.add_argument(
+        "--matrix-from-pairs",
+        action="store_true",
+        help="derive the source-matrix oracle from the shard-verified "
+        "fuzzy pair set (one grouped join) instead of re-sharding the "
+        "full shingle self-join — exact because the two oracles share "
+        "pair semantics and threshold; requires fuzzy in --queries",
+    )
     args = ap.parse_args()
     g = args.shards
     wanted = set(args.queries)
@@ -230,23 +238,57 @@ def main() -> int:
         )
 
     if "matrix" in wanted:
-        acc: dict[tuple, int] = {}
-        t0 = time.time()
-        for i in range(g):
-            for j in range(g):
-                t1 = time.time()
-                for sa, sb, n in con.sql(matrix_piece_sql(i, j, g)).fetchall():
-                    acc[(sa, sb)] = acc.get((sa, sb), 0) + n
-                print(
-                    f"q_dup_source_matrix piece ({i},{j}) done "
-                    f"[{time.time()-t1:.1f}s]",
-                    flush=True,
+        if args.matrix_from_pairs and "fuzzy" in wanted:
+            # Decomposition (the r9 clusters-closure precedent): the matrix
+            # oracle's pairs CTE is the fuzzy pair join carrying source
+            # columns along, and its threshold IS the fuzzy threshold — so
+            # its qualifying pair set equals the shard-verified fuzzy pair
+            # set, and the remaining work is one grouped join to
+            # documents' sources. Avoids paying the full shingle self-join
+            # a second time at scale factors where it costs hours.
+            con.sql("DROP TABLE IF EXISTS vp_matrix")
+            con.sql("CREATE TEMP TABLE vp_matrix (da BIGINT, db BIGINT)")
+            if fuzzy_pairs:
+                con.executemany(
+                    "INSERT INTO vp_matrix VALUES (?, ?)",
+                    [(a, b) for a, b, _ in fuzzy_pairs],
                 )
-        rows = [(sa, sb, n) for (sa, sb), n in acc.items()]
-        print(
-            f"q_dup_source_matrix: {len(rows)} oracle rows "
-            f"[{time.time()-t0:.1f}s total]"
-        )
+            t0 = time.time()
+            rows = con.sql(
+                """
+                SELECT LEAST(sa.source, sb.source) AS source_a,
+                       GREATEST(sa.source, sb.source) AS source_b,
+                       COUNT(*) AS n_dup_pairs
+                FROM vp_matrix p
+                JOIN documents sa ON sa.doc_id = p.da
+                JOIN documents sb ON sb.doc_id = p.db
+                GROUP BY 1, 2
+                """
+            ).fetchall()
+            print(
+                f"q_dup_source_matrix: {len(rows)} oracle rows from the "
+                f"verified pair set [{time.time()-t0:.1f}s]"
+            )
+        else:
+            acc: dict[tuple, int] = {}
+            t0 = time.time()
+            for i in range(g):
+                for j in range(g):
+                    t1 = time.time()
+                    for sa, sb, n in con.sql(
+                        matrix_piece_sql(i, j, g)
+                    ).fetchall():
+                        acc[(sa, sb)] = acc.get((sa, sb), 0) + n
+                    print(
+                        f"q_dup_source_matrix piece ({i},{j}) done "
+                        f"[{time.time()-t1:.1f}s]",
+                        flush=True,
+                    )
+            rows = [(sa, sb, n) for (sa, sb), n in acc.items()]
+            print(
+                f"q_dup_source_matrix: {len(rows)} oracle rows "
+                f"[{time.time()-t0:.1f}s total]"
+            )
         ok &= _compare(
             "q_dup_source_matrix",
             rows,
