@@ -510,7 +510,8 @@ def _anchor_jaccard_pairs(
     and the (s, s) singleton anchors cover them. S = 0 pairs don't
     qualify. ∎
 
-    DUAL-ANCHOR RULE (``min_shared``, default "auto" = 2 when t < 0.25).
+    DUAL-ANCHOR RULE (``min_shared``, default "auto" = 2 at every
+    threshold since round 11 — see the engagement comment in the body).
     The sf10 decade exposed the single-anchor candidate set saturating at
     low thresholds: 500k docs over the fixed generator vocabulary gave
     267M anchors whose keys saturate in turn (72% share their key) and
@@ -528,9 +529,12 @@ def _anchor_jaccard_pairs(
     aggregate replacing the bare distinct. Cost of the bigger reach at
     toy scale: q_lsh_planner sf0.1 4.9 → 6.0 s warm; benefit at sf10:
     the candidate core collapses from the 282M that OOM'd the verify
-    stage to a volume the exact verify survives. Single-anchor stays the
-    rule at t ≥ 0.25, where the required intersection density keeps one
-    anchor selective.
+    stage to a volume the exact verify survives. Round 11 extended the
+    rule to t ≥ 0.25 after ITS sf10 decade caught the same saturation at
+    t = 0.5 (q_dedup_fuzzy sf3→10 slope 1.92, q_dedup_weighted spilling
+    past the sandbox disk; measured ≥1-key candidates 4.0M vs ≥2-key
+    22.8k at sf3) — intersection density protects true pairs' key
+    counts, not the false-candidate flood.
 
     Scale shape (100 TB): anchor rows are ≤ (k + 1)·|shingles| — LINEAR —
     and an anchor's postings df counts docs where the same two shingles are
@@ -566,12 +570,21 @@ def _anchor_jaccard_pairs(
     filter) — the probe's A/B baseline.
     """
     if min_shared == "auto":
-        # the dual-anchor regime engages at low thresholds, where the
-        # single-anchor candidate set saturates (the sf10 finding: 282M
-        # candidates for ~50k true pairs at t = 0.1, 95% sharing exactly
-        # one key); at t ≥ 0.25 the required intersection is dense enough
-        # that single anchors stay selective and the smaller reach wins
-        min_shared = 2 if threshold < 0.25 else 1
+        # the dual-anchor regime is the default at EVERY threshold since
+        # round 11. Round 10 engaged it only at t < 0.25 ("the required
+        # intersection is dense enough at t ≥ 0.25 that one anchor stays
+        # selective") — and the round-11 sf10 decade falsified that for
+        # saturating vocabularies: at t = 0.5 the ≥1-key candidate set
+        # measured 4.0M for 216 true pairs at sf3 (≥2-key: 22.8k, a 175×
+        # collapse) and grew superlinearly to sf10 (q_dedup_fuzzy slope
+        # 1.92; q_dedup_weighted's spill exceeded the sandbox disk).
+        # Intersection density bounds the TRUE pairs' shared keys, not
+        # the FALSE candidates' — saturation eventually floods any
+        # fixed-arity key at any threshold. At t = 0.5 the survivors=2
+        # reach is nearly free (k = max(k₁, k₂) adds ≤ 2 per tiny doc,
+        # nothing for median docs), unlike t = 0.1 where r10 measured
+        # the 1.2× toy-scale price.
+        min_shared = 2
     anch = _anchor_keys(shingled, threshold, min_shared=min_shared)
     cand = _salted_anchor_candidates(
         anch, max_anchor_postings, hot_anchor_split, min_shared=min_shared
@@ -1649,26 +1662,37 @@ def q_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     each doc sorts its distinct shingles by the global (lexicographic)
     order and emits an anchor (lo, hi) for every pair whose BETWEEN-MASS —
     the summed weights of its own shingles strictly between them — is
-    ≤ M = 2·wmax·(1−t)/t with wmax = N−1 (the largest weight any shingle
+    ≤ M₂ = 4·wmax·(1−t)/t with wmax = N−1 (the largest weight any shingle
     can carry, so no extra pre-pass), plus (s, s) singletons for docs with
-    total mass ≤ wmax·(1+t)/t.
+    total mass ≤ wmax·(1+t)/t. Round 11 doubled the budget from the
+    round-9 M = 2·wmax·(1−t)/t and demands TWO shared anchor keys per
+    candidate (min_shared = 2, the weighted twin of
+    _anchor_jaccard_pairs' dual-anchor rule): the single-anchor candidate
+    set saturated at the sf10 decade exactly like the unweighted one —
+    its warm-up SPILLED PAST THE SANDBOX DISK where fuzzy merely went
+    superlinear — because anchor-key df grows with corpus size at any
+    threshold while a true pair's shared-key count does not shrink.
 
-    COVERAGE PROOF (weighted twin of the count proof on
-    _anchor_jaccard_pairs): w-J ≥ t ⇒ w(extras) ≤ w(S)·(1−t)/t, where S is
-    the shared set. A consecutive-in-S pair fails to be A's anchor only
-    when > M of A's extra mass sits in its gap, and gaps are disjoint, so
-    A loses ≤ ⌊w(extras_A)/M⌋ of the S−1 pairs. For |S| = 2,
-    w(extras) ≤ 2·wmax·(1−t)/t = M, so neither side can exceed M in its
-    single gap; for |S| = 3 losses ≤ ⌊1.5⌋ = 1 of 2; for |S| ≥ 4 losses
-    ≤ |S|/2 ≤ |S|−2 — one anchor always survives in both docs. |S| = 1
-    forces wt_a + wt_b ≤ wmax(1+t)/t: both docs are under the singleton
-    cutoff and share the (s, s) key. ∎  Zero-weight (corpus-universal)
-    shingles extend anchors across themselves for free — precisely the
-    boilerplate-straddling behavior the weighting exists for — while on
-    weight-homogeneous corpora the mass budget admits ≤ 2 in-between
-    shingles, the same ≤ 3 distance as the unweighted core (anchor rows
-    stay ≤ ~3 per shingle, candidates O(1)-df; verified 165× fewer than
-    the postings core at sf3).
+    COVERAGE PROOF (weighted twin of the survivors=2 count proof on
+    _anchor_jaccard_pairs): w-J ≥ t ⇒ w(extras) ≤ w(S)·(1−t)/t ≤
+    |S|·wmax·(1−t)/t, where S is the shared set. A consecutive-in-S pair
+    fails to be A's anchor only when > M₂ of A's extra mass sits in its
+    gap, and gaps are disjoint, so A loses ≤ ⌊w(extras_A)/M₂⌋ of the
+    S−1 pairs; floors are superadditive, so
+    lost_A + lost_B ≤ ⌊w(extras)/M₂⌋ ≤ ⌊|S|/4⌋ — which is ≤ |S|−3 for
+    every |S| ≥ 4: at least two common pair keys survive in both docs.
+    |S| ≤ 3 forces wt_a + wt_b ≤ w(S)(1+t)/t ≤ 3·wmax·(1+t)/t — both
+    docs under the __small cutoff, where the candidate stage falls back
+    to the ≥1-key rule: there ⌊|S|/4⌋ = 0 means NO pair key is lost for
+    |S| ∈ {2, 3}, and |S| = 1 pairs (wt ≤ wmax(1+t)/t ≤ the singleton
+    cutoff on both sides) share the (s, s) key. ∎  Zero-weight
+    (corpus-universal) shingles extend anchors across themselves for
+    free — precisely the boilerplate-straddling behavior the weighting
+    exists for — while on weight-homogeneous corpora the mass budget
+    admits ≤ 4 in-between shingles (anchor rows stay ≤ ~5 per shingle;
+    the ≥2-key aggregate then collapses the saturated candidate flood
+    the way the sf3 probe measured for the unweighted core: 4.0M → 22.8k
+    for 216 true pairs).
 
     Every candidate is verified EXACTLY: both docs' (shingle → weight)
     maps join in, w_shared sums the intersection's weights, and the score
@@ -1684,8 +1708,20 @@ def q_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.count()
     t = _WEIGHTED_THRESHOLD
     w_max = max(n_docs - 1, 1)
-    mass_budget = int(2 * w_max * (1 - t) / t)          # M in the proof
+    # DUAL-ANCHOR mass budget (round 11, the weighted twin of
+    # _anchor_jaccard_pairs' survivors=2 rule — its single-anchor
+    # M = 2·wmax·(1−t)/t spilled past the sandbox disk at sf10):
+    # M₂ = 4·wmax·(1−t)/t. Proof: losses are floor-superadditive,
+    # lost_A + lost_B ≤ ⌊w(extras)/M₂⌋ ≤ ⌊S·wmax·(1−t)/t / M₂⌋ = ⌊S/4⌋
+    # ≤ S−3 for every S ≥ 4 — at least TWO of the S−1 consecutive-in-S
+    # pair keys survive in both docs. S ≤ 3 pairs force
+    # wt_a + wt_b ≤ w(S)(1+t)/t ≤ 3·wmax·(1+t)/t: both docs sit under
+    # the __small cutoff and keep the ≥1-key rule there — where
+    # ⌊S/4⌋ = 0 means NO pair key is ever lost (S ≥ 2), and S = 1
+    # pairs keep the (s, s) singletons (wt ≤ wmax(1+t)/t ≤ cutoff).
+    mass_budget = int(4 * w_max * (1 - t) / t)          # M₂ in the proof
     singleton_cutoff = int(w_max * (1 + t) / t)
+    small_cutoff = int(3 * w_max * (1 + t) / t)
     # df per shingle via one shingle-partitioned window, then regroup per
     # doc into globally-sorted (shingle, weight) arrays + prefix sums
     w_sh = Window.partitionBy("shingle")
@@ -1731,9 +1767,9 @@ def q_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     anch = per_doc.select(
         "doc_id",
         F.explode(F.expr(anchor_expr)).alias("akey"),
-        F.lit(False).alias("__small"),
+        (F.col("wt") <= small_cutoff).alias("__small"),
     )
-    cand = _salted_anchor_candidates(anch)
+    cand = _salted_anchor_candidates(anch, min_shared=2)
     wmaps = per_doc.select(
         "doc_id",
         F.map_from_arrays("__shs", "__ws").alias("wm"),
