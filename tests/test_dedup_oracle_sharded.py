@@ -106,6 +106,29 @@ def test_piece_sql_executes_committed_oracle_texts():
     assert "reach(node, r)" in dos.clusters_closure_sql()
 
 
+def test_clusters_closure_over_sharded_pairs_equals_one_shot():
+    """ADVICE r11 #4: the clusters path (clusters_closure_sql re-rooted on
+    verified_pairs) was previously pinned only by text presence — a
+    re-rooting bug (va/vb column drift vs the committed edges CTE) would
+    have passed the tests and surfaced mid-sf10-run.  Execute both sides
+    on the fixture: closure over the sharded-verified fuzzy pair set must
+    equal the committed one-shot q_dedup_text_clusters oracle."""
+    from cdmx_airquality_etl_spark.registry import ORACLES
+
+    con = _fixture_con()
+    one_shot = sorted(con.sql(ORACLES["q_dedup_text_clusters"]).fetchall())
+    assert one_shot, "fixture produced no clusters"
+
+    pairs = _sharded(con, dos.fuzzy_piece_sql, 3)
+    con.sql("CREATE TEMP TABLE verified_pairs (va BIGINT, vb BIGINT)")
+    con.executemany(
+        "INSERT INTO verified_pairs VALUES (?, ?)",
+        [(a, b) for a, b, *_ in pairs],
+    )
+    closure = sorted(con.sql(dos.clusters_closure_sql()).fetchall())
+    assert closure == one_shot
+
+
 def test_matrix_from_pairs_equals_sharded_matrix():
     con = _fixture_con()
     pairs = _sharded(con, dos.fuzzy_piece_sql, 3)

@@ -63,27 +63,42 @@ def test_group_agg_partial_final(spark, sf_dir):
 
 
 def test_fuzzy_dedup_anchor_join_shape(spark, sf_dir):
-    # round-10 adjacency-anchor formulation: anchors exploded map-side
-    # (Generate) as HASHED 8-byte keys (round 10 — the (lo, hi) string
-    # pair became xxhash64(lo, hi), so the join key is `akey`), candidates
-    # from an EQUI self-join on (akey, bucket, bucket) — the salted split —
-    # never a cartesian/NL join — then a distinct on bare ids BEFORE the
-    # verify joins (the band-skew multiplicity guard), then exact
-    # verification. All joins are key-equi; a cartesian anywhere means the
-    # anchor key was lost from a join condition.
+    # round-11 DUAL-ANCHOR formulation (min_shared='auto'=2 at every
+    # threshold after the sf10 single-anchor saturation cliff): anchors
+    # exploded map-side (Generate) as HASHED 8-byte keys — xxhash64(lo, hi),
+    # join key `akey` — candidates from an EQUI self-join on (akey[, bucket])
+    # — never a cartesian/NL join — then a candidate-collapse AGGREGATE on
+    # the bare ids keyed (doc_id_a, doc_id_b) with count(1) + max(__both_small)
+    # and the `__nk >= 2 OR __both_small` multiplicity filter BEFORE the
+    # verify joins. This subsumes the old bare-id distinct (round ≤10) and is
+    # a strictly stronger guard: the ≥2-shared-anchor requirement is what
+    # keeps the candidate set ∝ true-pair volume at saturating vocabularies
+    # (tools/anchor_saturation_probe.py: 4.0M ≥1-key vs 22.8k ≥2-key at sf3).
     plan = _plan(spark, sf_dir, "q_dedup_fuzzy", mode="simple")
     assert "Generate explode" in plan  # map-side anchor expansion
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "akey" in plan and "xxhash64" in plan  # hashed anchor equi key
-    # the pre-verify distinct exists: an aggregate keyed on exactly the
-    # bare candidate ids with no aggregate functions
     import re as _re
 
+    # the candidate-collapse aggregate: keyed on exactly the bare ids, with
+    # the multiplicity count and the small-doc escape flag (partial+final,
+    # so the count combines map-side before the shuffle)
     assert _re.search(
-        r"HashAggregate\(keys=\[doc_id_a#\d+L?, doc_id_b#\d+L?\], functions=\[\]",
+        r"HashAggregate\(keys=\[doc_id_a#\d+L?, doc_id_b#\d+L?\], "
+        r"functions=\[count\(1\), max\(__both_small#\d+\)\]",
         plan,
-    ), "pre-verify candidate distinct missing from the fuzzy plan"
+    ), "dual-anchor candidate-collapse aggregate missing from the fuzzy plan"
+    assert _re.search(
+        r"HashAggregate\(keys=\[doc_id_a#\d+L?, doc_id_b#\d+L?\], "
+        r"functions=\[partial_count\(1\), partial_max\(__both_small#\d+\)\]",
+        plan,
+    ), "candidate collapse lost its map-side partial aggregate"
+    # the ≥2-key multiplicity guard (with the both-small escape hatch) sits
+    # between the collapse and the verify join
+    assert _re.search(
+        r"Filter \(\(__nk#\d+L? >= 2\) OR __both_small#\d+\)", plan
+    ), "dual-anchor >=2-key multiplicity filter missing from the fuzzy plan"
 
 
 @pytest.mark.parametrize("name", ["q_join_semi", "q_join_anti"])
