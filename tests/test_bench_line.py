@@ -173,6 +173,85 @@ def test_retime_cold_tier_uses_overall_min(tmp_path, monkeypatch, capsys):
     assert pinned["retimed"]["q_b"]["basis"] == 2.1
 
 
+def test_retime_verdict_is_three_way(tmp_path, monkeypatch, capsys):
+    """VERDICT r11 #5: 'noise' only when the standalone re-time RECOVERS
+    the prior number.  A re-time past the log-space midpoint √(old·new)
+    REPRODUCES the change: with an allowlist entry it passes as
+    'allowlisted' (reason pinned in the closing artifact); without one it
+    is 'confirmed' and fails — even when the reproduced number slips
+    under the loose 3× within-round threshold (r11's containment case:
+    prior 2.69 s, sweep 14.3 s, retimes ~6.8 s < 3×·2.69 = 8.07 s, yet a
+    real adjudicated change)."""
+    import importlib
+    import json
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", "tools"))
+    import bench_gate
+
+    importlib.reload(bench_gate)
+
+    def seed(allowlist):
+        # q_c: within-round cold outlier 2.69 -> 14.3 (5.3x > 3x). No
+        # cross-round artifact — isolates the within-round path.
+        committed = {"value": 3.0, "sf": 0.1, "n_queries": 1,
+                     "queries": {"q_c": 2.69}, "warm_queries": {}}
+        fresh = {"value": 15.0, "sf": 0.1, "n_queries": 1,
+                 "queries": {"q_c": 14.3}, "warm_queries": {}}
+        root = tmp_path / "repo_3way"
+        (root / "tools").mkdir(parents=True, exist_ok=True)
+        (root / "BENCH_DETAIL.json").write_text(json.dumps(fresh))
+        (root / "tools" / "bench_allowlist.json").write_text(
+            json.dumps(allowlist)
+        )
+        monkeypatch.setattr(
+            bench_gate.subprocess, "check_output",
+            lambda *a, **k: json.dumps(committed),
+        )
+        return root
+
+    monkeypatch.setattr(bench_gate.sys, "argv", ["bench_gate.py", "r12"])
+
+    # retime 6.8 s: under 3x*2.69=8.07 (old rule: noise) but past
+    # sqrt(2.69*14.3)=6.2 (reproduces the new number).  Allowlisted entry
+    # present -> passes, verdict + reason pinned.
+    root = seed({"r12": {"q_c": "pair-key prefix plan constant trade"}})
+    monkeypatch.setattr(bench_gate, "REPO_ROOT", str(root))
+    monkeypatch.setattr(
+        bench_gate, "retime_verdicts",
+        lambda names, sf: {"q_c": {"runs": [8.2, 6.8, 7.1], "min": 6.8,
+                                   "warm_min": 6.8}},
+    )
+    assert bench_gate.main() == 0
+    assert "allowlisted" in capsys.readouterr().out
+    pinned = json.loads((root / "BENCH_CLOSING_r12.json").read_text())
+    assert pinned["retimed"]["q_c"]["verdict"] == "allowlisted"
+    assert pinned["retimed"]["q_c"]["reason"] == (
+        "pair-key prefix plan constant trade"
+    )
+
+    # same reproduced retime WITHOUT an allowlist entry -> confirmed, fails
+    root = seed({"r12": {}})
+    monkeypatch.setattr(bench_gate, "REPO_ROOT", str(root))
+    assert bench_gate.main() == 1
+    capsys.readouterr()
+
+    # a retime that RECOVERS the prior (2.9 s < midpoint) is still noise
+    # without any allowlist entry
+    root = seed({"r12": {}})
+    monkeypatch.setattr(bench_gate, "REPO_ROOT", str(root))
+    monkeypatch.setattr(
+        bench_gate, "retime_verdicts",
+        lambda names, sf: {"q_c": {"runs": [3.1, 2.9], "min": 2.9,
+                                   "warm_min": 2.9}},
+    )
+    assert bench_gate.main() == 0
+    pinned = json.loads((root / "BENCH_CLOSING_r12.json").read_text())
+    assert pinned["retimed"]["q_c"]["verdict"] == "noise"
+    assert "reason" not in pinned["retimed"]["q_c"]
+
+
 def test_retime_rejects_mismatched_sf_dir(monkeypatch, capsys):
     """Round-11 ADVICE closure: SPARK_GRAFT_SF_DIR pointing at a different
     scale factor than the flagged bench run must be discarded (a retime at
