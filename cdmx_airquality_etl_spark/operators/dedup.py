@@ -1662,7 +1662,7 @@ def q_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     each doc sorts its distinct shingles by the global (lexicographic)
     order and emits an anchor (lo, hi) for every pair whose BETWEEN-MASS —
     the summed weights of its own shingles strictly between them — is
-    ≤ M₂ = 4·wmax·(1−t)/t with wmax = N−1 (the largest weight any shingle
+    ≤ M₂ = ⌊4·wmax·(1−t)/t⌋ with wmax = N−1 (the largest weight any shingle
     can carry, so no extra pre-pass), plus (s, s) singletons for docs with
     total mass ≤ wmax·(1+t)/t. Round 11 doubled the budget from the
     round-9 M = 2·wmax·(1−t)/t and demands TWO shared anchor keys per
@@ -1674,18 +1674,24 @@ def q_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold while a true pair's shared-key count does not shrink.
 
     COVERAGE PROOF (weighted twin of the survivors=2 count proof on
-    _anchor_jaccard_pairs): w-J ≥ t ⇒ w(extras) ≤ w(S)·(1−t)/t ≤
-    |S|·wmax·(1−t)/t, where S is the shared set. A consecutive-in-S pair
-    fails to be A's anchor only when > M₂ of A's extra mass sits in its
-    gap, and gaps are disjoint, so A loses ≤ ⌊w(extras_A)/M₂⌋ of the
-    S−1 pairs; floors are superadditive, so
-    lost_A + lost_B ≤ ⌊w(extras)/M₂⌋ ≤ ⌊|S|/4⌋ — which is ≤ |S|−3 for
-    every |S| ≥ 4: at least two common pair keys survive in both docs.
-    |S| ≤ 3 forces wt_a + wt_b ≤ w(S)(1+t)/t ≤ 3·wmax·(1+t)/t — both
-    docs under the __small cutoff, where the candidate stage falls back
-    to the ≥1-key rule: there ⌊|S|/4⌋ = 0 means NO pair key is lost for
-    |S| ∈ {2, 3}, and |S| = 1 pairs (wt ≤ wmax(1+t)/t ≤ the singleton
-    cutoff on both sides) share the (s, s) key. ∎  Zero-weight
+    _anchor_jaccard_pairs; stated via M₂+1 so the shipped budget's
+    int() truncation is explicitly harmless — round-11 ADVICE: the code
+    uses M₂ = ⌊4·wmax·(1−t)/t⌋, which can sit strictly below the real
+    ratio, but a gap is LOST only when its integer mass is ≥ M₂+1, and
+    M₂+1 > 4·wmax·(1−t)/t unconditionally): w-J ≥ t ⇒ w(extras) ≤
+    w(S)·(1−t)/t ≤ |S|·wmax·(1−t)/t, where S is the shared set. A
+    consecutive-in-S pair fails to be A's anchor only when ≥ M₂+1 of
+    A's extra mass sits in its gap, and gaps are disjoint, so A loses
+    ≤ ⌊w(extras_A)/(M₂+1)⌋ of the S−1 pairs; floors are superadditive,
+    so lost_A + lost_B ≤ ⌊w(extras)/(M₂+1)⌋ < |S|·wmax·(1−t)/t /
+    (4·wmax·(1−t)/t) = |S|/4; an integer < |S|/4 is ≤ (|S|−1)/4 ≤
+    |S|−3 for every |S| ≥ 4: at least two common pair keys survive in
+    both docs. |S| ≤ 3 forces wt_a + wt_b ≤ w(S)(1+t)/t ≤
+    3·wmax·(1+t)/t — both docs under the __small cutoff, where the
+    candidate stage falls back to the ≥1-key rule: there lost < |S|/4
+    ≤ 3/4 means NO pair key is lost for |S| ∈ {2, 3}, and |S| = 1
+    pairs (wt ≤ wmax(1+t)/t ≤ the singleton cutoff on both sides)
+    share the (s, s) key. ∎  Zero-weight
     (corpus-universal) shingles extend anchors across themselves for
     free — precisely the boilerplate-straddling behavior the weighting
     exists for — while on weight-homogeneous corpora the mass budget
@@ -1711,14 +1717,20 @@ def q_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DUAL-ANCHOR mass budget (round 11, the weighted twin of
     # _anchor_jaccard_pairs' survivors=2 rule — its single-anchor
     # M = 2·wmax·(1−t)/t spilled past the sandbox disk at sf10):
-    # M₂ = 4·wmax·(1−t)/t. Proof: losses are floor-superadditive,
-    # lost_A + lost_B ≤ ⌊w(extras)/M₂⌋ ≤ ⌊S·wmax·(1−t)/t / M₂⌋ = ⌊S/4⌋
-    # ≤ S−3 for every S ≥ 4 — at least TWO of the S−1 consecutive-in-S
-    # pair keys survive in both docs. S ≤ 3 pairs force
+    # M₂ = ⌊4·wmax·(1−t)/t⌋. Proof — stated via M₂+1 so the int()
+    # truncation of the budget is explicitly harmless (round-11 ADVICE:
+    # M₂ can sit strictly BELOW 4·wmax·(1−t)/t, so a ⌊w/M₂⌋ bound
+    # would silently weaken; the anchor filter keeps a gap iff its
+    # integer mass ≤ M₂, so a gap is LOST only when mass ≥ M₂+1, and
+    # M₂+1 > 4·wmax·(1−t)/t always): losses are floor-superadditive,
+    # lost_A + lost_B ≤ ⌊w(extras)/(M₂+1)⌋ < S·wmax·(1−t)/t /
+    # (4·wmax·(1−t)/t) = S/4; an integer < S/4 is ≤ (S−1)/4 ≤ S−3 for
+    # every S ≥ 4 — at least TWO of the S−1 consecutive-in-S pair keys
+    # survive in both docs. S ≤ 3 pairs force
     # wt_a + wt_b ≤ w(S)(1+t)/t ≤ 3·wmax·(1+t)/t: both docs sit under
     # the __small cutoff and keep the ≥1-key rule there — where
-    # ⌊S/4⌋ = 0 means NO pair key is ever lost (S ≥ 2), and S = 1
-    # pairs keep the (s, s) singletons (wt ≤ wmax(1+t)/t ≤ cutoff).
+    # lost < S/4 ≤ 3/4 means NO pair key is ever lost (S ≥ 2), and
+    # S = 1 pairs keep the (s, s) singletons (wt ≤ wmax(1+t)/t ≤ cutoff).
     mass_budget = int(4 * w_max * (1 - t) / t)          # M₂ in the proof
     singleton_cutoff = int(w_max * (1 + t) / t)
     small_cutoff = int(3 * w_max * (1 + t) / t)

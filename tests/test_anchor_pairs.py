@@ -312,3 +312,53 @@ def test_hot_anchor_guard_bounds_candidates_without_changing_output(spark):
         .agg(F.count(F.lit(1)).alias("c"))
     )
     assert anch.filter(F.col("c") > 10).count() > 0
+
+
+@pytest.mark.parametrize("hot_anchor_split", [None, 1], ids=["plain", "salted"])
+def test_collision_monotone_count_preserves_dual_anchor_pair(
+    spark, hot_anchor_split
+):
+    """Executable form of the collision-monotonicity keystone in
+    _salted_anchor_candidates' docstring (round-11 VERDICT #8): when a
+    true pair's TWO distinct surviving anchors collide onto ONE xxhash64
+    key, each doc emits that key twice and the candidate self-join yields
+    2×2 = 4 rows — so the ≥2-count dual-anchor guard still admits the
+    pair.  A real 64-bit collision can't be planted, so the test builds
+    the post-hash anchor frame directly: the (doc_id, akey, __small)
+    schema _anchor_keys produces, with the collision materialized as a
+    duplicated key value per doc.
+
+    The 4-row claim is pinned through the public min_shared parameter:
+    the collided pair must survive min_shared = 4 exactly (4 join rows)
+    and vanish at 5.  Negative control: a pair sharing ONE surviving
+    anchor (one row) must NOT pass the default guard — proving the
+    filter is live and the collision case passes on multiplicity, not
+    vacuously."""
+    from cdmx_airquality_etl_spark.operators.dedup import (
+        _salted_anchor_candidates,
+    )
+
+    K = 1234567890123456789  # the collided 64-bit key value
+    rows = [
+        # docs 1, 2: two distinct survivors collided onto K → K twice each
+        (1, K, False), (1, K, False), (2, K, False), (2, K, False),
+        # docs 3, 4: a single shared surviving anchor (df = 2, one row)
+        (3, 777, False), (4, 777, False),
+    ]
+    anch = spark.createDataFrame(
+        rows, "doc_id long, akey long, __small boolean"
+    )
+
+    def pairs(min_shared):
+        return {
+            (r["doc_id_a"], r["doc_id_b"])
+            for r in _salted_anchor_candidates(
+                anch, hot_anchor_split=hot_anchor_split, min_shared=min_shared
+            ).collect()
+        }
+
+    got = pairs(2)
+    assert (1, 2) in got, "collision lost a dual-anchor pair"
+    assert (3, 4) not in got, "single-anchor pair slipped the >=2 guard"
+    assert (1, 2) in pairs(4)  # exactly 4 joined rows...
+    assert (1, 2) not in pairs(5)  # ...and not one more

@@ -5,7 +5,29 @@ list — fits the capture window even at worst-case timing widths."""
 
 import json
 
+import pytest
+
 import bench
+
+
+@pytest.fixture(autouse=True)
+def _stub_canary(monkeypatch):
+    """The gate runs the real host canary (~7 s of fixed CPU work) at pin
+    time; stub it for the unit tests — its behavior is not under test
+    here and 10+ main() calls would cost minutes."""
+    try:
+        import host_canary
+    except ImportError:
+        import sys as _sys
+        import os as _os
+
+        _sys.path.insert(
+            0, _os.path.join(_os.path.dirname(__file__), "..", "tools")
+        )
+        import host_canary
+    monkeypatch.setattr(
+        host_canary, "canary", lambda reps=5: {"total_sec": 1.0}
+    )
 
 
 def test_headline_line_fits_capture_window():

@@ -16,7 +16,11 @@ unique random tail sized so the pairwise Jaccard sits just BELOW the 0.5
 threshold (all collision work is wasted by construction) — and measures,
 for q_dedup_fuzzy (adjacency anchors) and q_dedup_minhash (banded LSH):
 
-- candidate-pair count (the quadratic term),
+- raw anchor self-join rows Σc(c−1)/2 (the quadratic work term) over the
+  SHIPPED dual-anchor frame, plus the actual ≥2-key|__small candidate
+  count entering exact verify (round-12: both from min_shared=2, the
+  configuration q_dedup_fuzzy runs — round-11 ADVICE flagged the probe
+  for mixing retired ≥1-key counts with dual-anchor timings),
 - output rows,
 - warm wall time (min of --runs noop-sink executions),
 
@@ -108,15 +112,22 @@ def gen_onehot_documents(sf: float, hot_docs: int, block_words: int = 4) -> pa.T
 def _anchors(spark, sf_dir: str):
     """The anchor-key frame of q_dedup_fuzzy's candidate stage — the
     operator's OWN dd._anchor_keys (round 10: hashed keys, size-adaptive
-    reach), not a reconstruction that could drift."""
+    reach), not a reconstruction that could drift.  min_shared=2 matches
+    the shipped min_shared='auto' dual-anchor default (round-11 ADVICE:
+    the probe previously built the retired ≥1-key frame, so its counts
+    mixed configurations with the dual-anchor timings)."""
     import cdmx_airquality_etl_spark.operators.dedup as dd
     from cdmx_airquality_etl_spark.sources.parquet import load_table
 
     shingled = dd._doc_shingles(load_table(spark, sf_dir, "documents"))
-    return dd._anchor_keys(shingled, dd._JACCARD_THRESHOLD)
+    return dd._anchor_keys(shingled, dd._JACCARD_THRESHOLD, min_shared=2)
 
 
 def _candidates_fuzzy(spark, sf_dir: str, cap: int | None = None):
+    """Σ c·(c−1)/2 over anchor keys — the raw self-join ROW volume (the
+    quadratic work term).  Under the dual-anchor rule this is the input
+    to the ≥2-key collapse, not the verify-stage candidate count; the
+    post-collapse count is measured separately (_candidates_dual)."""
     from pyspark.sql import functions as F
 
     anch = _anchors(spark, sf_dir)
@@ -127,6 +138,17 @@ def _candidates_fuzzy(spark, sf_dir: str, cap: int | None = None):
         F.sum(F.expr("c * (c - 1) / 2")).cast("long").alias("cands"),
         F.max("c").alias("hottest_key"),
     ).first()
+
+
+def _candidates_dual(spark, sf_dir: str) -> int:
+    """The ACTUAL candidate-pair count entering exact verification under
+    the shipped dual-anchor rule (≥2 shared keys OR both __small) — the
+    operator's own _salted_anchor_candidates over the same frame."""
+    import cdmx_airquality_etl_spark.operators.dedup as dd
+
+    return dd._salted_anchor_candidates(
+        _anchors(spark, sf_dir), min_shared=2
+    ).count()
 
 
 def _candidates_minhash(spark, sf_dir: str):
@@ -242,9 +264,12 @@ def main() -> int:
         cf_cap = _candidates_fuzzy(spark, d, cap=cap)
         cm = _candidates_minhash(spark, d)
         entry = {
-            "anchor_candidates": cf["cands"],
+            # raw self-join rows over the DUAL-anchor frame (Σ c(c−1)/2)
+            "anchor_join_rows": cf["cands"],
             "anchor_hottest_key": cf["hottest_key"],
-            "anchor_candidates_capped": cf_cap["cands"],
+            "anchor_join_rows_capped": cf_cap["cands"],
+            # pairs surviving the ≥2-key|__small collapse (verify input)
+            "anchor_candidates_dual": _candidates_dual(spark, d),
             "band_candidates": cm["cands"],
             "band_hottest_key": cm["hottest_key"],
             "q_dedup_fuzzy_capped": _time_fuzzy_variant(

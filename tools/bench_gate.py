@@ -57,7 +57,6 @@ import glob
 import json
 import os
 import re
-import shutil
 import subprocess
 import sys
 
@@ -127,7 +126,7 @@ def retime_verdicts(
             cwd=REPO_ROOT,
             text=True,
             stderr=subprocess.DEVNULL,
-            timeout=1800,
+            timeout=3600,
         )
         return json.loads(out.strip().splitlines()[-1])
     except Exception as e:  # noqa: BLE001
@@ -151,8 +150,34 @@ def main() -> int:
     with open(detail_path) as f:
         fresh = json.load(f)
 
+    # Host-speed canary at pin time (round 12 — the falsifiability
+    # instrument for drift adjudication): a fixed code-version-independent
+    # CPU workload recorded INSIDE the closing artifact, so cross-round
+    # bench ratios decompose into host ratio × engine ratio with committed
+    # numbers on both sides.  Recorded evidence only — NEVER used to
+    # normalize the gate's thresholds (that would launder real regressions
+    # behind a noisy divisor).
+    try:
+        sys.path.insert(0, os.path.join(REPO_ROOT, "tools"))
+        from host_canary import canary
+
+        fresh["canary"] = canary()
+        print(f"host canary at pin time: {json.dumps(fresh['canary'])}")
+    except Exception as e:  # noqa: BLE001
+        print(f"host canary failed ({e}) — pinning without it")
+    try:
+        from scaling_sweep import code_hash
+
+        # package provenance stamp: two closings with EQUAL stamps that
+        # differ by a uniform per-query ratio shift are attested host
+        # drift — the same bytes cannot produce a different plan
+        fresh["code"] = code_hash()
+    except Exception as e:  # noqa: BLE001
+        print(f"code-hash stamp failed ({e}) — pinning without it")
+
     closing_path = os.path.join(REPO_ROOT, f"BENCH_CLOSING_{tag}.json")
-    shutil.copyfile(detail_path, closing_path)
+    with open(closing_path, "w") as f:
+        json.dump(fresh, f, indent=1, sort_keys=True)
     print(
         f"pinned {closing_path}: total {fresh['value']}s over "
         f"{fresh['n_queries']} queries (sf{fresh['sf']}) — BASELINE.md must "
@@ -197,6 +222,16 @@ def main() -> int:
     # -------- cross-round ledger (VERDICT r8 #8) --------
     prev = previous_closing(tag)
     prev_tag, prev_bench = prev if prev else (None, None)
+    if prev and prev_bench.get("canary") and fresh.get("canary"):
+        pc, fc = prev_bench["canary"], fresh["canary"]
+        ratios = {
+            k: round(fc[k] / pc[k], 3)
+            for k in fc
+            if k in pc and pc[k] > 0
+        }
+        print(f"host canary vs {prev_tag}: ratios {json.dumps(ratios)} "
+              "(>1 = this host is slower; context for adjudication, not a "
+              "threshold input)")
     allow = load_allowlist(tag)
     regressions, allowed = [], []
     if prev:

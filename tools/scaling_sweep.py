@@ -66,6 +66,52 @@ DEFAULT_SWEEP = {
 }
 
 
+def code_hash() -> str:
+    """Provenance stamp for measured points (round-11 ADVICE: --merge-sf's
+    soundness rested entirely on caller discipline): sha256 over the
+    package's .py file bytes, path-sorted.  Any engine edit — even one
+    that 'should not' change a plan — changes the stamp, so a
+    mixed-version merge is detectable instead of silently fabricating a
+    slope."""
+    import hashlib
+
+    pkg = os.path.join(REPO_ROOT, "cdmx_airquality_etl_spark")
+    h = hashlib.sha256()
+    for root, _dirs, files in sorted(os.walk(pkg)):
+        for name in sorted(files):
+            if not name.endswith(".py"):
+                continue
+            p = os.path.join(root, name)
+            h.update(os.path.relpath(p, pkg).encode())
+            with open(p, "rb") as f:
+                h.update(f.read())
+    return h.hexdigest()[:12]
+
+
+def check_merge_provenance(q: str, entry: dict, stamp: str) -> None:
+    """Refuse a --merge-sf when any prior point of ``q`` carries a
+    provenance stamp differing from the current tree's; warn (and defer
+    to the caller's code-unchanged assertion) for pre-stamp legacy
+    points."""
+    for k, pt in entry.get("per_sf", {}).items():
+        prior_code = pt.get("code")
+        if prior_code is None:
+            print(
+                f"{q} sf{k}: prior point has no provenance stamp "
+                "(pre-round-12) — merging on the caller's code-unchanged "
+                "assertion",
+                flush=True,
+            )
+        elif prior_code != stamp:
+            raise SystemExit(
+                f"--merge-sf refused for {q}: prior sf{k} point was "
+                f"measured at package hash {prior_code}, current tree is "
+                f"{stamp} — the execution code changed, so a merged curve "
+                "would mix code versions; re-measure the full sf range "
+                "instead"
+            )
+
+
 def fit_exponent(ns: list[int], ts: list[float]) -> float:
     """Least-squares slope of log(t) on log(n)."""
     xs = [math.log(n) for n in ns]
@@ -89,10 +135,12 @@ def main() -> int:
         help="merge the fresh per-sf points into a query's EXISTING entry "
         "and refit the exponent on the union, instead of replacing the "
         "entry. ONLY sound when the query's execution code is unchanged "
-        "since the prior points were measured (the caller asserts this — "
-        "mixing code versions inside one curve would fabricate a slope); "
-        "used to extend a committed curve by one decade without paying "
-        "the full re-measure.",
+        "since the prior points were measured — enforced via the per-point "
+        "'code' provenance stamp (package sha256 at measurement time): the "
+        "merge REFUSES when a prior point's stamp differs from the current "
+        "tree. Points predating the stamp (legacy) merge with a warning — "
+        "there the caller still asserts code-unchanged. Used to extend a "
+        "committed curve by one decade without paying the full re-measure.",
     )
     args = ap.parse_args()
 
@@ -142,7 +190,10 @@ def main() -> int:
         with open(args.out, "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)
 
+    stamp = code_hash()
     for q, table in sweep.items():
+        if args.merge_sf and q in results:
+            check_merge_provenance(q, results[q], stamp)
         per_sf: dict[str, dict] = {}
         for sf in args.sfs:
             d = sf_dirs[sf]
@@ -160,6 +211,7 @@ def main() -> int:
             per_sf[f"{sf:g}"] = {
                 "sec": round(best, 3),
                 "rows": rows[sf][table],
+                "code": stamp,
             }
             print(
                 f"{q} sf{sf:g}: {best:.2f}s ({rows[sf][table]} {table} rows)",
