@@ -274,6 +274,72 @@ def test_retime_verdict_is_three_way(tmp_path, monkeypatch, capsys):
     assert "reason" not in pinned["retimed"]["q_c"]
 
 
+def test_host_shift_attestation(tmp_path, monkeypatch, capsys):
+    """Round-12 host-shift tier: when the previous closing carries the
+    SAME package code-hash stamp and the per-query ratios are a tight
+    uniform shift, flags the shift explains pin verdict 'host-shift'
+    without a retime; with DIFFERENT stamps the same numbers take the
+    normal retime path (and fail here, retimes stubbed empty)."""
+    import importlib
+    import json
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", "tools"))
+    import bench_gate
+
+    importlib.reload(bench_gate)
+
+    def seed(prev_code, fresh_code):
+        # 24 queries all shifted exactly 1.6x — uniform, above the 1.5x
+        # cross-round bar
+        prev_q = {f"q_{i:02d}": 1.0 + i * 0.05 for i in range(24)}
+        fresh_q = {k: round(v * 1.6, 3) for k, v in prev_q.items()}
+        prev = {"value": sum(prev_q.values()), "sf": 0.1,
+                "n_queries": 24, "queries": prev_q, "warm_queries": {},
+                "code": prev_code}
+        fresh = {"value": sum(fresh_q.values()), "sf": 0.1,
+                 "n_queries": 24, "queries": fresh_q, "warm_queries": {}}
+        root = tmp_path / f"repo_shift_{prev_code}_{fresh_code}"
+        (root / "tools").mkdir(parents=True, exist_ok=True)
+        (root / "BENCH_DETAIL.json").write_text(json.dumps(fresh))
+        (root / "BENCH_CLOSING_r11.json").write_text(json.dumps(prev))
+        (root / "tools" / "bench_allowlist.json").write_text("{}")
+        monkeypatch.setattr(
+            bench_gate.subprocess, "check_output",
+            lambda *a, **k: json.dumps(fresh),  # within-round: no change
+        )
+        monkeypatch.setattr(
+            bench_gate, "retime_verdicts", lambda names, sf: {}
+        )
+        import scaling_sweep
+        monkeypatch.setattr(scaling_sweep, "code_hash", lambda: fresh_code)
+        return root
+
+    monkeypatch.setattr(bench_gate.sys, "argv", ["bench_gate.py", "r12"])
+
+    # equal stamps + uniform 1.6x -> host-shift verdicts, exit 0, pinned
+    root = seed("samecode", "samecode")
+    monkeypatch.setattr(bench_gate, "REPO_ROOT", str(root))
+    assert bench_gate.main() == 0
+    out = capsys.readouterr().out
+    assert "attested uniform host shift" in out
+    pinned = json.loads((root / "BENCH_CLOSING_r12.json").read_text())
+    assert pinned["host_shift"]["median"] == 1.6
+    assert all(
+        e["verdict"] == "host-shift"
+        for e in pinned["host_shift"]["queries"].values()
+    )
+    assert len(pinned["host_shift"]["queries"]) > 0
+
+    # different stamps: no attestation — flags stand (retime stubbed
+    # empty), gate fails
+    root = seed("oldcode", "newcode")
+    monkeypatch.setattr(bench_gate, "REPO_ROOT", str(root))
+    assert bench_gate.main() == 1
+    assert "attested uniform host shift" not in capsys.readouterr().out
+
+
 def test_retime_rejects_mismatched_sf_dir(monkeypatch, capsys):
     """Round-11 ADVICE closure: SPARK_GRAFT_SF_DIR pointing at a different
     scale factor than the flagged bench run must be discarded (a retime at

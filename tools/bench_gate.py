@@ -48,6 +48,15 @@ containment entry (prior 2.69 s, retimes 6.8–8.2 s reproducing the
 adjudicated pair-key constant) carried ``verdict: noise``; that
 conflation was the laundering pattern the gate exists to prevent.
 
+Round 12 also adds CODE-HASH-ATTESTED host-shift adjudication: every
+closing carries the package sha256 stamp and a host canary.  When the
+previous closing's stamp EQUALS the fresh one and the per-query ratio
+distribution is a tight uniform shift (median ≥ 1.15, p75/p25 ≤ 1.4 over
+≥ 20 queries), the same bytes produced both plans — the shift is the
+host, and cross-round flags it explains (ratio ≤ median × 1.25) pin
+verdict "host-shift" without burning a retime each.  Flags beyond the
+explained band still retime under the three-way rule.
+
 Usage: python tools/bench_gate.py <round-tag> [--no-retime]   (after bench.py)
 """
 
@@ -132,6 +141,47 @@ def retime_verdicts(
     except Exception as e:  # noqa: BLE001
         print(f"retime subprocess failed ({e}) — violations stand")
         return {}
+
+
+def uniform_shift(fresh: dict, prev_bench: dict) -> dict | None:
+    """Code-hash-attested uniform host-shift detector (round 12).
+
+    Premise: when two closings carry EQUAL package code-hash stamps, the
+    same bytes produced both runs' plans — a per-query ratio distribution
+    that is (a) shifted (median ≥ 1.15) and (b) tight (p75/p25 ≤ 1.4)
+    cannot be an engine change and is attested host drift.  (Assumes the
+    driver-managed sf data and local[CPUS] shape are round-stable, which
+    they are by the test protocol; session config lives in the package
+    and is covered by the stamp.)
+
+    Returns {"median": r, "p25": ..., "p75": ..., "n": ...} when the
+    attestation holds, else None.  Requires ≥ 20 common queries ≥ 0.5 s
+    so the statistics mean something.  Used ONLY to adjudicate
+    cross-round flags whose ratio the shift explains (≤ median × 1.25);
+    larger flags still go to the standalone retime."""
+    if not fresh.get("code") or fresh.get("code") != prev_bench.get("code"):
+        return None
+    ratios = []
+    for name, old in prev_bench.get("queries", {}).items():
+        new = fresh.get("queries", {}).get(name)
+        if new and old and new > 0 and old >= 0.5:
+            ratios.append(new / old)
+    if len(ratios) < 20:
+        return None
+    ratios.sort()
+
+    def q(p: float) -> float:
+        return ratios[min(len(ratios) - 1, int(p * len(ratios)))]
+
+    med, p25, p75 = q(0.5), q(0.25), q(0.75)
+    if med < 1.15 or p75 / p25 > 1.4:
+        return None
+    return {
+        "median": round(med, 3),
+        "p25": round(p25, 3),
+        "p75": round(p75, 3),
+        "n": len(ratios),
+    }
 
 
 def load_allowlist(tag: str) -> dict[str, str]:
@@ -233,7 +283,13 @@ def main() -> int:
               "(>1 = this host is slower; context for adjudication, not a "
               "threshold input)")
     allow = load_allowlist(tag)
-    regressions, allowed = [], []
+    regressions, allowed, host_shifted = [], [], {}
+    shift = uniform_shift(fresh, prev_bench) if prev else None
+    if shift:
+        print(f"attested uniform host shift vs {prev_tag}: "
+              f"{json.dumps(shift)} (equal code stamps — same bytes, so "
+              "the shift is the host; flags it explains are adjudicated "
+              "'host-shift' without retime)")
     if prev:
         for name in fresh.get("queries", {}):
             new = pick(fresh, name, "warm_queries")
@@ -248,11 +304,21 @@ def main() -> int:
             if new >= MIN_ABS_SEC and new >= CROSS_ROUND_FACTOR * old:
                 if name in allow:
                     allowed.append((name, old, new, tier, allow[name]))
+                elif shift and new <= shift["median"] * 1.25 * old:
+                    host_shifted[name] = {
+                        "prior": old, "sweep": new, "tier": tier,
+                        "ratio": round(new / old, 3),
+                        "verdict": "host-shift",
+                    }
                 else:
                     regressions.append((name, old, new, tier))
         for name, old, new, tier, why in allowed:
             print(f"  allowlisted ({tag}): {name} {old:.2f}s -> {new:.2f}s "
                   f"({tier}) — {why}")
+        for name, e in host_shifted.items():
+            print(f"  host-shift ({tag}): {name} {e['prior']:.2f}s -> "
+                  f"{e['sweep']:.2f}s ({e['tier']}, ratio {e['ratio']} ≤ "
+                  f"median {shift['median']} × 1.25)")
 
     # -------- standalone re-time adjudication (VERDICT r9 #1) --------
     # One retime pass over the union of violators; a violation whose
@@ -326,8 +392,11 @@ def main() -> int:
         else:
             still_reg.append((name, old, new, tier))
 
-    if retimed:
-        fresh["retimed"] = retimed
+    if retimed or host_shifted or shift:
+        if retimed:
+            fresh["retimed"] = retimed
+        if shift:
+            fresh["host_shift"] = {**shift, "queries": host_shifted}
         with open(closing_path, "w") as f:
             json.dump(fresh, f, indent=1, sort_keys=True)
 
