@@ -742,9 +742,25 @@ def _prefix_containment_pairs(
         )
     )
     # present size classes: one bounded driver-side distinct (≤ 64 rows —
-    # classes of a long doc size), the repo's bounded-collect discipline
+    # classes of a long doc size), the repo's bounded-collect discipline.
+    # Round 12: derived from the RAW shingled frame, not from `docs` — the
+    # old pre-job re-ran the postings explode + df window + per-doc regroup
+    # (the query's heaviest subtree) just to learn ≤ 64 class values
+    # (measured sf0.1: 14.4 s vs 2.6 s first-run, 0.18 vs 0.08 warm). The
+    # raw-frame class set is a SUPERSET of the survivor set (the df ≥ 2
+    # filter only removes docs, never adds classes): coverage needs every
+    # qualifying A's class present (raw ⊇ survivors ⊇ qualifying), and a
+    # class whose docs all died only lengthens some B prefixes — extra
+    # CANDIDATES, which the exact verify below scores and drops. Measured
+    # on the driver corpus the two sets are identical.
     present = sorted(
-        r["gcls"] for r in docs.select("gcls").distinct().collect()
+        r["gcls"]
+        for r in shingled.filter(F.col("n_sh") >= 1)
+        .select(
+            (F.length(F.expr("bin(n_sh)")) - 1).cast("int").alias("gcls")
+        )
+        .distinct()
+        .collect()
     )
     bound = {g: max(1, math.ceil(t * (1 << g) - 1e-9)) for g in present}
     pair_classes = [g for g in present if bound[g] >= 2]

@@ -702,6 +702,157 @@ def _sql_hexslice_u(h: str, o: str) -> str:
     return f"(({terms}) / 4294967296.0)"
 
 
+# ---------------------------------------------------------------------------
+# round-12 Arrow draw kernel (optimization guide §4.2): the hash-draw
+# fan-out these resampling queries share — explode × B rows, one
+# conv(hex-slice) per draw — dominated their task time. Measured at
+# sf0.1 (single-task kernel, min-of-3): md5×8/row 1.3 s, +32 hex
+# substrings 2.1 s, +posexplode 2.4 s, +conv 5.1 s — conv alone is
+# bigger than the md5s, and JVM-expression replacements (ascii/instr
+# digit parses) measured SLOWER (6.8/8.5 s). The fix moves the kernel
+# into a vectorized mapInPandas stage: hashlib's md5 DIGEST BYTES are
+# the same bits the hex path sliced — conv(substring(hex, 8i+1, 8),
+# 16, 10) == big-endian uint32 of digest[4i:4i+4] — so the uniforms
+# are BIT-IDENTICAL (u = uint32 / 2^32, both exact in float64); the
+# Poisson inverse-CDF CASE chain is np.searchsorted over the same
+# literal thresholds (same <= tie rule); and only per-batch PARTIAL
+# AGGREGATES at (group, b) grain cross the Arrow boundary back (guide
+# §2.3 "aggregate before you shuffle") — int64 sums of int64, so batch
+# boundaries cannot change the final aggregate. Verified frame-identical
+# vs the retired JVM chain at sf0.1 and oracle-green at 3 SFs. The
+# oracles are untouched: the draw function itself never changed.
+# ---------------------------------------------------------------------------
+
+
+def _md5_u32_rows(ids, n_md5: int, sep: str):
+    """len(ids) × 4·n_md5 float64 uniforms: md5(f"{id}{sep}{j}") for
+    j < n_md5, each digest yielding four big-endian 32-bit slices / 2^32
+    — bit-identical to the conv(substring(md5_hex, 8i+1, 8), 16, 10) /
+    4294967296.0 chain the JVM plans used."""
+    import hashlib
+
+    import numpy as np
+
+    md5 = hashlib.md5
+    join = b"".join
+    sufs = [f"{sep}{j}".encode() for j in range(n_md5)]
+    out = np.empty((len(ids), 4 * n_md5), dtype=np.float64)
+    for r, s in enumerate(ids):
+        e = s.encode()
+        out[r] = np.frombuffer(
+            join(md5(e + suf).digest() for suf in sufs), dtype=">u4"
+        )
+    out /= 4294967296.0
+    return out
+
+
+def _boot_partials(batches):
+    """(event_type, b, Σ w·vc, Σ w) partials per Arrow batch for
+    q_bootstrap_ci. Exactness bound: per-batch Σ w·vc ≤ 9 · max|vc| ·
+    batch_rows — int64 throughout, far under 2^63."""
+    import numpy as np
+    import pandas as pd
+
+    cum = np.asarray(_POIS_CUM, dtype=np.float64)
+    brange = np.arange(_BOOT_B, dtype=np.int32)
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        u = _md5_u32_rows(pdf["eid"].tolist(), _BOOT_B // 4, "#")
+        wmat = np.searchsorted(cum, u, side="left").astype(np.int64)
+        vc = pdf["vc"].to_numpy(dtype=np.int64)
+        codes, uniq = pd.factorize(pdf["event_type"], use_na_sentinel=False)
+        et_out, b_out, swc_out, nw_out = [], [], [], []
+        for t, et in enumerate(uniq):
+            rows = codes == t
+            wt = wmat[rows]
+            et_out.extend([et] * _BOOT_B)
+            b_out.append(brange)
+            swc_out.append((wt * vc[rows, None]).sum(axis=0))
+            nw_out.append(wt.sum(axis=0))
+        yield pd.DataFrame(
+            {
+                "event_type": et_out,
+                "b": np.concatenate(b_out),
+                "swc": np.concatenate(swc_out),
+                "nw": np.concatenate(nw_out),
+            }
+        )
+
+
+def _perm_partials(batches):
+    """(b, Σ cents·side₀, n₀, Σ cents·side₁, n₁) partials per Arrow batch
+    for q_permutation_test — side 1 iff u ≥ 0.5 (the JVM chain's
+    when(u < 0.5, 0).otherwise(1))."""
+    import numpy as np
+    import pandas as pd
+
+    brange = np.arange(_PERM_B, dtype=np.int32)
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        u = _md5_u32_rows(pdf["uid"].tolist(), _PERM_B // 4, "~")
+        side1 = u >= 0.5
+        cents = pdf["cents"].to_numpy(dtype=np.int64)
+        s1 = (side1 * cents[:, None]).sum(axis=0)
+        n1 = side1.sum(axis=0).astype(np.int64)
+        yield pd.DataFrame(
+            {
+                "b": brange,
+                "s0": int(cents.sum()) - s1,
+                "n0": len(pdf) - n1,
+                "s1": s1,
+                "n1": n1,
+            }
+        )
+
+
+def _fdr_partials(batches):
+    """(event_type, b, s0, n0, s1, n1) partials per Arrow batch for
+    q_fdr_screen. b = -1 carries the observed cohort split; draws are
+    keyed on user_id alone, so each unique user in the batch hashes ONCE
+    (the JVM chain re-hashed per (type, user) row — md5(user~j) is
+    deterministic, so the cached matrix is value-identical)."""
+    import numpy as np
+    import pandas as pd
+
+    bvals = np.arange(-1, _PERM_B, dtype=np.int32)
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        ucodes, uuniq = pd.factorize(pdf["uid"])
+        u = _md5_u32_rows(list(uuniq), _PERM_B // 4, "~")
+        side1 = np.concatenate(
+            [
+                (pdf["cohort"].to_numpy(dtype=np.int64) == 1)[:, None],
+                (u >= 0.5)[ucodes],
+            ],
+            axis=1,
+        )
+        cents = pdf["cents"].to_numpy(dtype=np.int64)
+        codes, uniq = pd.factorize(pdf["event_type"], use_na_sentinel=False)
+        frames = []
+        for t, et in enumerate(uniq):
+            rows = codes == t
+            sd = side1[rows]
+            c = cents[rows]
+            s1 = (sd * c[:, None]).sum(axis=0)
+            n1 = sd.sum(axis=0).astype(np.int64)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "event_type": et,
+                        "b": bvals,
+                        "s0": int(c.sum()) - s1,
+                        "n0": len(c) - n1,
+                        "s1": s1,
+                        "n1": n1,
+                    }
+                )
+            )
+        yield pd.concat(frames, ignore_index=True)
+
+
 @register(
     "q_bootstrap_ci",
     oracle=f"""
@@ -750,56 +901,34 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     no PRNG, re-runs byte-identical, and the SAME literal thresholds
     render into both engines (the q_global_shuffle / BM25-constant
     convention). One md5 yields FOUR independent 32-bit uniforms (8-hex
-    slices), so each row hashes {b}/4 times, not {b} — and the per-draw
-    work after the explode is a slice + conv + CASE, all inside
-    whole-stage codegen (A/B-measured ~2x cold vs the md5-per-draw
-    shape). Values ride as exact integer cents (the q_ols_group scaling
-    convention): the resample sums are plain BIGINT — Σw·vc ≤ 9 · 33k ·
-    rows/group keeps 19 digits of headroom past a trillion rows per
-    group — with ONE final double division. The CI picks positional
-    members of the {b}-value resample distribution (percentile_disc —
-    no interpolation). Plan: a {b}x map-side explode, one hash aggregate
-    on (group, b), then a group-cardinality quantile — nothing scales
-    past B x groups."""
+    slices), so each row hashes {b}/4 times, not {b}. Round 12: the
+    draw kernel (md5 → uniform → Poisson weight → (group, b) partial
+    sum) runs vectorized in _boot_partials (guide §4.2) — the JVM
+    explode × conv chain it replaces measured 3.8 s at sf0.1 vs 1.7 s,
+    with conv() alone costing more than the md5s; uniforms come from
+    the same digest BYTES the hex path sliced, so every weight is
+    bit-identical. Values ride as exact integer cents (the q_ols_group
+    scaling convention): the resample sums are plain BIGINT — Σw·vc ≤
+    9 · 33k · rows/group keeps 19 digits of headroom past a trillion
+    rows per group — with ONE final double division. The CI picks
+    positional members of the {b}-value resample distribution
+    (percentile_disc — no interpolation). Plan: a map-side Arrow
+    kernel emitting (group, b)-grain partials, one hash aggregate
+    merging them, then a group-cardinality quantile — nothing crossing
+    an exchange (or the Python boundary) scales past B x groups."""
     events = load_table(spark, sf_dir, "events")
-    hashes = F.expr(
-        f"transform(sequence(0, {_BOOT_B // 4 - 1}), "
-        "j -> md5(concat(cast(event_id as string), '#', "
-        "cast(j as string))))"
-    )
-    slices = F.expr(
-        "flatten(transform(hh, h -> transform(sequence(0, 3), "
-        "i -> substring(h, i * 8 + 1, 8))))"
-    )
-    draws = (
-        events.select(
-            "event_type",
-            F.round(F.col("value") * 100).cast("long").alias("vc"),
-            hashes.alias("hh"),
-        )
-        .select(
-            "event_type", "vc", F.posexplode(slices).alias("b", "hx")
-        )
-        .select(
-            "event_type",
-            "vc",
-            "b",
-            (
-                F.conv("hx", 16, 10).cast("long")
-                / F.lit(4294967296.0)
-            ).alias("u"),
-        )
-    )
-    w = F.lit(9)
-    for k in reversed(range(9)):
-        w = F.when(F.col("u") <= F.lit(_POIS_CUM[k]), F.lit(k)).otherwise(w)
-    weighted = draws.select("event_type", "b", "vc", w.alias("w"))
+    # round-12: the md5/conv/Poisson draw fan-out runs vectorized inside
+    # _boot_partials (bit-identical uniforms from the digest bytes, see
+    # the kernel block above); only (type, b)-grain int64 partials cross
+    # the Arrow boundary, and this final aggregate merges them exactly.
+    parts = events.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+        F.col("event_id").cast("string").alias("eid"),
+    ).mapInPandas(_boot_partials, "event_type string, b int, swc long, nw long")
     resample_means = (
-        weighted.groupBy("event_type", "b")
-        .agg(
-            F.sum(F.col("w") * F.col("vc")).alias("swc"),
-            F.sum("w").alias("nw"),
-        )
+        parts.groupBy("event_type", "b")
+        .agg(F.sum("swc").alias("swc"), F.sum("nw").alias("nw"))
         .filter(F.col("nw") > 0)
         .select(
             "event_type",
@@ -965,9 +1094,12 @@ def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-uniform draws (four 32-bit slices per md5, so each user hashes
     {b}/4 times), user values ride as exact integer cents, each T_b is a
     closed form over BIGINT conditional sums, and the plan is per-user
-    aggregate → {b}x map-side explode → hash aggregate on b → one scalar
-    rollup. Nothing scales past B x users; the observed statistic is the
-    same closed form both engines evaluate bitwise-identically."""
+    aggregate → vectorized Arrow draw kernel emitting b-grain int64
+    partials (_perm_partials; round 12, guide §4.2 — replaces the
+    {b}x explode + conv chain with bit-identical draws from the digest
+    bytes) → hash aggregate on b → one scalar rollup. Nothing scales
+    past B x users; the observed statistic is the same closed form both
+    engines evaluate bitwise-identically."""
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents"),
@@ -985,39 +1117,32 @@ def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t_obs"
         )
     )
-    hashes = F.expr(
-        f"transform(sequence(0, {_PERM_B // 4 - 1}), "
-        "j -> md5(concat(cast(user_id as string), '~', cast(j as string))))"
-    )
-    slices = F.expr(
-        "flatten(transform(hh, h -> transform(sequence(0, 3), "
-        "i -> substring(h, i * 8 + 1, 8))))"
-    )
-    draws = (
-        per_user.select("cents", hashes.alias("hh"))
-        .select("cents", F.posexplode(slices).alias("b", "hx"))
-        .select(
-            "cents",
-            "b",
-            F.when(
-                F.conv("hx", 16, 10).cast("long") / F.lit(4294967296.0) < 0.5, 0
-            )
-            .otherwise(1)
-            .alias("side"),
-        )
-    )
-    n0 = F.sum(F.when(F.col("side") == 0, 1).otherwise(0))
-    n1 = F.sum(F.when(F.col("side") == 1, 1).otherwise(0))
+    # round-12: draw fan-out vectorized in _perm_partials (bit-identical
+    # sides from the md5 digest bytes; B-grain int64 partials cross the
+    # Arrow boundary instead of users × B exploded rows — kernel block
+    # above). The final per-b sums, casts and divisions are the same
+    # expressions the exploded plan aggregated.
+    parts = per_user.select(
+        F.col("user_id").cast("string").alias("uid"), "cents"
+    ).mapInPandas(_perm_partials, "b int, s0 long, n0 long, s1 long, n1 long")
     perms = (
-        draws.groupBy("b")
+        parts.groupBy("b")
         .agg(
-            (side_mean(F.col("side"), 0) - side_mean(F.col("side"), 1)).alias(
-                "t_b"
-            ),
-            n0.alias("n0"),
-            n1.alias("n1"),
+            F.sum("s0").alias("s0"),
+            F.sum("n0").alias("n0"),
+            F.sum("s1").alias("s1"),
+            F.sum("n1").alias("n1"),
         )
         .filter((F.col("n0") > 0) & (F.col("n1") > 0))
+        .select(
+            "b",
+            (
+                F.col("s0").cast("double") / F.col("n0")
+                - F.col("s1").cast("double") / F.col("n1")
+            ).alias("t_b"),
+            "n0",
+            "n1",
+        )
     )
     extreme = F.count_if(F.abs(F.col("t_b")) >= F.abs(F.col("t_obs")))
     return (
@@ -1276,10 +1401,12 @@ def q_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape (round-7 shuffle diet — one shared pass, the
     q_dedup_weighted lesson applied to metrics): the OBSERVED cohort
-    split rides the permutation explode as pseudo-draw ``b = -1``
+    split rides the permutation draw kernel as pseudo-draw ``b = -1``
     (side = cohort), so obs and all B draws flow through ONE
     (type, b) hash aggregate instead of re-deriving the per-(type,user)
-    cohort aggregate in a second branch; t_obs then reaches each
+    cohort aggregate in a second branch (round 12: the draws themselves
+    are vectorized in _fdr_partials — bit-identical, kernel block
+    above); t_obs then reaches each
     permutation row via a metric-partitioned window max over the
     (m × B)-row aggregate — no join back. The BH step-up tail
     (rank, m, k*) is chained windows over the single m-row partition —
@@ -1300,48 +1427,37 @@ def q_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cohort", F.col("user_id") % 2)
     )
 
-    def side_mean(side_col, side):
-        s = F.sum(F.when(side_col == side, F.col("cents")).otherwise(0)).cast(
-            "double"
-        )
-        n = F.sum(F.when(side_col == side, 1).otherwise(0))
-        return s / n
-
-    def side_n(side_col, side):
-        return F.sum(F.when(side_col == side, 1).otherwise(0))
-
-    # per user: [(b=-1, side=cohort)] ++ B hash sign-draws (one md5 per
-    # 4 draws, sliced — same draw function as q_permutation_test, so the
-    # oracle is unchanged)
-    hashes = F.expr(
-        f"transform(sequence(0, {_PERM_B // 4 - 1}), "
-        "j -> md5(concat(cast(user_id as string), '~', cast(j as string))))"
-    )
-    entries = F.expr(
-        "concat("
-        " array(struct(cast(-1 as int) as b, cast(cohort as int) as side)),"
-        " flatten(transform(hh, (h, j) -> transform(sequence(0, 3), i -> "
-        "  struct(cast(j * 4 + i as int) as b, "
-        "         cast(case when cast(conv(substring(h, i * 8 + 1, 8), 16, 10)"
-        "              as bigint) / 4294967296.0 < 0.5 then 0 else 1 end"
-        "              as int) as side)))))"
-    )
-    draws = (
-        per_ut.select("event_type", "cents", "cohort", hashes.alias("hh"))
-        .select("event_type", "cents", F.explode(entries).alias("e"))
-        .select("event_type", "cents", F.col("e.b").alias("b"), F.col("e.side").alias("side"))
+    # per user: [(b=-1, side=cohort)] ++ B hash sign-draws — round 12:
+    # vectorized in _fdr_partials (same draw function as
+    # q_permutation_test, bit-identical from the md5 digest bytes, so the
+    # oracle is unchanged); each unique user hashes ONCE per batch and
+    # (type, b)-grain int64 partials replace the rows × (B+1) explode.
+    parts = per_ut.select(
+        "event_type",
+        "cents",
+        "cohort",
+        F.col("user_id").cast("string").alias("uid"),
+    ).mapInPandas(
+        _fdr_partials,
+        "event_type string, b int, s0 long, n0 long, s1 long, n1 long",
     )
     perms = (
-        draws.groupBy("event_type", "b")
+        parts.groupBy("event_type", "b")
         .agg(
-            (side_mean(F.col("side"), 0) - side_mean(F.col("side"), 1)).alias(
-                "t_b"
-            ),
-            side_n(F.col("side"), 0).alias("n0"),
-            side_n(F.col("side"), 1).alias("n1"),
+            F.sum("s0").alias("s0"),
+            F.sum("n0").alias("n0"),
+            F.sum("s1").alias("s1"),
+            F.sum("n1").alias("n1"),
         )
         .filter((F.col("n0") > 0) & (F.col("n1") > 0))
-        .select("event_type", "b", "t_b")
+        .select(
+            "event_type",
+            "b",
+            (
+                F.col("s0").cast("double") / F.col("n0")
+                - F.col("s1").cast("double") / F.col("n1")
+            ).alias("t_b"),
+        )
     )
     # t_obs (the b = -1 row) broadcast within each metric partition; a
     # metric whose observed split lacks a cohort side has no b = -1 row
