@@ -156,10 +156,27 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (PIL/ffmpeg-class codecs absent from this container) remains
     multimodal.decode_media; this query proves the decode PLUMBING —
     mapInPandas batch shape, binary columns end to end, schema — against
-    real image bytes."""
+    real image bytes.
+
+    Round 12 (guide §4.5 — task-grain Python worker cost): the fixture is
+    a CONSTANT 64 rows, but ``spark.range`` defaulted to
+    defaultParallelism partitions — 32 two-row tasks through TWO chained
+    mapInPandas stages demanded ~64 Python worker spin-ups for ~100 KB of
+    work (measured sf-independent: 7.5 s first run / 1.1 s steady at 32
+    partitions vs 0.5 / 0.41 s at 8). Partitions are capped at 8: still
+    multi-partition (the batch-shape plumbing the query exists to prove),
+    but worker churn no longer scales with cluster width for a
+    fixed-size fixture."""
     from ..multimodal import PPM_FIXTURE_N, decode_ppm, encode_ppm_fixture
 
-    return decode_ppm(encode_ppm_fixture(spark.range(PPM_FIXTURE_N)))
+    return decode_ppm(
+        encode_ppm_fixture(
+            spark.range(
+                PPM_FIXTURE_N,
+                numPartitions=min(8, spark.sparkContext.defaultParallelism),
+            )
+        )
+    )
 
 
 def compression_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
