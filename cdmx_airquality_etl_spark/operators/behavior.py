@@ -678,25 +678,25 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
     )
-    wp = Window.partitionBy("user_id").orderBy("us", "event_id")
-    firstp = (
-        ev.filter(F.col("event_type") == "purchase")
-        .withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id", F.col("us").alias("pus"), F.col("event_id").alias("pid")
-        )
+    # round-12 (guide §2.4, the q_shapley_attribution transform): the
+    # first purchase per user is a whole-partition window min over
+    # struct(us, event_id) — same total order the old row_number ranked
+    # by — on the SAME user_id partitioning the journey aggregate below
+    # reuses, replacing the purchase-filtered row_number window + left
+    # join back (two exchanges and a per-user sort). Purchase-only users
+    # still vanish with the post-window filter, as they never entered the
+    # old touches frame.
+    fp = F.min(
+        F.when(F.col("event_type") == "purchase", F.struct("us", "event_id"))
+    ).over(Window.partitionBy("user_id"))
+    touches = ev.withColumn("fp", fp).filter(
+        F.col("event_type") != "purchase"
     )
-    touches = ev.filter(F.col("event_type") != "purchase").join(
-        firstp, "user_id", "left"
-    )
-    before_p = (
-        F.col("pus").isNull()
-        | (F.col("us") < F.col("pus"))
-        | ((F.col("us") == F.col("pus")) & (F.col("event_id") < F.col("pid")))
+    before_p = F.col("fp").isNull() | (
+        F.struct("us", "event_id") < F.col("fp")
     )
     seqs = (
-        touches.groupBy("user_id", "pus", "pid")
+        touches.groupBy("user_id", "fp")
         .agg(
             F.array_sort(
                 F.collect_list(
@@ -709,7 +709,7 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array(F.lit("start")),
                 F.transform(F.col("tch"), lambda x: x["event_type"]),
                 F.array(
-                    F.when(F.col("pus").isNull(), F.lit("null")).otherwise(
+                    F.when(F.col("fp").isNull(), F.lit("null")).otherwise(
                         F.lit("conv")
                     )
                 ),
@@ -1169,22 +1169,23 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
     )
-    wp = Window.partitionBy("user_id").orderBy("us", "event_id")
-    firstp = (
-        ev.filter(F.col("event_type") == "purchase")
-        .withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id", F.col("us").alias("pus"), F.col("event_id").alias("pid")
-        )
+    # round-12 (guide §2.4): the first purchase per user is a
+    # whole-partition window min over struct(us, event_id) — the same
+    # total order the old row_number pass ranked by — computed on the
+    # SAME user_id partitioning the journey aggregate below needs, so the
+    # exchange is established once. This replaces a purchase-filtered
+    # row_number window (a per-user sort) PLUS a left join back to the
+    # touches (two more exchanges); users whose events are all purchases
+    # still vanish with the post-window filter, exactly as they never
+    # entered the old touches frame.
+    fp = F.min(
+        F.when(F.col("event_type") == "purchase", F.struct("us", "event_id"))
+    ).over(Window.partitionBy("user_id"))
+    touches = ev.withColumn("fp", fp).filter(
+        F.col("event_type") != "purchase"
     )
-    touches = ev.filter(F.col("event_type") != "purchase").join(
-        firstp, "user_id", "left"
-    )
-    before_p = (
-        F.col("pus").isNull()
-        | (F.col("us") < F.col("pus"))
-        | ((F.col("us") == F.col("pus")) & (F.col("event_id") < F.col("pid")))
+    before_p = F.col("fp").isNull() | (
+        F.struct("us", "event_id") < F.col("fp")
     )
     j = touches.groupBy("user_id").agg(
         *[
@@ -1201,7 +1202,7 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"b{i}")
             for i, c in enumerate(_MK_CHANNELS)
         ],
-        F.max(F.when(F.col("pus").isNotNull(), 1).otherwise(0))
+        F.max(F.when(F.col("fp").isNotNull(), 1).otherwise(0))
         .cast("int")
         .alias("conv"),
     )

@@ -276,8 +276,13 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     or a byte count and fails the value hash. The production per-document
     scorer over real corpora is :func:`compression_scores`; this query pins
     its behavior. Plan: a 3×64-row constant fixture through the Arrow map,
-    one 3-group aggregate — data-size-independent by construction."""
-    ids = spark.range(_CR_N)
+    one 3-group aggregate — data-size-independent by construction.
+    Round 12: the range is capped at 4 partitions (the q_multimodal_decode
+    fix one query up — ×3 union branches it still spans 12 tasks); at the
+    default width the 192-row fixture demanded ~96 Python worker slots."""
+    ids = spark.range(
+        _CR_N, numPartitions=min(4, spark.sparkContext.defaultParallelism)
+    )
     parts = [
         ids.select(
             F.lit("rep").alias("class"),
