@@ -1188,25 +1188,59 @@ _MH_BANDS_SQL = "\n      UNION ALL\n".join(
 
 
 
+def _mh_sig_partials(batches):
+    """Vectorized MinHash signatures, one output row per doc — the round-12
+    Arrow twin of the retired explode + conv + 12-MIN plan (guide §4.2, the
+    stats_tests draw-kernel move). Bit-identical by construction:
+    conv(substring(md5_hex, 1, 8), 16, 10) == big-endian uint32 of the
+    first four md5 DIGEST bytes, pmod == % for these positive operands, and
+    a·h0 + b ≤ 3.3e18 < 2^63 so the int64 modular arithmetic is exact in
+    numpy exactly as it was in the JVM. Per-doc mins are independent of
+    Arrow batching. Docs whose shingle array is empty/null emit no row,
+    matching the explode."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    md5 = hashlib.md5
+    A = np.array([a for a, _ in _MH_PERMS], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in _MH_PERMS], dtype=np.int64)[:, None]
+    cols = [f"mh{i}" for i in range(len(_MH_PERMS))]
+    for pdf in batches:
+        ids, sigs = [], []
+        for doc_id, sh in zip(pdf["doc_id"], pdf["sh"]):
+            if sh is None or len(sh) == 0:
+                continue
+            buf = b"".join(md5(s.encode()).digest()[:4] for s in sh)
+            h0 = np.frombuffer(buf, dtype=">u4").astype(np.int64) % _MH_PRIME
+            ids.append(doc_id)
+            sigs.append(((A * h0[None, :] + B) % _MH_PRIME).min(axis=1))
+        out = pd.DataFrame(
+            np.vstack(sigs)
+            if sigs
+            else np.empty((0, len(_MH_PERMS)), dtype=np.int64),
+            columns=cols,
+        )
+        out.insert(0, "doc_id", pd.Series(ids, dtype="int64"))
+        yield out
+
+
 def _mh_sigs(shingled: DataFrame) -> DataFrame:
     """MinHash signatures (doc_id, mh0..mh11) from distinct-shingle docs.
 
-    h0 materializes as a COLUMN in the projection under the aggregate so
-    the md5 decode runs once per shingle row; putting the h0 expression
-    inside each of the 12 MIN aggregates would inline 12 copies into the
-    aggregate expressions (one md5 per permutation per row + a 12x larger
-    codegen unit — measured ~4x slower cold)."""
-    eh = shingled.select("doc_id", F.explode("sh").alias("shingle")).select(
-        "doc_id",
-        F.pmod(_md5_int(F.col("shingle"), 8), F.lit(_MH_PRIME)).alias("h0"),
+    Round 12: computed by the vectorized Arrow kernel above — the prior
+    plan exploded postings, paid one md5 + conv(hex) per shingle row
+    (conv alone measured heavier than md5, see stats_tests' kernel block)
+    and a 12-MIN hash aggregate; the kernel hashes each doc's array in
+    place and emits ONE row per doc, so the signature stage ships no
+    postings and needs no shuffle at all."""
+    schema = "doc_id long, " + ", ".join(
+        f"mh{i} long" for i in range(len(_MH_PERMS))
     )
-    mins = [
-        F.min(F.pmod(F.lit(a) * F.col("h0") + F.lit(b), F.lit(_MH_PRIME))).alias(
-            f"mh{i}"
-        )
-        for i, (a, b) in enumerate(_MH_PERMS)
-    ]
-    return eh.groupBy("doc_id").agg(*mins)
+    return shingled.select("doc_id", "sh").mapInPandas(
+        _mh_sig_partials, schema
+    )
 
 
 def _mh_bands(sigs: DataFrame) -> DataFrame:
@@ -1404,6 +1438,44 @@ _SH_BITS = 60  # 15 md5 nibbles = 60 hyperplanes; packed signature positive
 _SH_BANDS = 4
 _SH_HAMMING_MAX = 8
 
+
+def _sh_sig_partials(batches):
+    """Vectorized SimHash signatures, one (doc_id, simhash) row per doc —
+    the round-12 Arrow twin of the retired explode + conv + 60-SUM-vote
+    aggregate. Bit-identical: conv(substring(md5_hex, 1, 15), 16, 10) ==
+    (big-endian uint64 of the first 8 digest bytes) >> 4; votes are the
+    same integer sums over the same token multiset (duplicates included,
+    exactly as the explode emitted them); the sign rule is the same strict
+    vote > 0. Per-doc packing is independent of Arrow batching; docs with
+    a null token array emit no row, matching explode(null)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    md5 = hashlib.md5
+    shifts = np.arange(_SH_BITS, dtype=np.uint64)
+    weights = (np.uint64(1) << shifts).astype(np.int64)
+    for pdf in batches:
+        ids, packs = [], []
+        for doc_id, toks in zip(pdf["doc_id"], pdf["toks"]):
+            if toks is None or len(toks) == 0:
+                continue
+            buf = b"".join(md5(t.encode()).digest()[:8] for t in toks)
+            h = np.frombuffer(buf, dtype=">u8") >> np.uint64(4)
+            ones = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).sum(
+                axis=0, dtype=np.int64
+            )
+            votes = 2 * ones - len(toks)
+            ids.append(doc_id)
+            packs.append(int(weights[votes > 0].sum()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "simhash": pd.Series(packs, dtype="int64"),
+            }
+        )
+
 _SH_BAND_WIDTH = _SH_BITS // _SH_BANDS
 _SH_BANDS_SQL = "\n      UNION ALL\n".join(
     f"""      SELECT doc_id, simhash, {band} AS band,
@@ -1453,25 +1525,18 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     long format (doc, bit) — same integer sums, same sign rule, same packed
     signature — so the banded search is value-checked end to end."""
     docs = load_table(spark, sf_dir, "documents")
+    # round-12 (guide §4.2, the _mh_sig_partials move): tokenization stays
+    # in the JVM (Java and Python regex \s+ differ on unicode whitespace —
+    # splitting here keeps the token stream bit-identical), but the
+    # per-token md5 + conv(15 hex) decode, the 60 per-bit vote sums and
+    # the sign-pack run vectorized in _sh_sig_partials — the retired plan
+    # exploded every token occurrence (~500 rows/doc) through a 60-SUM
+    # aggregate, the largest codegen unit in the registry. One packed
+    # signature row per doc comes back; no postings shuffle.
     toks = docs.select(
-        "doc_id",
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
-    ).withColumn("h", _md5_int(F.col("tok"), 15))
-
-    votes = [
-        F.sum(
-            (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
-        ).alias(f"v{b}")
-        for b in range(_SH_BITS)
-    ]
-    sig = toks.groupBy("doc_id").agg(*votes)
-    packed = sig.select(
-        "doc_id",
-        sum(
-            [F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(_SH_BITS)],
-            F.lit(0),
-        ).cast("long").alias("simhash"),
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks")
     )
+    packed = toks.mapInPandas(_sh_sig_partials, "doc_id long, simhash long")
 
     band_width = _SH_BITS // _SH_BANDS
     band_structs = [
