@@ -1246,6 +1246,28 @@ def _mh_sig_partials(batches):
         yield out
 
 
+def _sig_fan_out(sigs: DataFrame) -> DataFrame:
+    """Doc-grain repartition after a map-side signature kernel — the
+    round-12 scaling-sweep find: the kernels replaced the postings
+    shuffle, but that shuffle was LOAD-BEARING for the banded self-join's
+    parallelism. Without it the signature frame keeps the scan's
+    partitioning (ONE task on a single-row-group parquet), the join plans
+    as BroadcastHashJoin over a 1-partition stream side, and the whole
+    candidate expansion runs single-threaded: q_dedup_simhash re-measured
+    18.0 s at sf1 / >400 s at sf3 against the retired plan's 10.9 s /
+    ~30 s on the same host (SCALING.json's committed 184 s sf3 point was
+    this defect, not host noise). Signature rows are (doc_id, sig) — 16-100
+    bytes/doc, ~500× less than the postings shuffle the kernels removed —
+    so this exchange restores cluster-width parallelism at ~0 cost.
+    N = defaultParallelism: cluster-derived (scales with the driver's
+    core-count sweeps and any real cluster), NOT a tuned local constant.
+    Explicit N because AQE's byte-based coalescing would collapse this
+    kilobyte-sized exchange to one partition — its compute-per-byte
+    (the band-join probe) is what the byte heuristic cannot see."""
+    spark = sigs.sparkSession
+    return sigs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+
 def _mh_sigs(shingled: DataFrame) -> DataFrame:
     """MinHash signatures (doc_id, mh0..mh11) from distinct-shingle docs.
 
@@ -1254,12 +1276,13 @@ def _mh_sigs(shingled: DataFrame) -> DataFrame:
     (conv alone measured heavier than md5, see stats_tests' kernel block)
     and a 12-MIN hash aggregate; the kernel hashes each doc's array in
     place and emits ONE row per doc, so the signature stage ships no
-    postings and needs no shuffle at all."""
+    postings — only the doc-grain _sig_fan_out exchange that keeps the
+    downstream band join parallel."""
     schema = "doc_id long, " + ", ".join(
         f"mh{i} long" for i in range(len(_MH_PERMS))
     )
-    return shingled.select("doc_id", "sh").mapInPandas(
-        _mh_sig_partials, schema
+    return _sig_fan_out(
+        shingled.select("doc_id", "sh").mapInPandas(_mh_sig_partials, schema)
     )
 
 
@@ -1589,7 +1612,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks")
     )
-    packed = toks.mapInPandas(_sh_sig_partials, "doc_id long, simhash long")
+    packed = _sig_fan_out(
+        toks.mapInPandas(_sh_sig_partials, "doc_id long, simhash long")
+    )
 
     band_width = _SH_BITS // _SH_BANDS
     band_structs = [

@@ -257,3 +257,25 @@ def test_wscg_detection_uses_aqe_off_plan(spark, sf_dir):
     # and the under-reporting the fix replaces: the AQE-on string alone
     # misses q_group_agg's codegen spans
     assert "[codegen id :" not in _plan(spark, sf_dir, "q_group_agg")
+
+
+def test_signature_kernels_fan_out_before_band_join(spark, sf_dir):
+    """Round-12 scaling-sweep find: the Arrow signature kernels removed the
+    postings shuffle, but that shuffle was load-bearing — without it the
+    banded self-join's stream side inherits the scan's single partition
+    (one row group at test scale) and the whole candidate expansion runs
+    in ONE task (q_dedup_simhash re-measured 18 s sf1 / >400 s sf3 vs the
+    retired plan's 10.9 s / ~30 s). _sig_fan_out must put a doc-grain
+    hash exchange between MapInPandas and the join on both signature
+    consumers."""
+    import re
+
+    for name in ("q_dedup_simhash", "q_dedup_minhash"):
+        plan = _plan(spark, sf_dir, name, mode="simple")
+        assert "MapInPandas" in plan, name
+        # a repartition exchange keyed on the bare doc_id (the distinct's
+        # exchange is keyed on doc_id_a/doc_id_b and does not match)
+        assert re.search(r"hashpartitioning\(doc_id#\d+L?,", plan), (
+            name,
+            "signature fan-out exchange missing — band join is single-task",
+        )
