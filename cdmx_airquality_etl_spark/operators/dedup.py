@@ -51,6 +51,7 @@ from pyspark.sql.window import Window
 from ..functions import word_shingles
 from ..registry import QUERIES, register
 from ..sources.parquet import load_table
+from .fanout import fan_out_scan
 
 _JACCARD_THRESHOLD = 0.5
 # Per-shingle postings cap: a shingle appearing in more than this many docs
@@ -94,8 +95,16 @@ def _sql_md5_int(expr: str, nchars: int) -> str:
 
 
 def _doc_shingles(docs: DataFrame) -> DataFrame:
-    """doc_id + distinct word-3-shingle array + its size."""
-    return docs.select(
+    """doc_id + distinct word-3-shingle array + its size.
+
+    Round 13: the raw docs scan fans out to cluster width first
+    (fan_out_scan — host-gated, no-op on multi-split real inputs), so
+    shingling AND every downstream emission/kernel of the dedup family
+    parallelize instead of inheriting the test corpus's single-row-group
+    single task. Safe for every consumer: each aggregates exact integers
+    or computes row-local scores, so row placement cannot change a
+    result."""
+    return fan_out_scan(docs).select(
         "doc_id",
         F.array_distinct(word_shingles(F.lower(F.col("text")), k=3)).alias("sh"),
     ).withColumn("n_sh", F.size("sh"))
@@ -1609,7 +1618,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exploded every token occurrence (~500 rows/doc) through a 60-SUM
     # aggregate, the largest codegen unit in the registry. One packed
     # signature row per doc comes back; no postings shuffle.
-    toks = docs.select(
+    toks = fan_out_scan(docs).select(
         "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks")
     )
     packed = _sig_fan_out(

@@ -29,6 +29,7 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from .dedup import _md5_int, _sql_md5_int
+from .fanout import fan_out_scan
 from ..sources.parquet import load_table
 from .similarity import _SQL_NZ_CTE, _dot, _nonzero, _sql_cos
 
@@ -921,10 +922,22 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _boot_partials (bit-identical uniforms from the digest bytes, see
     # the kernel block above); only (type, b)-grain int64 partials cross
     # the Arrow boundary, and this final aggregate merges them exactly.
-    parts = events.select(
-        "event_type",
-        F.round(F.col("value") * 100).cast("long").alias("vc"),
-        F.col("event_id").cast("string").alias("eid"),
+    # round-13: the kernel's input is the raw single-row-group scan, so
+    # the vectorized draw ran in ONE Python task; fan_out_scan (host-
+    # gated, operators/fanout.py) spreads it to cluster width. Partials
+    # are exact int64 sums keyed on (type, b) — row placement cannot
+    # change the merged result. (q_permutation_test / q_fdr_screen keep
+    # their shape: their kernel inputs are post-aggregate frames whose
+    # 1-partition collapse happens at RUNTIME via AQE coalescing — the
+    # static under-split check cannot see it, and an unconditional
+    # exchange there would also tax the degraded-host configuration the
+    # fan-out gate exists to protect.)
+    parts = fan_out_scan(
+        events.select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("vc"),
+            F.col("event_id").cast("string").alias("eid"),
+        )
     ).mapInPandas(_boot_partials, "event_type string, b int, swc long, nw long")
     resample_means = (
         parts.groupBy("event_type", "b")

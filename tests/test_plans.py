@@ -270,7 +270,16 @@ def test_signature_kernels_fan_out_before_band_join(spark, sf_dir):
     consumers."""
     import re
 
-    for name in ("q_dedup_simhash", "q_dedup_minhash"):
+    for name in (
+        "q_dedup_simhash",
+        "q_dedup_minhash",
+        # round-13 (VERDICT r12 #4): the pin covers ALL signature-kernel
+        # consumers, not just the two the r12 fix touched — any future
+        # plan restructure that drops the fan-out re-creates the
+        # 1-partition-band-join cliff for whichever consumer loses it
+        "q_minhash_estimate",
+        "q_simhash_calibration",
+    ):
         plan = _plan(spark, sf_dir, name, mode="simple")
         assert "MapInPandas" in plan, name
         # a repartition exchange keyed on the bare doc_id (the distinct's
@@ -279,3 +288,19 @@ def test_signature_kernels_fan_out_before_band_join(spark, sf_dir):
             name,
             "signature fan-out exchange missing — band join is single-task",
         )
+
+
+def test_no_single_partition_python_kernel_feeds_wide_input(spark, sf_dir):
+    """Round-13 generalization of the r12 cliff guard: every mapInPandas
+    kernel whose input is a raw (single-row-group) scan must sit above a
+    fan-out — under SPARK_GRAFT_SCAN_FANOUT=1 (the suite default) its
+    plan carries a RoundRobinPartitioning below the MapInPandas node.
+    Covers the resampling kernel with a scan-grain input; the
+    q_permutation_test / q_fdr_screen kernels read post-aggregate frames
+    (already behind an exchange) and are exempt by the same rule."""
+    plan = _plan(spark, sf_dir, "q_bootstrap_ci", mode="formatted")
+    assert "MapInPandas" in plan
+    assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan, (
+        "bootstrap kernel input lost its fan-out — the vectorized draw "
+        "runs in one Python task at test scale"
+    )
