@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
+from .fanout import fan_out_scan
 from ..sources.parquet import load_table
 from .dedup import _md5_int, _sql_md5_int
 
@@ -73,6 +74,9 @@ def q_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-count normalizer is a scalar broadcast cross join inside the plan."""
     docs = load_table(spark, sf_dir, "documents")
     dt = (
+        # round-13: scan fan-out measured a LOSS here (paired 1.18 -> 1.76
+        # s — the cost is the distinct + within-doc self-join, already
+        # parallel after their exchanges) — reverted
         docs.select(
             "doc_id",
             F.explode(
@@ -271,6 +275,9 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
+    # round-13: scan fan-out measured a LOSS here (paired 1.15 -> 1.33 s
+    # — the round-robin exchange ships the token arrays, outweighing the
+    # parallel zip) — reverted
     toks = docs.select(
         "doc_id",
         "lang",

@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import word_shingles
+from ..functions.bloom import bloom_filter_bytes, might_contain
 from ..registry import QUERIES, register
 from ..sources.parquet import load_table
 from .fanout import fan_out_scan
@@ -735,7 +736,13 @@ def _prefix_containment_pairs(
         "sdf", F.count(F.lit(1)).over(Window.partitionBy("hkey"))
     ).filter(F.col("sdf") >= 2)
     # per-doc globally-ordered survivor list; per-group state is bounded
-    # by the doc's own shingle count — the array shingled already holds
+    # by the doc's own shingle count — the array shingled already holds.
+    # Round 13: CACHED for the duration of this query — the frame now has
+    # three consumers (A-role, B-role, and the Bloom build below), and
+    # without the cache the Bloom pass would re-run the explode + df
+    # window + regroup subtree as a separate job (the same driver-side
+    # recompute the r12 class-probe fix removed). Intra-query reuse only;
+    # the bench clears the cache after every query.
     docs = (
         entries.groupBy("doc_id", "n_sh")
         .agg(F.array_sort(F.collect_list(F.struct("sdf", "hkey"))).alias("lst"))
@@ -749,7 +756,7 @@ def _prefix_containment_pairs(
         .withColumn(
             "need", F.ceil(F.col("n_sh") * t - 1e-9).cast("int")
         )
-    )
+    ).cache()
     # present size classes: one bounded driver-side distinct (≤ 64 rows —
     # classes of a long doc size), the repo's bounded-collect discipline.
     # Round 12: derived from the RAW shingled frame, not from `docs` — the
@@ -823,35 +830,118 @@ def _prefix_containment_pairs(
     ).select(
         "doc_id_a", "n_a", F.col("ak.key").alias("key"), F.col("ak.g").alias("g")
     )
+    # Round-13 Bloom pre-filter (guide §3.2; VERDICT r12 #1): the B-role
+    # emission is the registry's largest join input — Σ C(m−bound_gmin+2, 2)
+    # ≈ 6.8M struct rows at sf0.1 vs ~113k A-role rows — and the position
+    # lemma makes its per-class prefix TIGHT, so the emission cannot shrink
+    # without changing the key scheme. What CAN shrink is what crosses the
+    # exchange: a Bloom filter built over the A-side keys drops B-rows with
+    # no possible partner BEFORE the shuffle+sort. Exactness: Bloom filters
+    # have false positives (extra candidates — the exact array_intersect
+    # verify kills them) but NO false negatives, so no qualifying pair is
+    # lost. Scale shape: the filter is BITS (~1.2 bytes/key at 1% fpp) over
+    # the corpus-linear A-key set (~21/doc) — shippable as a plan literal
+    # for ~3 decades past where the r12-rejected row-broadcast dies; beyond
+    # that the same construction shards per size class. The expected-count
+    # sizing aggregate and the build are one pass each over the CACHED docs
+    # frame, priced inside the timed region.
+    a_prefix = F.greatest(
+        F.least(F.col("m") - F.col("need") + 2, F.col("m")), F.lit(0)
+    )
+    sizing = docs.agg(
+        F.sum((a_prefix * (a_prefix - 1) / 2 + a_prefix).cast("long")).alias(
+            "n_keys"
+        ),
+        F.sum(a_prefix.cast("long")).alias("n_pref"),
+    ).collect()[0]
+    bloom = bloom_filter_bytes(
+        a_keys.select("key"), "key", expected=int(sizing["n_keys"] or 1), fpp=0.01
+    )
+    # Second, ELEMENT-level filter (the round-13 generation diet): a B pair
+    # (x, y) can only match an A key (s_1, s_2) when BOTH hkeys are members
+    # of some A doc's prefix — s_1, s_2 always are (pos_A(s_2) ≤ P_A is the
+    # A-side half of the coverage proof). So B first drops prefix elements
+    # whose hkey no A-prefix holds, and enumerates pairs over the SURVIVORS
+    # (original positions carried for the gmax tag): generation falls from
+    # C(plen, 2) xxhash64+CASE evals to C(live, 2) after plen bloom probes.
+    # Superset-safe both ways — hkey false positives only keep extra live
+    # elements, whose extra pairs the pair-level bloom and the exact verify
+    # then kill.
+    hbloom = bloom_filter_bytes(
+        docs.select(
+            F.explode(
+                F.expr(
+                    "slice(lst, 1, greatest(least(m - need + 2, m), 0))"
+                )
+            ).alias("e")
+        ).select(F.col("e.hkey").alias("hkey")),
+        "hkey",
+        expected=int(sizing["n_pref"] or 1),
+        fpp=0.01,
+    )
     # B-role: nested class prefixes emit each key ONCE at its largest
-    # admissible class (gmax); pair and singleton families concatenated
-    b_parts = []
+    # admissible class (gmax); pair and singleton families concatenated.
+    # Pair family enumerates over the live survivors; the singleton family
+    # (only present when a class has bound_g < 2, i.e. sub-⌊1/t⌋ docs)
+    # keeps the original linear emission over the raw prefix.
+    b_cols = []
     if pair_classes:
-        b_parts.append(
-            pairs_sql(
-                f"m - {min(bound[g] for g in pair_classes)} + 2",
-                gmax_case(pair_classes, 2),
+        plen_b = f"m - {min(bound[g] for g in pair_classes)} + 2"
+        gmax_arms = " ".join(
+            f"WHEN gcls >= {g} AND m - y.pos + 2 >= {bound[g]} THEN {g}"
+            for g in sorted(pair_classes, reverse=True)
+        )
+        b_cols.append(
+            F.expr(
+                f"""filter(flatten(transform(
+                    __live, (x, xi) ->
+                      transform(slice(__live, xi + 2, size(__live) - xi - 1),
+                                y ->
+                        struct(xxhash64(x.hkey, y.hkey) AS key,
+                               CAST((CASE {gmax_arms} ELSE -1 END) AS INT)
+                                 AS g)))), s -> s.g >= 0)"""
             )
         )
     if single_classes:
-        b_parts.append(
-            singles_sql(
-                f"m - {min(bound[g] for g in single_classes)} + 1",
-                gmax_case(single_classes, 1),
+        b_cols.append(
+            F.expr(
+                singles_sql(
+                    f"m - {min(bound[g] for g in single_classes)} + 1",
+                    gmax_case(single_classes, 1),
+                )
             )
         )
-    b_expr = (
-        "concat(" + ", ".join(b_parts) + ")" if len(b_parts) > 1 else b_parts[0]
-    )
-    b_keys = docs.select(
-        F.col("doc_id").alias("doc_id_b"),
-        F.col("n_sh").alias("n_b"),
-        F.explode(F.expr(b_expr)).alias("bk"),
-    ).select(
-        "doc_id_b",
-        "n_b",
-        F.col("bk.key").alias("key"),
-        F.col("bk.g").alias("gmax"),
+    b_src = docs
+    if pair_classes:
+        b_src = b_src.withColumn(
+            "__live",
+            F.filter(
+                F.expr(
+                    f"transform(slice(lst, 1, greatest(least({plen_b}, m), 0)),"
+                    " (x, i) -> struct(x.hkey AS hkey,"
+                    " CAST(i + 1 AS INT) AS pos))"
+                ),
+                lambda s: might_contain(hbloom, s["hkey"]),
+            ),
+        )
+    b_keys = (
+        b_src.select(
+            F.col("doc_id").alias("doc_id_b"),
+            F.col("n_sh").alias("n_b"),
+            F.explode(
+                F.concat(*b_cols) if len(b_cols) > 1 else b_cols[0]
+            ).alias("bk"),
+        )
+        .select(
+            "doc_id_b",
+            "n_b",
+            F.col("bk.key").alias("key"),
+            F.col("bk.g").alias("gmax"),
+        )
+        # map-side, codegen'd, pipelined with the explode: only keys the
+        # A side might actually hold reach the exchange (measured sf0.1:
+        # 6.8M generated → ~0.2M shuffled pre-live-filter)
+        .filter(might_contain(bloom, F.col("key")))
     )
     cand = (
         a_keys.join(b_keys.hint("merge"), "key")

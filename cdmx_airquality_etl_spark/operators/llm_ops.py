@@ -25,6 +25,7 @@ from pyspark.sql.window import Window
 
 from ..functions import word_shingles, words
 from ..registry import register
+from .fanout import fan_out_scan
 from ..sources.parquet import load_table
 from .dedup import _md5_int, _sql_md5_int
 
@@ -109,7 +110,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     contaminated = (
-        docs.filter(F.col("source") != "src0")
+        # round-13: fan out the corpus branch (the big side; the filter
+        # still pushes into the scan below the repartition)
+        fan_out_scan(docs.filter(F.col("source") != "src0"))
         .select("doc_id", F.explode(_grams_spark(_DECON_N)).alias("gram"))
         .join(broadcast(bench), "gram", "left_semi")
         .select("doc_id")
@@ -248,7 +251,9 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     by gram text so the top-k is deterministic across engines."""
     docs = load_table(spark, sf_dir, "documents")
     grams = (
-        docs.select(F.array_distinct(_grams_spark(_DECON_N)).alias("grams"))
+        # round-13 host-gated scan fan-out: the gram expansion is the
+        # query's map-side cost and ran single-task at test scale
+        fan_out_scan(docs).select(F.array_distinct(_grams_spark(_DECON_N)).alias("grams"))
         .select(F.explode("grams").alias("gram"))
     )
     return (
@@ -735,6 +740,9 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup._md5_int)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     feat = (
+        # round-13: scan fan-out measured flat-to-negative here (paired
+        # 1.50 -> 1.57 s; the two feature-grain aggregates dominate, both
+        # already parallel after their exchange) — reverted
         docs.select(
             "doc_id",
             "lang",

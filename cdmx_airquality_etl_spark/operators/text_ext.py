@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
+from .fanout import fan_out_scan
 from ..sources.parquet import load_table
 from .dedup import (
     _JACCARD_THRESHOLD,
@@ -157,6 +158,9 @@ def q_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     DOCUMENT (bounded by doc length); word stats and scoring are corpus
     hash-aggregates. Top-{k} phrases with total tiebreak."""
     docs = load_table(spark, sf_dir, "documents")
+    # round-13: scan fan-out was tried here and measured a LOSS (paired
+    # 1.32 -> 1.57 s): the per-doc windows re-shuffle by doc_id right
+    # after, so the added round-robin exchange buys nothing — reverted
     tok = docs.select(
         "doc_id",
         F.posexplode(_toks(F.col("text"))).alias("pos0", "w"),
@@ -294,7 +298,9 @@ def q_char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     languages, bounded output. Gram extraction is scan-side
     transform(sequence) — no Python."""
     docs = load_table(spark, sf_dir, "documents")
-    norm = docs.select(
+    # round-13 host-gated scan fan-out: the normalize + gram transform is
+    # the map-side cost and ran single-task at test scale
+    norm = fan_out_scan(docs).select(
         "lang",
         F.regexp_replace(F.lower(F.col("text")), "[^a-z]+", " ").alias("s"),
     ).filter(F.length("s") >= 3)
