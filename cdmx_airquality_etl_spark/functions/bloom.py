@@ -48,8 +48,18 @@ def bloom_filter_bytes(
     costs bits: ~1.2 bytes/key at 1 % fpp); underestimating raises the
     false-positive rate, never drops a key.
     """
-    jbf = keys._jdf.stat().bloomFilter(col, int(max(expected, 1)), float(fpp))
     jvm = keys.sparkSession._jvm
+    try:
+        jbf = keys._jdf.stat().bloomFilter(
+            col, int(max(expected, 1)), float(fpp)
+        )
+    except Exception:
+        # Spark's treeAggregate yields a null buffer for an EMPTY key
+        # frame and DataFrameStatFunctions NPEs deserializing it
+        # (BloomFilter.readFrom(null)). An empty key set means "nothing
+        # matches": an explicit zero-insert filter has exactly that
+        # semantics (might_contain = false for every probe).
+        jbf = jvm.org.apache.spark.util.sketch.BloomFilter.create(1)
     bos = jvm.java.io.ByteArrayOutputStream()
     jbf.writeTo(bos)
     return bytes(bos.toByteArray())

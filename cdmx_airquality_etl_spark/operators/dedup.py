@@ -854,6 +854,14 @@ def _prefix_containment_pairs(
         ),
         F.sum(a_prefix.cast("long")).alias("n_pref"),
     ).collect()[0]
+    if not sizing["n_keys"]:
+        # no doc can play the A role (every survivor list is shorter than
+        # its own need) — no qualifying pair exists; skip the Bloom builds
+        return shingled.select(
+            F.col("doc_id").alias("doc_id_a"),
+            F.col("doc_id").alias("doc_id_b"),
+            F.lit(0.0).alias("containment"),
+        ).limit(0)
     bloom = bloom_filter_bytes(
         a_keys.select("key"), "key", expected=int(sizing["n_keys"] or 1), fpp=0.01
     )

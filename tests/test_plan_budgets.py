@@ -64,7 +64,16 @@ def test_dieted_query_stays_within_exchange_budget(spark, name, budget):
         .executedPlan()
         .toString()
     )
-    n = len(re.findall(r"\bExchange\b", plan))
+    # Round 13: round-robin exchanges are excluded from the count — the
+    # host-gated scan fan-out (operators/fanout.py, forced ON by conftest)
+    # inserts one per REFERENCE to the fanned scan in the static plan
+    # (AQE collapses the identical copies to ReusedExchange at runtime),
+    # and the regression class this gate pins is subtree RE-DERIVATION,
+    # which always shows up as extra hash/range exchanges, never as
+    # keyless repartitions.
+    n = len(re.findall(r"\bExchange\b", plan)) - len(
+        re.findall(r"\bExchange RoundRobinPartitioning\b", plan)
+    )
     assert n <= budget, (
         f"{name}: {n} exchanges (budget {budget}) — a round-7 shuffle diet "
         f"regressed; see tests/test_plan_budgets.py docstring"
