@@ -56,16 +56,27 @@ _PROBE_CACHE: dict[tuple[int, int], int] = {}
 _PROBE_ROWS = 250_000
 # Demand a real parallel win before engaging: on the r12 degraded window
 # the parallel run LOST to the single-partition run (0.68 vs 0.45 s on
-# r12's committed probe), so the 0.6 bar keeps that host on the r12
-# shape; on the healthy window the ratio measures ~0.1-0.2.
-_ENGAGE_RATIO = 0.6
+# r12's committed probe — ratio 1.5), so any bar < 1 keeps that host on
+# the r12 shape. 0.75 rather than the original 0.6 (round-13 second
+# pass): on a fast-JVM window the whole 250k-row probe runs in ~0.4 s
+# single-threaded, so fixed per-stage scheduling (~0.15 s for a dp-task
+# stage) eats most of the probe's parallel win and the measured ratio
+# lands at 0.45-0.68 — while the REAL emissions the gate serves, whose
+# per-row work is 10-50× the probe's, measured 1.5-2.2× wins on that
+# same window (q_char_trigram 2.33→1.05, q_lsh_planner 5.74→3.87,
+# paired env-toggle A/B). The probe systematically UNDERSTATES the win,
+# so the bar sits high; the degraded shape it must catch is ratio > 1,
+# far above it.
+_ENGAGE_RATIO = 0.75
 
 
-def _probe_frame(spark: SparkSession, n_partitions: int) -> DataFrame:
+def _probe_frame(
+    spark: SparkSession, n_partitions: int, rows: int = _PROBE_ROWS
+) -> DataFrame:
     # md5-over-string per row: compute-dense like the shingle/anchor
     # emissions this gate serves, so per-task scheduling overhead does
     # not drown the signal (a bare xxhash64(id) probe measures flat).
-    return spark.range(0, _PROBE_ROWS, 1, numPartitions=n_partitions).select(
+    return spark.range(0, rows, 1, numPartitions=n_partitions).select(
         F.bit_xor(
             F.conv(
                 F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10
@@ -76,7 +87,24 @@ def _probe_frame(spark: SparkSession, n_partitions: int) -> DataFrame:
 
 def scan_fanout_parallelism(spark: SparkSession) -> int:
     """Target partition count for under-split scans, or 0 to leave the
-    scan alone. Probes the host once per (process, parallelism)."""
+    scan alone. Probes the host once per (process, parallelism).
+
+    Probe cost diet (round 13, second pass): the original protocol —
+    full-size warm-up + full-size 1-partition run + full-size parallel
+    run — cost ~5.4 s on the healthy window, all charged to whichever
+    timed query touches fan_out_scan first. The single-partition run is
+    the expensive leg precisely on the hosts where fan-out will engage
+    (that is what "parallelism wins" means), so it is now LOWER-BOUNDED
+    instead of completed: t_one over the full row count is monotone in
+    the row count, hence t_one(full) ≥ t_one(quarter), and once
+    t_quarter alone clears t_par / ENGAGE_RATIO the engagement verdict
+    is already decided — no extrapolation assumption, just monotonicity.
+    Only hosts where the quarter run is NOT decisive (the degraded-VM
+    shape, where a 1-partition run is cheap) pay for the full run, and
+    there it costs ~0.5 s. Measured: healthy-window probe 5.4 s → ~1.6 s
+    (warm-up ~0.1, parallel 0.4, quarter ~1.0, full leg skipped); the
+    r12 degraded-window numbers (1p 0.45 vs 32p 0.68 full-size) still
+    disengage through the fallback full run."""
     mode = os.environ.get("SPARK_GRAFT_SCAN_FANOUT", "auto")
     if mode == "0":
         return 0
@@ -89,17 +117,31 @@ def scan_fanout_parallelism(spark: SparkSession) -> int:
     if key not in _PROBE_CACHE:
         def run(np: int, rows: int = _PROBE_ROWS) -> float:
             t0 = time.perf_counter()
-            _probe_frame(spark, np).collect()  # one row — bounded collect
+            # one row — bounded collect
+            _probe_frame(spark, np, rows).collect()
             return time.perf_counter() - t0
 
         spark.sparkContext.setJobDescription("fanout host probe")
         try:
-            _probe_frame(spark, min(4, dp)).collect()  # JIT warm-up
-            t_one = run(1)
-            t_par = run(dp)
+            # JIT warm-up: same expressions → same codegen class as the
+            # timed runs; 1/8 of the rows is enough to compile it
+            run(min(4, dp), _PROBE_ROWS // 8)
+            # min of 2: the process's FIRST wide stage pays one-time
+            # scheduler/serializer warm-up (~0.25 s measured) that a
+            # single sample would charge to parallelism itself
+            t_par = min(run(dp), run(dp))
+            t_quarter = run(1, _PROBE_ROWS // 4)
+            if t_par < _ENGAGE_RATIO * t_quarter:
+                # t_one(full) ≥ t_quarter, so the full run can only
+                # strengthen this verdict — skip it
+                _PROBE_CACHE[key] = dp
+            else:
+                t_one = run(1)
+                _PROBE_CACHE[key] = (
+                    dp if t_par < _ENGAGE_RATIO * t_one else 0
+                )
         finally:
             spark.sparkContext.setJobDescription(None)
-        _PROBE_CACHE[key] = dp if t_par < _ENGAGE_RATIO * t_one else 0
     return _PROBE_CACHE[key]
 
 

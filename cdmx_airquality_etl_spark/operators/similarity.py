@@ -1749,8 +1749,20 @@ def q_similarity_ann_ivfpq_probe(
 
     idx = spark.read.parquet(os.path.join(idx_dir, "data"))
     # the query vector: one row-group-stat-skipping lookup by vec_id (at
-    # 100 TB the query vector arrives from the application, not a scan)
-    q_rows = idx.filter(F.col("vec_id") == 0).select("embedding").take(1)
+    # 100 TB the query vector arrives from the application, not a scan).
+    # Sourced from the SINGLE-FILE embeddings table rather than the
+    # cell-partitioned index (identical rows by construction — the index
+    # data IS _nonzero(embeddings) plus derived columns, untouched
+    # embedding bytes): a take(1) against the ~k-directory index paid
+    # ~1.4 s of first-touch listing + multi-partition probing per fresh
+    # session, where the raw table is one footer-warmed file (guide §6
+    # small-files/listing cost; measured first-run 4.1 → 2.9 s).
+    q_rows = (
+        _nonzero(load_table(spark, sf_dir, "embeddings"))
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .take(1)
+    )
     if not q_rows:
         raise ValueError(
             "IVFPQ probe: vec_id=0 is absent from the index — no query "
